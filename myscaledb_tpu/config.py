@@ -1,0 +1,130 @@
+"""Engine configuration: query settings, table settings, server settings.
+
+The reference exposes three layers of settings (SURVEY.md §5):
+  * per-query   Settings            (src/Core/Settings.h:918-926)
+  * per-table   MergeTreeSettings   (src/Storages/MergeTree/MergeTreeSettings.h:178-202)
+  * per-server  ServerSettings      (src/Core/ServerSettings.h:72-75)
+
+We mirror that split with three frozen-ish dataclasses. Defaults match the
+reference where a reference default exists (citations inline).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass
+class QuerySettings:
+    """Per-query knobs. Reference: src/Core/Settings.h."""
+
+    # Allow brute-force scan on segments without a built index.
+    # Reference default: false for large parts (Settings.h:918); small parts
+    # always allow brute force (MergeTreeVSManager.cpp:1681-1688). We default
+    # to True because the TPU scan is fast enough to be the baseline path.
+    enable_brute_force_vector_search: bool = True
+
+    # Hybrid fusion parameters (Settings.h:919-921).
+    hybrid_search_fusion_weight: float = 0.5
+    hybrid_search_fusion_k: int = 60
+    hybrid_search_top_k_multiple_base: int = 3
+
+    # Skip the prefilter when a partition-level predicate is provably true
+    # for a whole segment (optimize_prefilter_in_search, Settings.h:922;
+    # canSkipPrewhereForPart, MergeTreeSelectWithHybridSearchProcessor.cpp:224).
+    optimize_prefilter_in_search: bool = True
+
+    # Pagination window cap: LIMIT n OFFSET m requires n+m <= this
+    # (Settings.h:923).
+    max_search_result_window: int = 10_000
+
+    # Default top-k when the caller gives none (VICommon.h:170).
+    default_topk: int = 30
+
+    # Use TPU hardware approximate top-k (jax.lax.approx_max_k) inside
+    # scans. Exact lax.top_k is used when False. recall_target applies to
+    # the approx path only.
+    use_approx_topk: bool = True
+    approx_topk_recall_target: float = 0.99
+
+    # Two-stage search (approximate first pass + exact re-rank). The
+    # reference ships the machinery gated off (SURVEY.md §3.5); here it is a
+    # real setting.
+    two_stage_search: bool = False
+    two_stage_num_reorder_multiple: int = 4  # candidates = k * this
+
+    # Index build chunking (Settings.h:117-119: train 100MiB / add 10MiB).
+    max_build_index_train_block_bytes: int = 100 * 1024 * 1024
+    max_build_index_add_block_bytes: int = 10 * 1024 * 1024
+
+
+@dataclasses.dataclass
+class TableSettings:
+    """Per-table knobs. Reference: src/Storages/MergeTree/MergeTreeSettings.h."""
+
+    # Segments smaller than this never get an ANN index; they are scanned
+    # exactly (MergeTreeSettings.h:181, IMergeTreeDataPart.cpp:1454-1458).
+    min_rows_to_build_vector_index: int = 65_536
+
+    # Default metrics when DDL omits metric_type
+    # (MergeTreeSettings.h:183-184).
+    float_vector_search_metric_type: str = "L2"
+    binary_vector_search_metric_type: str = "Hamming"
+
+    # Enforce the CHECK length(vector)=D constraint on insert
+    # (MergeTreeSettings.h:186).
+    enforce_fixed_vector_length_constraint: bool = True
+
+    # Validate index parameters at DDL time (MergeTreeSettings.h:187).
+    vector_index_parameter_check: bool = True
+
+    # Segments above this row count go to the slow build queue
+    # (MergeTreeSettings.h:185).
+    max_rows_for_slow_mode_single_vector_index_build: int = 1_000_000
+
+    # Keep old per-source index segments alive after a merge until the new
+    # index is rebuilt, with row-id remapping (decoupled parts,
+    # MergeTreeSettings.h:179; MergeTask.cpp:319-405).
+    enable_decouple_vector_index: bool = True
+
+    # Segment row capacities are padded up to a multiple of this so XLA
+    # sees a small set of static shapes (TPU-specific; no reference
+    # analogue — replaces MergeTree granularity).
+    segment_row_alignment: int = 1_024
+
+    # Vector payload dtype on device. bfloat16 halves HBM traffic on the
+    # scan path; accumulation stays float32.
+    storage_dtype: str = "bfloat16"
+
+
+@dataclasses.dataclass
+class ServerSettings:
+    """Process-wide knobs. Reference: src/Core/ServerSettings.h."""
+
+    # Fraction of device/host memory for the index cache
+    # (ServerSettings.h:75, clamped 0.1-0.9 in Server.cpp:1312-1323).
+    vector_index_cache_size_ratio_of_memory: float = 0.3
+
+    # Absolute cache cap in bytes; None = derive from ratio.
+    vector_index_cache_size: Optional[int] = None
+
+    # Background index build concurrency (ServerSettings.h:72 default 1).
+    background_vector_pool_size: int = 1
+    background_slow_mode_vector_pool_size: int = 1
+
+    # Primary-key cache (Server.cpp:1601-1610; MergeTreeSettings.h:178).
+    enable_primary_key_cache: bool = True
+    primary_key_cache_size: int = 256 * 1024 * 1024
+
+
+@dataclasses.dataclass
+class Settings:
+    """Bundle of all three layers, as passed around the engine."""
+
+    query: QuerySettings = dataclasses.field(default_factory=QuerySettings)
+    table: TableSettings = dataclasses.field(default_factory=TableSettings)
+    server: ServerSettings = dataclasses.field(default_factory=ServerSettings)
+
+
+DEFAULT_SETTINGS = Settings()

@@ -1,0 +1,153 @@
+"""Vector index interfaces and descriptors.
+
+Re-expresses the consumed API of the reference's proprietary
+`Search::VectorIndex` library (SURVEY.md §2.3) in TPU terms:
+
+  * `VectorIndex.build(payload, ...)`   ~ index->build(reader, threads, cb)
+  * `VectorIndex.search(q, k, params, mask)` ~ index->search(dataset, k,
+      params, first_stage_only, bitmap*)  (VIWithDataPart.cpp:930)
+  * `compute_scores_subset(q, ids)`     ~ computeTopDistanceSubset
+      (two-stage exact re-rank, MergeTreeVSManager.cpp:597)
+  * serialize/load                      ~ the .vidx3 stream API
+
+plus the per-(segment, column) lifecycle state machine of VIWithColumnInPart
+(src/Storages/MergeTree/VIInfo.h:41-49).
+
+Search results use max-is-better scores (metrics.py); `mask` is the
+pre-filter ∩ delete bitmap (bool[capacity], True = searchable) applied
+INSIDE the search, never after.
+"""
+
+from __future__ import annotations
+
+import abc
+import dataclasses
+import enum
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+
+from ..metrics import Metric
+
+
+class IndexKind(enum.Enum):
+    # Index types exercised by the reference tests (SURVEY.md §2.3).
+    FLAT = "FLAT"
+    IVFFLAT = "IVFFLAT"
+    IVFPQ = "IVFPQ"
+    IVFSQ = "IVFSQ"
+    HNSWFLAT = "HNSWFLAT"
+    HNSWPQ = "HNSWPQ"
+    HNSWSQ = "HNSWSQ"
+    MSTG = "MSTG"
+    BINARYFLAT = "BinaryFLAT"
+    BINARYMSTG = "BinaryMSTG"
+
+    @classmethod
+    def parse(cls, s: str) -> "IndexKind":
+        key = s.strip().upper()
+        aliases = {
+            "DEFAULT": "MSTG",  # Search::getDefaultIndexType (VIDescriptions.cpp:41)
+            "BINARYFLAT": "BinaryFLAT",
+            "BINARYMSTG": "BinaryMSTG",
+        }
+        key = aliases.get(key, key)
+        for k in cls:
+            if k.value.upper() == key.upper():
+                return k
+        from ..errors import IndexParameterError
+
+        raise IndexParameterError(f"unknown vector index type: {s!r}")
+
+
+BINARY_KINDS = {IndexKind.BINARYFLAT, IndexKind.BINARYMSTG}
+
+
+class IndexStatus(enum.Enum):
+    """Per-(segment, column) index state machine (VIInfo.h:41-49)."""
+
+    SMALL_PART = "Small"
+    PENDING = "Pending"
+    BUILDING = "InProgress"
+    BUILT = "Built"
+    LOADED = "Loaded"
+    ERROR = "Error"
+
+
+@dataclasses.dataclass
+class IndexDescription:
+    """DDL-level descriptor (the VIDescription analogue,
+    src/VectorIndex/Storages/VIDescriptions.cpp:108-212)."""
+
+    name: str
+    column: str
+    kind: IndexKind
+    metric: Metric
+    dim: int
+    params: Dict[str, Any] = dataclasses.field(default_factory=dict)
+
+    def is_binary(self) -> bool:
+        return self.kind in BINARY_KINDS
+
+
+class VectorIndex(abc.ABC):
+    """A built, device-resident ANN index over one segment's vector column."""
+
+    kind: IndexKind
+    metric: Metric
+    dim: int
+    n_rows: int
+
+    @abc.abstractmethod
+    def search(
+        self,
+        queries: jax.Array,
+        k: int,
+        *,
+        params: Optional[Dict[str, Any]] = None,
+        mask: Optional[jax.Array] = None,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Top-k (scores f32[Q,k], row_ids int32[Q,k]); -inf/-1 padding.
+
+        mask: bool[capacity] True = searchable (pre-filter ∩ deletes),
+        applied inside selection.
+        """
+
+    def supports_two_stage(self) -> bool:
+        """Whether search(first_stage=True) returns approximate candidates
+        to be exactly re-ranked (supportTwoStageSearch,
+        VIWithDataPart.cpp:128-133)."""
+        return False
+
+    def search_first_stage(
+        self,
+        queries: jax.Array,
+        num_candidates: int,
+        *,
+        params: Optional[Dict[str, Any]] = None,
+        mask: Optional[jax.Array] = None,
+    ) -> Tuple[jax.Array, jax.Array]:
+        raise NotImplementedError(f"{self.kind} has no first-stage search")
+
+    def compute_scores_subset(
+        self, queries: jax.Array, row_ids: jax.Array
+    ) -> jax.Array:
+        """Exact scores for given candidate rows (computeTopDistanceSubset)."""
+        raise NotImplementedError(f"{self.kind} has no exact re-rank")
+
+    @property
+    @abc.abstractmethod
+    def memory_bytes(self) -> int:
+        """Device memory footprint — the LRU cache weight
+        (getResourceUsage().build_memory_usage_bytes analogue)."""
+
+    # ------------------------------------------------------------ persist
+    @abc.abstractmethod
+    def state_dict(self) -> Dict[str, Any]:
+        """Arrays + metadata for serialization (persistence.py writes the
+        .vidx3-analogue files + checksums)."""
+
+    @classmethod
+    @abc.abstractmethod
+    def from_state_dict(cls, state: Dict[str, Any]) -> "VectorIndex":
+        ...

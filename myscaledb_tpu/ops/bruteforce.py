@@ -1,0 +1,133 @@
+"""Fused brute-force scan: chunked score computation + masked top-k.
+
+This is the TPU replacement for the reference's mark-by-mark FAISS scan
+(vectorScanWithoutIndex, src/VectorIndex/Storages/MergeTreeVSManager.cpp:960
+— stream column, pack filter-passing rows, FAISS knn, running top-k merge
+via searchWrapper :1538-1679).
+
+TPU design: the base matrix is HBM-resident and statically shaped; we scan
+it in row chunks, computing an MXU score tile per chunk (Pallas kernel from
+ops/distance.py on aligned shapes), apply the filter/validity mask as a
+-inf select (pre-filter semantics: masked rows can never enter the top-k,
+exactly like the DenseBitmap passed *into* the index search at
+VIWithDataPart.cpp:930), take a per-chunk top-k, and merge chunk results
+exactly. XLA pipelines the chunk loop, overlapping HBM reads of chunk i+1
+with compute of chunk i.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..metrics import Metric
+from . import distance
+from ._pallas import round_up
+from .topk import NEG_INF, merge_topk_lists, topk_scores
+
+# Rows per scan chunk. 128k rows x 128 dims of bf16 = 32 MiB per chunk read.
+DEFAULT_CHUNK_ROWS = 128 * 1024
+
+
+def _choose_chunk(n: int, target: int) -> int:
+    """Largest multiple of 1024 that divides n and is <= target (segments
+    are 1024-row aligned). Falls back to n itself for small/odd sizes."""
+    if n <= target:
+        return n
+    if n % 1024 == 0:
+        units = n // 1024
+        best = 1
+        limit = max(1, target // 1024)
+        for c in range(1, limit + 1):
+            if units % c == 0:
+                best = c
+        return best * 1024
+    return n  # unaligned: single shot
+
+
+def _chunk_scores(q, block, aux_block, metric):
+    """Scores for one chunk; Pallas when aligned, XLA reference otherwise."""
+    qn, d = q.shape
+    nb = block.shape[0]
+    if (
+        qn % 8 == 0
+        and d % 128 == 0
+        and nb % distance.DEFAULT_N_TILE == 0
+    ):
+        return distance.scores(q, block, aux_block, metric=metric)
+    return distance.scores_ref(q, block, aux_block, metric=metric)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "n_valid", "chunk_rows", "approx", "recall_target"),
+)
+def scan_topk(
+    queries: jax.Array,
+    base: jax.Array,
+    aux: Optional[jax.Array],
+    *,
+    k: int,
+    metric: Metric,
+    n_valid: int,
+    mask: Optional[jax.Array] = None,
+    chunk_rows: int = DEFAULT_CHUNK_ROWS,
+    approx: bool = False,
+    recall_target: float = 0.99,
+) -> Tuple[jax.Array, jax.Array]:
+    """Brute-force top-k over a (possibly padded, possibly filtered) base.
+
+    queries: f32[Q, D] — raw; Cosine normalization is applied here.
+    base:    [N, D] storage payload (f32 or bf16), rows >= n_valid are padding.
+    aux:     f32[N] per-row metric auxiliary (base_aux), or None to compute.
+    mask:    optional bool[N] pre-filter (WHERE bitmap ∩ delete bitmap).
+    Returns (scores f32[Q, k], indices int32[Q, k]); missing slots are
+    (-inf, -1).
+    """
+    nq, d = queries.shape
+    n = base.shape[0]
+    queries = distance.normalize_queries(queries.astype(jnp.float32), metric)
+    if aux is None and metric != Metric.IP:
+        aux = distance.base_aux(base, metric)
+    if aux is None:
+        aux = jnp.zeros((n,), jnp.float32)
+
+    # Pad queries to the sublane multiple for the Pallas path.
+    nq_pad = round_up(max(nq, 1), 8)
+    if nq_pad != nq:
+        queries = jnp.pad(queries, ((0, nq_pad - nq), (0, 0)))
+
+    valid = jnp.arange(n, dtype=jnp.int32) < n_valid
+    if mask is not None:
+        valid = jnp.logical_and(valid, mask)
+
+    chunk = _choose_chunk(n, chunk_rows)
+    if chunk >= n:
+        s = _chunk_scores(queries, base, aux, metric)
+        s = jnp.where(valid[None, :], s, NEG_INF)
+        vals, idx = topk_scores(s, k, approx=approx, recall_target=recall_target)
+    else:
+        nc = n // chunk
+        blocks = base.reshape(nc, chunk, d)
+        auxb = aux.reshape(nc, chunk)
+        validb = valid.reshape(nc, chunk)
+        offs = jnp.arange(nc, dtype=jnp.int32) * chunk
+
+        def body(args):
+            block, a, v, off = args
+            s = _chunk_scores(queries, block, a, metric)
+            s = jnp.where(v[None, :], s, NEG_INF)
+            cv, ci = topk_scores(s, k, approx=approx, recall_target=recall_target)
+            return cv, jnp.where(ci >= 0, ci + off, -1)
+
+        cvals, cidx = jax.lax.map(body, (blocks, auxb, validb, offs))
+        # [nc, Q, k] -> [Q, nc, k] -> exact merge to [Q, k]
+        vals, idx = merge_topk_lists(
+            jnp.transpose(cvals, (1, 0, 2)), jnp.transpose(cidx, (1, 0, 2)), k
+        )
+
+    idx = jnp.where(jnp.isfinite(vals), idx, -1)
+    return vals[:nq], idx[:nq]

@@ -1,0 +1,83 @@
+"""Top-k selection and k-way merge primitives.
+
+The reference merges per-part top-k lists with a heap
+(getTotalTopSearchResultImpl, src/VectorIndex/Storages/
+MergeTreeBaseSearchManager.cpp:207) and runs FAISS heap-select inside the
+scan (searchWrapper, MergeTreeVSManager.cpp:1538-1679). On TPU the
+equivalents are:
+
+  * `jax.lax.approx_max_k` — the TPU's hardware-accelerated PartialReduce
+    top-k, designed for exactly this MIPS/ANN use (used when
+    QuerySettings.use_approx_topk).
+  * exact `jax.lax.top_k` for the final merge and for exact-scan configs.
+
+All selection happens on max-is-better scores (metrics.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = float("-inf")
+
+
+def topk_scores(
+    scores: jax.Array,
+    k: int,
+    *,
+    approx: bool = False,
+    recall_target: float = 0.99,
+) -> Tuple[jax.Array, jax.Array]:
+    """Top-k along the last axis. Returns (values f32[..., k], idx int32[..., k])."""
+    n = scores.shape[-1]
+    kk = min(k, n)
+    if approx and kk < n:
+        vals, idx = jax.lax.approx_max_k(scores, kk, recall_target=recall_target)
+    else:
+        vals, idx = jax.lax.top_k(scores, kk)
+    if kk < k:
+        pad = [(0, 0)] * (scores.ndim - 1) + [(0, k - kk)]
+        vals = jnp.pad(vals, pad, constant_values=NEG_INF)
+        idx = jnp.pad(idx, pad, constant_values=-1)
+    return vals, idx.astype(jnp.int32)
+
+
+def merge_topk(
+    vals_a: jax.Array,
+    idx_a: jax.Array,
+    vals_b: jax.Array,
+    idx_b: jax.Array,
+    k: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Merge two top-k lists (same leading dims) into one, exactly."""
+    vals = jnp.concatenate([vals_a, vals_b], axis=-1)
+    idx = jnp.concatenate([idx_a, idx_b], axis=-1)
+    mvals, pos = jax.lax.top_k(vals, min(k, vals.shape[-1]))
+    midx = jnp.take_along_axis(idx, pos, axis=-1)
+    if mvals.shape[-1] < k:
+        pad = [(0, 0)] * (vals.ndim - 1) + [(0, k - mvals.shape[-1])]
+        mvals = jnp.pad(mvals, pad, constant_values=NEG_INF)
+        midx = jnp.pad(midx, pad, constant_values=-1)
+    return mvals, midx
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def merge_topk_lists(vals: jax.Array, idx: jax.Array, k: int):
+    """Collapse a stacked [..., L, k'] set of top-k lists to one [..., k].
+
+    Used for the global merge across segments / chips / chunks (the
+    k-way-merge analogue of MergeTreeBaseSearchManager.cpp:207).
+    """
+    flat_v = vals.reshape(*vals.shape[:-2], -1)
+    flat_i = idx.reshape(*idx.shape[:-2], -1)
+    mvals, pos = jax.lax.top_k(flat_v, min(k, flat_v.shape[-1]))
+    midx = jnp.take_along_axis(flat_i, pos, axis=-1)
+    if mvals.shape[-1] < k:
+        pad = [(0, 0)] * (mvals.ndim - 1) + [(0, k - mvals.shape[-1])]
+        mvals = jnp.pad(mvals, pad, constant_values=NEG_INF)
+        midx = jnp.pad(midx, pad, constant_values=-1)
+    return mvals, midx

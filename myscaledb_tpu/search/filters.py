@@ -1,0 +1,240 @@
+"""Filter expressions → per-segment row bitmaps (pre-filter semantics).
+
+The reference evaluates WHERE/PREWHERE over each part *before* ANN search,
+collecting surviving `_part_offset`s into a DenseBitmap that is passed INTO
+the index search (performPrefilter,
+src/VectorIndex/Storages/MergeTreeSelectWithHybridSearchProcessor.cpp:938;
+getFilterFromPipeline :906-934). Post-filtering is never used for
+correctness-critical paths.
+
+Here a filter is a small expression tree over scalar columns. Evaluation
+produces a bool[n_rows] numpy mask per segment which the executor extends
+to capacity, intersects with the delete bitmap, and ships to the device as
+the top-k mask (the DenseBitmap analogue).
+
+Usage:
+    from myscaledb_tpu import F
+    t.search("vec", q, k=10, filter=(F("id") < 1000) & (F("tag") == "news"))
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable, Sequence
+
+import numpy as np
+
+from ..errors import SchemaError
+
+
+class Expr:
+    """Boolean filter expression over scalar columns."""
+
+    def evaluate(self, segment) -> np.ndarray:  # -> bool[n_rows]
+        raise NotImplementedError
+
+    def columns(self) -> set:
+        raise NotImplementedError
+
+    def __and__(self, other: "Expr") -> "Expr":
+        return And(self, other)
+
+    def __or__(self, other: "Expr") -> "Expr":
+        return Or(self, other)
+
+    def __invert__(self) -> "Expr":
+        return Not(self)
+
+
+class And(Expr):
+    def __init__(self, a: Expr, b: Expr):
+        self.a, self.b = a, b
+
+    def evaluate(self, segment):
+        return self.a.evaluate(segment) & self.b.evaluate(segment)
+
+    def columns(self):
+        return self.a.columns() | self.b.columns()
+
+    def __repr__(self):
+        return f"({self.a} AND {self.b})"
+
+
+class Or(Expr):
+    def __init__(self, a: Expr, b: Expr):
+        self.a, self.b = a, b
+
+    def evaluate(self, segment):
+        return self.a.evaluate(segment) | self.b.evaluate(segment)
+
+    def columns(self):
+        return self.a.columns() | self.b.columns()
+
+    def __repr__(self):
+        return f"({self.a} OR {self.b})"
+
+
+class Not(Expr):
+    def __init__(self, a: Expr):
+        self.a = a
+
+    def evaluate(self, segment):
+        return ~self.a.evaluate(segment)
+
+    def columns(self):
+        return self.a.columns()
+
+    def __repr__(self):
+        return f"(NOT {self.a})"
+
+
+class Literal(Expr):
+    """Constant TRUE/FALSE (e.g. a partition predicate folded per segment —
+    the canSkipPrewhereForPart fast path, SURVEY.md §2.1)."""
+
+    def __init__(self, value: bool):
+        self.value = bool(value)
+
+    def evaluate(self, segment):
+        return np.full(segment.n_rows, self.value, dtype=bool)
+
+    def columns(self):
+        return set()
+
+    def __repr__(self):
+        return "TRUE" if self.value else "FALSE"
+
+
+class Compare(Expr):
+    _OPS: dict = {
+        "<": np.less,
+        "<=": np.less_equal,
+        ">": np.greater,
+        ">=": np.greater_equal,
+        "==": np.equal,
+        "!=": np.not_equal,
+    }
+
+    def __init__(self, column: str, op: str, value: Any):
+        self.column, self.op, self.value = column, op, value
+
+    def evaluate(self, segment):
+        col = segment.scalar(self.column)
+        if col.dtype == object:  # string column
+            vals = np.array([str(self.value)] * 1, dtype=object)
+            if self.op == "==":
+                return np.fromiter(
+                    (c == self.value for c in col), dtype=bool, count=len(col)
+                )
+            if self.op == "!=":
+                return np.fromiter(
+                    (c != self.value for c in col), dtype=bool, count=len(col)
+                )
+            raise SchemaError(f"op {self.op} not supported on string column")
+        return self._OPS[self.op](col[: segment.n_rows], self.value)
+
+    def columns(self):
+        return {self.column}
+
+    def __repr__(self):
+        return f"{self.column} {self.op} {self.value!r}"
+
+
+class In(Expr):
+    def __init__(self, column: str, values: Sequence[Any], negate: bool = False):
+        self.column, self.values, self.negate = column, list(values), negate
+
+    def evaluate(self, segment):
+        col = segment.scalar(self.column)[: segment.n_rows]
+        if col.dtype == object:
+            vs = set(self.values)
+            out = np.fromiter((c in vs for c in col), dtype=bool, count=len(col))
+        else:
+            out = np.isin(col, np.asarray(self.values, dtype=col.dtype))
+        return ~out if self.negate else out
+
+    def columns(self):
+        return {self.column}
+
+    def __repr__(self):
+        kw = "NOT IN" if self.negate else "IN"
+        return f"{self.column} {kw} {self.values!r}"
+
+
+class Like(Expr):
+    """SQL LIKE over a string column (% and _ wildcards)."""
+
+    def __init__(self, column: str, pattern: str, negate: bool = False):
+        self.column, self.pattern, self.negate = column, pattern, negate
+        rx = re.escape(pattern).replace("%", ".*").replace("_", ".")
+        self._rx = re.compile(f"^{rx}$", re.DOTALL)
+
+    def evaluate(self, segment):
+        col = segment.scalar(self.column)[: segment.n_rows]
+        out = np.fromiter(
+            (self._rx.match(c) is not None for c in col), dtype=bool, count=len(col)
+        )
+        return ~out if self.negate else out
+
+    def columns(self):
+        return {self.column}
+
+    def __repr__(self):
+        kw = "NOT LIKE" if self.negate else "LIKE"
+        return f"{self.column} {kw} {self.pattern!r}"
+
+
+class Lambda(Expr):
+    """Escape hatch: arbitrary numpy predicate over named columns."""
+
+    def __init__(self, cols: Sequence[str], fn: Callable[..., np.ndarray]):
+        self._cols, self._fn = list(cols), fn
+
+    def evaluate(self, segment):
+        args = [segment.scalar(c)[: segment.n_rows] for c in self._cols]
+        out = np.asarray(self._fn(*args), dtype=bool)
+        if out.shape != (segment.n_rows,):
+            raise SchemaError("Lambda filter must return bool[n_rows]")
+        return out
+
+    def columns(self):
+        return set(self._cols)
+
+
+class F:
+    """Column handle for building filter expressions: F('id') < 100."""
+
+    def __init__(self, column: str):
+        self.column = column
+
+    def __lt__(self, v):
+        return Compare(self.column, "<", v)
+
+    def __le__(self, v):
+        return Compare(self.column, "<=", v)
+
+    def __gt__(self, v):
+        return Compare(self.column, ">", v)
+
+    def __ge__(self, v):
+        return Compare(self.column, ">=", v)
+
+    def __eq__(self, v):  # type: ignore[override]
+        return Compare(self.column, "==", v)
+
+    def __ne__(self, v):  # type: ignore[override]
+        return Compare(self.column, "!=", v)
+
+    def isin(self, values):
+        return In(self.column, values)
+
+    def notin(self, values):
+        return In(self.column, values, negate=True)
+
+    def like(self, pattern):
+        return Like(self.column, pattern)
+
+    def between(self, lo, hi):
+        return Compare(self.column, ">=", lo) & Compare(self.column, "<=", hi)
+
+    __hash__ = None  # type: ignore[assignment]

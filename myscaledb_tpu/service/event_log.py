@@ -1,0 +1,122 @@
+"""Vector index event log + profile counters.
+
+Mirrors system.vector_index_event_log (src/VectorIndex/Interpreters/
+VIEventLog.h:32-48 — DEFINITION_CREATED/DROPPED, BUILD_START/SUCCEED/
+ERROR/CANCELD, LOAD_*, CACHE_EXPIRE) and the ProfileEvents counters
+(src/Common/ProfileEvents.cpp:538-543). Events are kept in a bounded
+in-memory ring (queryable via Database.system_table('vector_index_event_log'))
+and optionally mirrored to a JSONL file.
+"""
+
+from __future__ import annotations
+
+import collections
+import dataclasses
+import enum
+import json
+import threading
+import time
+from typing import Any, Dict, List, Optional
+
+
+class EventType(enum.Enum):
+    DEFINITION_CREATED = "DefinitionCreated"
+    DEFINITION_DROPPED = "DefinitionDropped"
+    DEFINITION_ERROR = "DefinitionError"
+    BUILD_START = "BuildStart"
+    BUILD_SUCCEED = "BuildSucceed"
+    BUILD_ERROR = "BuildError"
+    BUILD_CANCELED = "BuildCanceled"
+    LOAD_START = "LoadStart"
+    LOAD_SUCCEED = "LoadSucceed"
+    LOAD_ERROR = "LoadError"
+    CACHE_EXPIRE = "CacheExpire"
+    WILL_NOT_BUILD = "WillNotBuild"  # small part
+
+
+@dataclasses.dataclass
+class Event:
+    ts: float
+    table: str
+    index_name: str
+    column: str
+    segment_id: Optional[int]
+    event: EventType
+    elapsed_s: float = 0.0
+    error: str = ""
+
+    def as_row(self) -> Dict[str, Any]:
+        d = dataclasses.asdict(self)
+        d["event"] = self.event.value
+        return d
+
+
+class EventLog:
+    def __init__(self, max_events: int = 100_000, path: Optional[str] = None):
+        self._events: collections.deque = collections.deque(maxlen=max_events)
+        self._lock = threading.Lock()
+        self._path = path
+
+    def record(
+        self,
+        table: str,
+        index_name: str,
+        column: str,
+        event: EventType,
+        *,
+        segment_id: Optional[int] = None,
+        elapsed_s: float = 0.0,
+        error: str = "",
+    ) -> None:
+        ev = Event(
+            ts=time.time(),
+            table=table,
+            index_name=index_name,
+            column=column,
+            segment_id=segment_id,
+            event=event,
+            elapsed_s=elapsed_s,
+            error=error,
+        )
+        with self._lock:
+            self._events.append(ev)
+            if self._path:
+                try:
+                    with open(self._path, "a") as f:
+                        f.write(json.dumps(ev.as_row()) + "\n")
+                except OSError:
+                    pass
+
+    def rows(self) -> List[Dict[str, Any]]:
+        with self._lock:
+            return [e.as_row() for e in self._events]
+
+    def query(self, **eq) -> List[Dict[str, Any]]:
+        out = []
+        for r in self.rows():
+            if all(r.get(k) == v for k, v in eq.items()):
+                out.append(r)
+        return out
+
+
+class Counters:
+    """Named monotonic counters (ProfileEvents analogue)."""
+
+    def __init__(self):
+        self._c: Dict[str, int] = collections.defaultdict(int)
+        self._lock = threading.Lock()
+
+    def bump(self, name: str, n: int = 1) -> None:
+        with self._lock:
+            self._c[name] += n
+
+    def get(self, name: str) -> int:
+        with self._lock:
+            return self._c.get(name, 0)
+
+    def snapshot(self) -> Dict[str, int]:
+        with self._lock:
+            return dict(self._c)
+
+
+GLOBAL_COUNTERS = Counters()

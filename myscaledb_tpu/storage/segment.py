@@ -1,0 +1,218 @@
+"""Immutable segment: the TPU-native analogue of a MergeTree data part.
+
+Reference model (SURVEY.md §7): a part is an immutable directory of column
+files plus an optional per-part vector index (IMergeTreeDataPart.h:343).
+Here a segment is:
+
+  * a device-resident, statically-shaped vector payload per vector column
+    (`f32|bf16[capacity, D_pad]`, rows >= n_rows are zero padding), plus
+    precomputed per-row metric auxiliaries (|x|^2, 1/|x|) so scans never
+    recompute norms;
+  * host-resident scalar columns (numpy) for filtering and result gather;
+  * a delete bitmap (lightweight DELETE / _row_exists — the reference
+    intersects it into every search, VIWithDataPart.cpp:905-909);
+  * per-(segment, column) index slots managed by the table (index/..).
+
+Row ids ("labels") are segment-local, exactly like the reference's
+part-local labels (HybridSearchResult.h:29-42). Capacity is padded to
+TableSettings.segment_row_alignment so XLA sees few static shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..errors import SchemaError
+from ..metrics import Metric
+from ..ops._pallas import round_up
+from .schema import BinaryVector, FloatVector, Schema
+
+
+def _pad_dim(d: int) -> int:
+    return round_up(d, 128)
+
+
+@dataclasses.dataclass
+class VectorPayload:
+    """Device arrays for one vector column of a segment."""
+
+    data: jnp.ndarray  # [capacity, D_pad] storage dtype (float) or packed bits
+    sqnorm: Optional[jnp.ndarray] = None  # f32[capacity] |x|^2 (float cols)
+    invnorm: Optional[jnp.ndarray] = None  # f32[capacity] 1/|x| (float cols)
+    popcnt: Optional[jnp.ndarray] = None  # int32[capacity] (binary cols)
+
+    def aux_for(self, metric: Metric):
+        if metric == Metric.L2:
+            return self.sqnorm
+        if metric == Metric.COSINE:
+            return self.invnorm
+        if metric == Metric.JACCARD:
+            return self.popcnt
+        return None
+
+    @property
+    def nbytes(self) -> int:
+        total = self.data.size * self.data.dtype.itemsize
+        for a in (self.sqnorm, self.invnorm, self.popcnt):
+            if a is not None:
+                total += a.size * a.dtype.itemsize
+        return total
+
+
+class Segment:
+    """One immutable slab of rows. Mutable state is limited to the delete
+    bitmap (lightweight DELETE) and index attachment, both lock-guarded."""
+
+    def __init__(
+        self,
+        segment_id: int,
+        schema: Schema,
+        n_rows: int,
+        capacity: int,
+        vectors: Dict[str, VectorPayload],
+        scalars: Dict[str, np.ndarray],
+        storage_dtype=jnp.bfloat16,
+    ):
+        self.segment_id = segment_id
+        self.schema = schema
+        self.n_rows = n_rows
+        self.capacity = capacity
+        self.vectors = vectors
+        self.scalars = scalars
+        self.storage_dtype = storage_dtype
+        self._lock = threading.RLock()
+        # Delete bitmap: True = row deleted. Host copy is authoritative;
+        # the device copy is rebuilt lazily on change.
+        self._deleted_host = np.zeros(capacity, dtype=bool)
+        self._deleted_dev: Optional[jnp.ndarray] = None
+        self._has_deletes = False
+
+    # ---------------------------------------------------------------- build
+    @classmethod
+    def from_columns(
+        cls,
+        segment_id: int,
+        schema: Schema,
+        columns: Dict[str, np.ndarray],
+        *,
+        alignment: int = 1024,
+        storage_dtype=jnp.bfloat16,
+    ) -> "Segment":
+        names = set(schema.columns)
+        if set(columns) != names:
+            missing = names - set(columns)
+            extra = set(columns) - names
+            raise SchemaError(f"column mismatch: missing={missing} extra={extra}")
+        n_rows = None
+        validated: Dict[str, np.ndarray] = {}
+        for cname, ctype in schema.columns.items():
+            v = ctype.validate(columns[cname])
+            if n_rows is None:
+                n_rows = len(v)
+            elif len(v) != n_rows:
+                raise SchemaError(
+                    f"column {cname} has {len(v)} rows, expected {n_rows}"
+                )
+            validated[cname] = v
+        assert n_rows is not None and n_rows > 0
+        capacity = round_up(n_rows, alignment)
+
+        vectors: Dict[str, VectorPayload] = {}
+        scalars: Dict[str, np.ndarray] = {}
+        for cname, ctype in schema.columns.items():
+            v = validated[cname]
+            if isinstance(ctype, FloatVector):
+                dpad = _pad_dim(ctype.dim)
+                buf = np.zeros((capacity, dpad), dtype=np.float32)
+                buf[:n_rows, : ctype.dim] = v
+                sq = np.sum(buf.astype(np.float64) ** 2, axis=1).astype(np.float32)
+                nrm = np.sqrt(sq)
+                inv = np.where(nrm > 0, 1.0 / np.where(nrm > 0, nrm, 1.0), 0.0).astype(
+                    np.float32
+                )
+                vectors[cname] = VectorPayload(
+                    data=jnp.asarray(buf, dtype=storage_dtype),
+                    sqnorm=jnp.asarray(sq),
+                    invnorm=jnp.asarray(inv),
+                )
+            elif isinstance(ctype, BinaryVector):
+                nb = ctype.nbytes
+                buf = np.zeros((capacity, nb), dtype=np.uint8)
+                buf[:n_rows] = v
+                pop = np.unpackbits(buf, axis=1).sum(axis=1).astype(np.int32)
+                vectors[cname] = VectorPayload(
+                    data=jnp.asarray(buf), popcnt=jnp.asarray(pop)
+                )
+            else:
+                scalars[cname] = v
+        return cls(
+            segment_id,
+            schema,
+            n_rows,
+            capacity,
+            vectors,
+            scalars,
+            storage_dtype=storage_dtype,
+        )
+
+    # --------------------------------------------------------------- access
+    def vector(self, column: str) -> VectorPayload:
+        if column not in self.vectors:
+            raise SchemaError(f"segment has no vector column {column}")
+        return self.vectors[column]
+
+    def scalar(self, column: str) -> np.ndarray:
+        if column not in self.scalars:
+            raise SchemaError(f"segment has no scalar column {column}")
+        return self.scalars[column]
+
+    # --------------------------------------------------------------- delete
+    def delete_rows(self, row_ids: np.ndarray) -> int:
+        """Mark rows deleted (lightweight DELETE). Returns #newly deleted."""
+        with self._lock:
+            row_ids = np.asarray(row_ids, dtype=np.int64)
+            ok = (row_ids >= 0) & (row_ids < self.n_rows)
+            row_ids = row_ids[ok]
+            before = int(self._deleted_host.sum())
+            self._deleted_host[row_ids] = True
+            self._deleted_dev = None
+            after = int(self._deleted_host.sum())
+            self._has_deletes = after > 0
+            return after - before
+
+    @property
+    def num_deleted(self) -> int:
+        return int(self._deleted_host.sum()) if self._has_deletes else 0
+
+    @property
+    def num_live(self) -> int:
+        return self.n_rows - self.num_deleted
+
+    def deleted_host(self) -> np.ndarray:
+        return self._deleted_host
+
+    def alive_mask_device(self) -> Optional[jnp.ndarray]:
+        """bool[capacity] True = searchable; None when nothing is deleted
+        (the common case — avoids shipping a mask at all)."""
+        with self._lock:
+            if not self._has_deletes:
+                return None
+            if self._deleted_dev is None:
+                self._deleted_dev = jnp.asarray(~self._deleted_host)
+            return self._deleted_dev
+
+    # ----------------------------------------------------------------- misc
+    @property
+    def device_bytes(self) -> int:
+        return sum(p.nbytes for p in self.vectors.values())
+
+    def __repr__(self):
+        return (
+            f"Segment(id={self.segment_id}, rows={self.n_rows}/{self.capacity}, "
+            f"deleted={self.num_deleted})"
+        )

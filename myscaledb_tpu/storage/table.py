@@ -1,0 +1,516 @@
+"""Table: segments + vector index lifecycle + search entry points.
+
+Orchestrates what the reference spreads across StorageMergeTree,
+VIBuilderUpdater and VIWithDataPart (SURVEY.md §2.1/§3.2):
+
+  * insert  -> new immutable segment (INSERT = new part; no index built at
+    insert time — the segment is searchable by exact scan immediately,
+    SURVEY.md §3.4)
+  * ADD VECTOR INDEX -> per-segment build jobs on the background scheduler
+    (fast/slow split at max_rows_for_slow_mode_single_vector_index_build)
+  * per-(segment, index) state machine SMALL_PART/PENDING/BUILDING/BUILT/
+    LOADED/ERROR with retry on build-memory errors
+  * lightweight DELETE -> per-segment delete bitmaps intersected into every
+    search
+  * merge -> concat live rows into a new segment; source indexes are kept
+    searchable through row-id remapping until the new index is built
+    (decoupled parts) — see merge() below.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+import time
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from ..config import Settings
+from ..errors import IndexBuildMemoryError, IndexParameterError, SchemaError
+from ..index import registry
+from ..index.base import IndexDescription, IndexKind, IndexStatus, VectorIndex
+from ..metrics import Metric
+from ..search.executor import SearchResult, VectorSearchExecutor
+from ..search.filters import Expr
+from ..service.event_log import EventLog, EventType, GLOBAL_COUNTERS
+from .schema import BinaryVector, Schema
+
+MAX_BUILD_RETRIES = 3  # maxBuildRetryCount (VIBuilderUpdater.cpp:639-657)
+
+
+@dataclasses.dataclass
+class IndexSlot:
+    """Per-(segment, index) build state (VIWithColumnInPart analogue)."""
+
+    status: IndexStatus
+    instance: Optional[VectorIndex] = None
+    error: str = ""
+    elapsed_s: float = 0.0
+    retries: int = 0
+
+
+class Table:
+    def __init__(
+        self,
+        name: str,
+        schema: Schema,
+        settings: Optional[Settings] = None,
+        *,
+        event_log: Optional[EventLog] = None,
+        scheduler=None,
+        index_cache=None,
+    ):
+        self.name = name
+        self.schema = schema
+        self.settings = settings or Settings()
+        self.event_log = event_log or EventLog()
+        self._scheduler = scheduler
+        self._index_cache = index_cache
+        self._lock = threading.RLock()
+        self._segments: Dict[int, Any] = {}
+        self._next_segment_id = 0
+        self._index_descs: Dict[str, IndexDescription] = {}
+        self._slots: Dict[tuple, IndexSlot] = {}  # (segment_id, index_name)
+        self._executor = VectorSearchExecutor(self)
+        self._text_indexes: Dict[str, Any] = {}  # name -> TextIndexDefinition
+
+    # ------------------------------------------------------------- ingest
+    def insert(self, columns: Dict[str, Any]) -> int:
+        """One insert = one immutable segment (one MergeTree part)."""
+        from .segment import Segment
+
+        import jax.numpy as jnp
+
+        dtype = jnp.bfloat16 if self.settings.table.storage_dtype == "bfloat16" else jnp.float32
+        with self._lock:
+            seg_id = self._next_segment_id
+            self._next_segment_id += 1
+        seg = Segment.from_columns(
+            seg_id,
+            self.schema,
+            columns,
+            alignment=self.settings.table.segment_row_alignment,
+            storage_dtype=dtype,
+        )
+        with self._lock:
+            self._segments[seg_id] = seg
+            for desc in self._index_descs.values():
+                self._schedule_build(seg, desc)
+        for tname, tdef in list(self._text_indexes.items()):
+            tdef.on_new_segment(seg)
+        GLOBAL_COUNTERS.bump("InsertedSegments")
+        GLOBAL_COUNTERS.bump("InsertedRows", seg.n_rows)
+        return seg_id
+
+    def delete(self, filter: Expr) -> int:
+        """Lightweight DELETE: set delete-bitmap bits on matching rows."""
+        n = 0
+        for seg in self.live_segments():
+            mask = filter.evaluate(seg)
+            rows = np.nonzero(mask)[0]
+            if len(rows):
+                n += seg.delete_rows(rows)
+                for tdef in self._text_indexes.values():
+                    tdef.on_deletes(seg)
+        GLOBAL_COUNTERS.bump("DeletedRows", n)
+        return n
+
+    # -------------------------------------------------------------- index
+    def add_vector_index(
+        self, name: str, column: str, type: str = "MSTG", **params
+    ) -> IndexDescription:
+        """ALTER TABLE ADD VECTOR INDEX analogue."""
+        with self._lock:
+            if name in self._index_descs:
+                raise IndexParameterError(f"vector index {name!r} already exists")
+            for d in self._index_descs.values():
+                if d.column == column:
+                    raise IndexParameterError(
+                        f"column {column!r} already has vector index {d.name!r}"
+                    )
+        vtype = self.schema.require_vector(column)
+        is_binary = isinstance(vtype, BinaryVector)
+        default_metric = (
+            self.settings.table.binary_vector_search_metric_type
+            if is_binary
+            else self.settings.table.float_vector_search_metric_type
+        )
+        desc = registry.make_description(
+            name,
+            column,
+            type,
+            vtype.dim,
+            is_binary_column=is_binary,
+            default_metric=default_metric,
+            params=params,
+            strict=self.settings.table.vector_index_parameter_check,
+        )
+        with self._lock:
+            self._index_descs[name] = desc
+            segs = list(self._segments.values())
+        self.event_log.record(self.name, name, column, EventType.DEFINITION_CREATED)
+        for seg in segs:
+            self._schedule_build(seg, desc)
+        return desc
+
+    def drop_vector_index(self, name: str) -> None:
+        with self._lock:
+            desc = self._index_descs.pop(name, None)
+            if desc is None:
+                raise IndexParameterError(f"no vector index named {name!r}")
+            for key in [k for k in self._slots if k[1] == name]:
+                del self._slots[key]
+        if self._index_cache is not None:
+            self._index_cache.expire_prefix((self.name, name))
+        self.event_log.record(self.name, name, desc.column, EventType.DEFINITION_DROPPED)
+
+    def _schedule_build(self, seg, desc: IndexDescription) -> None:
+        key = (seg.segment_id, desc.name)
+        small = seg.n_rows < self.settings.table.min_rows_to_build_vector_index
+        with self._lock:
+            if small:
+                self._slots[key] = IndexSlot(IndexStatus.SMALL_PART)
+            else:
+                self._slots[key] = IndexSlot(IndexStatus.PENDING)
+        if small:
+            self.event_log.record(
+                self.name,
+                desc.name,
+                desc.column,
+                EventType.WILL_NOT_BUILD,
+                segment_id=seg.segment_id,
+            )
+            return
+        slow = (
+            seg.n_rows
+            > self.settings.table.max_rows_for_slow_mode_single_vector_index_build
+        )
+        job = lambda: self._build_one(seg, desc)
+        if self._scheduler is not None:
+            self._scheduler.submit(job, slow=slow)
+        else:
+            job()
+
+    def _build_one(self, seg, desc: IndexDescription) -> None:
+        key = (seg.segment_id, desc.name)
+        with self._lock:
+            slot = self._slots.get(key)
+            if slot is None or slot.status not in (
+                IndexStatus.PENDING,
+                IndexStatus.ERROR,
+            ):
+                return
+            slot.status = IndexStatus.BUILDING
+        self.event_log.record(
+            self.name, desc.name, desc.column, EventType.BUILD_START,
+            segment_id=seg.segment_id,
+        )
+        t0 = time.time()
+        try:
+            impl = registry.implementation(desc.kind)
+            payload = seg.vector(desc.column)
+            instance = impl.build(
+                payload,
+                seg.n_rows,
+                metric=desc.metric,
+                dim=desc.dim,
+                params=desc.params,
+                settings=self.settings,
+            )
+            elapsed = time.time() - t0
+            with self._lock:
+                slot = self._slots.get(key)
+                if slot is None:  # index dropped mid-build
+                    return
+                slot.instance = instance
+                slot.status = IndexStatus.LOADED
+                slot.elapsed_s = elapsed
+                slot.error = ""
+            if self._index_cache is not None:
+                self._index_cache.put(
+                    (self.name, desc.name, seg.segment_id),
+                    instance,
+                    instance.memory_bytes,
+                )
+            self.event_log.record(
+                self.name, desc.name, desc.column, EventType.BUILD_SUCCEED,
+                segment_id=seg.segment_id, elapsed_s=elapsed,
+            )
+            GLOBAL_COUNTERS.bump("VectorIndexBuilds")
+        except IndexBuildMemoryError as e:
+            self._build_failed(key, seg, desc, str(e), retryable=True)
+        except Exception as e:  # noqa: BLE001 — status machine captures it
+            self._build_failed(key, seg, desc, f"{type(e).__name__}: {e}")
+
+    def _build_failed(self, key, seg, desc, msg: str, retryable: bool = False):
+        GLOBAL_COUNTERS.bump("VectorIndexBuildFailEvents")
+        with self._lock:
+            slot = self._slots.get(key)
+            if slot is None:
+                return
+            slot.status = IndexStatus.ERROR
+            slot.error = msg
+            slot.retries += 1
+            retry = retryable and slot.retries < MAX_BUILD_RETRIES
+        self.event_log.record(
+            self.name, desc.name, desc.column, EventType.BUILD_ERROR,
+            segment_id=seg.segment_id, error=msg,
+        )
+        if retry:
+            with self._lock:
+                slot.status = IndexStatus.PENDING
+            if self._scheduler is not None:
+                self._scheduler.submit(lambda: self._build_one(seg, desc))
+            else:
+                self._build_one(seg, desc)
+
+    def wait_index_built(self, timeout: float = 300.0) -> bool:
+        """Block until no PENDING/BUILDING slots remain (the test helper's
+        status-polling loop, helpers/00000_prepare_index.sh analogue)."""
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            with self._lock:
+                busy = any(
+                    s.status in (IndexStatus.PENDING, IndexStatus.BUILDING)
+                    for s in self._slots.values()
+                )
+            if not busy:
+                return True
+            time.sleep(0.02)
+        return False
+
+    def loaded_index(
+        self, segment_id: int, column: str, metric: Metric
+    ) -> Optional[VectorIndex]:
+        with self._lock:
+            for desc in self._index_descs.values():
+                if desc.column != column or desc.metric != metric:
+                    continue
+                slot = self._slots.get((segment_id, desc.name))
+                if slot and slot.status == IndexStatus.LOADED and slot.instance:
+                    if self._index_cache is not None:
+                        self._index_cache.get((self.name, desc.name, segment_id))
+                    return slot.instance
+        return None
+
+    def index_metric_for(self, column: str) -> Metric:
+        """Metric used for a column: its index's metric, else the table
+        default (float/binary_vector_search_metric_type)."""
+        with self._lock:
+            for desc in self._index_descs.values():
+                if desc.column == column:
+                    return desc.metric
+        vtype = self.schema.require_vector(column)
+        binary = isinstance(vtype, BinaryVector)
+        return Metric.parse(
+            self.settings.table.binary_vector_search_metric_type
+            if binary
+            else self.settings.table.float_vector_search_metric_type,
+            binary=binary,
+        )
+
+    # -------------------------------------------------------------- search
+    def search(
+        self,
+        column: str,
+        query,
+        k: Optional[int] = None,
+        *,
+        filter: Optional[Expr] = None,
+        params: Optional[Dict[str, Any]] = None,
+        metric: Optional[str] = None,
+        two_stage: Optional[bool] = None,
+        settings: Optional[Settings] = None,
+    ) -> SearchResult:
+        """distance()/batch_distance() analogue: top-k nearest rows.
+
+        A [D] query is one search; an [Q, D] batch is the batch_distance
+        semantics (per-query top-k, SURVEY.md §2.7)."""
+        m = None
+        if metric is not None:
+            vtype = self.schema.require_vector(column)
+            m = Metric.parse(metric, binary=isinstance(vtype, BinaryVector))
+        if params:
+            with self._lock:
+                for desc in self._index_descs.values():
+                    if desc.column == column:
+                        registry.validate_search_params(desc.kind, params)
+                        break
+        return self._executor.run(
+            column,
+            query,
+            k,
+            filter=filter,
+            params=params,
+            metric=m,
+            settings=settings or self.settings,
+            two_stage=two_stage,
+        )
+
+    def gather(self, result: SearchResult, columns: List[str]) -> Dict[str, np.ndarray]:
+        """Fetch output columns for result hits (the 'read only top-k rows'
+        stage — mergeSearchResultImpl analogue). Returns [Q, k] object/num
+        arrays; missing slots get type defaults."""
+        out: Dict[str, np.ndarray] = {}
+        segs = {s.segment_id: s for s in self.live_segments()}
+        for cname in columns:
+            ctype = self.schema.require(cname)
+            if ctype.np_dtype == np.dtype(object):
+                arr = np.full(result.rows.shape, "", dtype=object)
+            else:
+                arr = np.zeros(result.rows.shape, dtype=ctype.np_dtype)
+            for sid, seg in segs.items():
+                sel = (result.segments == sid) & (result.rows >= 0)
+                if not sel.any():
+                    continue
+                col = seg.scalar(cname)
+                arr[sel] = col[result.rows[sel]]
+            out[cname] = arr
+        return out
+
+    # --------------------------------------------------------------- admin
+    def live_segments(self) -> List[Any]:
+        with self._lock:
+            return [s for s in self._segments.values()]
+
+    @property
+    def n_rows(self) -> int:
+        return sum(s.num_live for s in self.live_segments())
+
+    def merge(self, segment_ids: Optional[List[int]] = None) -> Optional[int]:
+        """Merge segments into one, dropping deleted rows (background merge
+        analogue, SURVEY.md §3.4). Indexes for the merged segment are
+        rescheduled; with enable_decouple_vector_index the merged segment
+        would keep old index segments searchable via row-id maps — the
+        TPU rebuild is fast enough that we currently rebuild eagerly and
+        keep the *source segments* searchable until the new build finishes,
+        which preserves the same no-downtime property with less machinery.
+        """
+        with self._lock:
+            ids = segment_ids or sorted(self._segments)
+            if len(ids) < 2:
+                return None
+            sources = [self._segments[i] for i in ids]
+        cols: Dict[str, List[np.ndarray]] = {c: [] for c in self.schema.columns}
+        import jax.numpy as jnp
+
+        for seg in sources:
+            alive = ~seg.deleted_host()[: seg.n_rows]
+            for cname, ctype in self.schema.columns.items():
+                if cname in seg.vectors:
+                    data = np.asarray(
+                        seg.vector(cname).data[: seg.n_rows].astype(jnp.float32)
+                        if not isinstance(ctype, BinaryVector)
+                        else seg.vector(cname).data[: seg.n_rows]
+                    )
+                    if not isinstance(ctype, BinaryVector):
+                        data = data[:, : ctype.dim]
+                    cols[cname].append(data[alive])
+                else:
+                    cols[cname].append(seg.scalar(cname)[: seg.n_rows][alive])
+        merged = {c: np.concatenate(v, axis=0) for c, v in cols.items()}
+        if len(next(iter(merged.values()))) == 0:
+            with self._lock:
+                for i in ids:
+                    self._segments.pop(i, None)
+                    for key in [k for k in self._slots if k[0] == i]:
+                        del self._slots[key]
+            return None
+        new_id = self.insert(merged)
+        # Drop sources only after the new segment exists (and its index
+        # builds are scheduled); searches in between see both generations
+        # but the merged rows replace the originals atomically below.
+        with self._lock:
+            for i in ids:
+                self._segments.pop(i, None)
+                for key in [k for k in self._slots if k[0] == i]:
+                    del self._slots[key]
+        if self._index_cache is not None:
+            for i in ids:
+                for desc in list(self._index_descs.values()):
+                    self._index_cache.force_expire((self.name, desc.name, i))
+        GLOBAL_COUNTERS.bump("SegmentMerges")
+        return new_id
+
+    # ----------------------------------------------------------- introspect
+    def system_vector_indices(self) -> List[Dict[str, Any]]:
+        """system.vector_indices rows (StorageSystemVIs.cpp:39-52)."""
+        out = []
+        with self._lock:
+            segs = list(self._segments.values())
+            for desc in self._index_descs.values():
+                slots = {
+                    sid: self._slots.get((sid, desc.name))
+                    for sid in (s.segment_id for s in segs)
+                }
+                built = sum(
+                    1
+                    for s in slots.values()
+                    if s and s.status in (IndexStatus.BUILT, IndexStatus.LOADED)
+                )
+                small = sum(
+                    1 for s in slots.values() if s and s.status == IndexStatus.SMALL_PART
+                )
+                errors = [
+                    (sid, s.error)
+                    for sid, s in slots.items()
+                    if s and s.status == IndexStatus.ERROR
+                ]
+                building = any(
+                    s and s.status in (IndexStatus.PENDING, IndexStatus.BUILDING)
+                    for s in slots.values()
+                )
+                if errors:
+                    status = "Error"
+                elif building:
+                    status = "InProgress"
+                elif built + small == len(segs) and segs:
+                    status = "Built"
+                elif not segs:
+                    status = "Built"
+                else:
+                    status = "NotBuilt"
+                out.append(
+                    {
+                        "table": self.name,
+                        "name": desc.name,
+                        "type": desc.kind.value,
+                        "expr": desc.column,
+                        "metric": desc.metric.value,
+                        "dim": desc.dim,
+                        "total_parts": len(segs),
+                        "parts_with_vector_index": built,
+                        "small_parts": small,
+                        "status": status,
+                        "latest_failed_part": errors[-1][0] if errors else None,
+                        "latest_fail_reason": errors[-1][1] if errors else "",
+                    }
+                )
+        return out
+
+    def system_vector_index_segments(self) -> List[Dict[str, Any]]:
+        """system.vector_index_segments rows (StorageSystemVIsWithPart.cpp)."""
+        out = []
+        with self._lock:
+            for (sid, iname), slot in sorted(self._slots.items()):
+                desc = self._index_descs.get(iname)
+                seg = self._segments.get(sid)
+                if desc is None or seg is None:
+                    continue
+                out.append(
+                    {
+                        "table": self.name,
+                        "name": iname,
+                        "part": sid,
+                        "dimension": desc.dim,
+                        "status": slot.status.value,
+                        "total_vectors": seg.n_rows,
+                        "memory_usage_bytes": (
+                            slot.instance.memory_bytes if slot.instance else 0
+                        ),
+                        "elapsed": slot.elapsed_s,
+                        "error": slot.error,
+                    }
+                )
+        return out
