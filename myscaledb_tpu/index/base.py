@@ -29,6 +29,37 @@ import jax
 
 from ..metrics import Metric
 
+# Search-time parameters are passed through jit as a hashable tuple of
+# sorted (name, value) pairs.
+ParamsKey = Tuple[Tuple[str, Any], ...]
+
+
+def params_key(params: Optional[Dict[str, Any]]) -> ParamsKey:
+    return tuple(sorted((params or {}).items()))
+
+
+def register_index_pytree(cls):
+    """Register an index class as a JAX pytree so instances pass straight
+    into jitted search plans: device arrays are children (no transfer —
+    they already live in HBM), static config is aux data (part of the jit
+    cache key)."""
+
+    def flatten(obj):
+        children = tuple(getattr(obj, f) for f in cls._array_fields)
+        aux = tuple(getattr(obj, f) for f in cls._static_fields)
+        return children, aux
+
+    def unflatten(aux, children):
+        obj = object.__new__(cls)
+        for f, v in zip(cls._array_fields, children):
+            setattr(obj, f, v)
+        for f, v in zip(cls._static_fields, aux):
+            setattr(obj, f, v)
+        return obj
+
+    jax.tree_util.register_pytree_node(cls, flatten, unflatten)
+    return cls
+
 
 class IndexKind(enum.Enum):
     # Index types exercised by the reference tests (SURVEY.md §2.3).
@@ -99,6 +130,22 @@ class VectorIndex(abc.ABC):
     n_rows: int
 
     @abc.abstractmethod
+    def search_t(
+        self,
+        queries: jax.Array,
+        k: int,
+        *,
+        mask: Optional[jax.Array] = None,
+        params: ParamsKey = (),
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Traceable top-k (scores f32[Q,k], row_ids int32[Q,k]); -inf/-1
+        padding. Called inside the executor's fused jit; `params` is the
+        hashable search-params key (static under jit).
+
+        mask: bool[capacity] True = searchable (pre-filter ∩ deletes),
+        applied inside selection.
+        """
+
     def search(
         self,
         queries: jax.Array,
@@ -107,11 +154,8 @@ class VectorIndex(abc.ABC):
         params: Optional[Dict[str, Any]] = None,
         mask: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, jax.Array]:
-        """Top-k (scores f32[Q,k], row_ids int32[Q,k]); -inf/-1 padding.
-
-        mask: bool[capacity] True = searchable (pre-filter ∩ deletes),
-        applied inside selection.
-        """
+        """Standalone (jitted) entry point for tests/tools."""
+        return _jitted_index_search(self, queries, k, mask, params_key(params))
 
     def supports_two_stage(self) -> bool:
         """Whether search(first_stage=True) returns approximate candidates
@@ -151,3 +195,11 @@ class VectorIndex(abc.ABC):
     @abc.abstractmethod
     def from_state_dict(cls, state: Dict[str, Any]) -> "VectorIndex":
         ...
+
+
+import functools as _functools
+
+
+@_functools.partial(jax.jit, static_argnames=("k", "pkey"))
+def _jitted_index_search(index, queries, k, mask, pkey):
+    return index.search_t(queries, k, mask=mask, params=pkey)

@@ -4,6 +4,8 @@ The reference's FLAT is FAISS IndexFlat inside search-index; ours is the
 fused Pallas/XLA scan of ops/bruteforce.py over the segment's own payload
 (no extra memory beyond the stored auxiliaries). It exists as an "index"
 so the lifecycle (status, cache accounting, persistence no-op) is uniform.
+The executor also instantiates it ad hoc for index-less segments (the
+brute-force path, MergeTreeVSManager.cpp:960).
 """
 
 from __future__ import annotations
@@ -15,12 +17,16 @@ import jax.numpy as jnp
 
 from ..metrics import Metric
 from ..ops import bruteforce, distance
-from .base import IndexKind, VectorIndex
+from .base import IndexKind, ParamsKey, VectorIndex, register_index_pytree
 from .registry import register
 
 
 @register(IndexKind.FLAT)
+@register_index_pytree
 class FlatIndex(VectorIndex):
+    _array_fields = ("data", "aux")
+    _static_fields = ("metric", "dim", "n_rows", "approx", "recall_target")
+
     def __init__(
         self,
         data: jax.Array,
@@ -52,25 +58,29 @@ class FlatIndex(VectorIndex):
         settings=None,
         progress_cb=None,
     ) -> "FlatIndex":
-        del params, settings, progress_cb
+        del params, progress_cb
+        approx = bool(settings and settings.query.use_approx_topk)
+        rt = settings.query.approx_topk_recall_target if settings else 0.99
         return cls(
             payload.data,
             payload.aux_for(metric),
             metric=metric,
             dim=dim,
             n_rows=n_rows,
+            approx=approx,
+            recall_target=rt,
         )
 
-    def search(
+    def search_t(
         self,
         queries: jax.Array,
         k: int,
         *,
-        params: Optional[Dict[str, Any]] = None,
         mask: Optional[jax.Array] = None,
+        params: ParamsKey = (),
     ) -> Tuple[jax.Array, jax.Array]:
-        del params
-        return bruteforce.scan_topk(
+        del params  # FLAT has no search parameters
+        return bruteforce.scan_topk_t(
             queries,
             self.data,
             self.aux,
@@ -78,7 +88,7 @@ class FlatIndex(VectorIndex):
             metric=self.metric,
             n_valid=self.n_rows,
             mask=mask,
-            approx=self.approx,
+            approx=self.approx and self.n_rows > 4 * k,
             recall_target=self.recall_target,
         )
 

@@ -17,7 +17,6 @@ with compute of chunk i.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax
@@ -61,11 +60,7 @@ def _chunk_scores(q, block, aux_block, metric):
     return distance.scores_ref(q, block, aux_block, metric=metric)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("k", "metric", "n_valid", "chunk_rows", "approx", "recall_target"),
-)
-def scan_topk(
+def scan_topk_t(
     queries: jax.Array,
     base: jax.Array,
     aux: Optional[jax.Array],
@@ -131,3 +126,16 @@ def scan_topk(
 
     idx = jnp.where(jnp.isfinite(vals), idx, -1)
     return vals[:nq], idx[:nq]
+
+
+scan_topk = jax.jit(
+    scan_topk_t,
+    static_argnames=(
+        "k",
+        "metric",
+        "n_valid",
+        "chunk_rows",
+        "approx",
+        "recall_target",
+    ),
+)

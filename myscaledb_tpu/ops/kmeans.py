@@ -1,0 +1,119 @@
+"""K-means (Lloyd's) for the IVF coarse quantizer — TPU-shaped.
+
+Replaces the k-means inside the reference's search-index library (consumed
+via index->build, SURVEY.md §2.3). Design:
+
+  * assignment = argmax over an MXU score matrix (2 x·cᵀ - |c|²), chunked
+    over rows so no [N, C] matrix is ever materialized;
+  * centroid update = segment_sum scatter-add;
+  * training runs on a bounded sample (≤ sample_per_centroid rows per
+    centroid), like FAISS's max_points_per_centroid;
+  * the iteration body is a pure function of (data_shard, centroids) so the
+    multi-chip variant is the same body inside shard_map with a psum over
+    the per-shard (sums, counts) — see parallel/distributed.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def assign_chunked(
+    data: jax.Array, centroids: jax.Array, chunk: int = 65_536
+) -> jax.Array:
+    """argmin_c ||x - c||^2 for each row, computed in row chunks.
+
+    data: [N, D] (any float dtype), centroids: f32[C, D] -> int32[N].
+    """
+    n = data.shape[0]
+    csq = jnp.sum(centroids * centroids, axis=1)  # [C]
+
+    def one(block):
+        s = (
+            2.0
+            * jnp.dot(
+                block.astype(jnp.float32),
+                centroids.T,
+                preferred_element_type=jnp.float32,
+            )
+            - csq[None, :]
+        )
+        return jnp.argmax(s, axis=1).astype(jnp.int32)
+
+    if n <= chunk:
+        return one(data)
+    # pad to a multiple of chunk for an even lax.map
+    nc = -(-n // chunk)
+    pad = nc * chunk - n
+    dpad = jnp.pad(data, ((0, pad), (0, 0)))
+    out = jax.lax.map(one, dpad.reshape(nc, chunk, data.shape[1]))
+    return out.reshape(-1)[:n]
+
+
+def lloyd_stats(
+    data: jax.Array, centroids: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """One Lloyd's E+M statistic pass: per-centroid (sums f32[C, D],
+    counts f32[C]) for a data shard. psum these across chips for the
+    sharded variant."""
+    c = centroids.shape[0]
+    a = assign_chunked(data, centroids)
+    sums = jax.ops.segment_sum(data.astype(jnp.float32), a, num_segments=c)
+    counts = jax.ops.segment_sum(
+        jnp.ones((data.shape[0],), jnp.float32), a, num_segments=c
+    )
+    return sums, counts
+
+
+def lloyd_update(
+    centroids: jax.Array, sums: jax.Array, counts: jax.Array
+) -> jax.Array:
+    """M step: mean of assigned rows; empty clusters keep their centroid."""
+    safe = jnp.maximum(counts, 1.0)[:, None]
+    new = sums / safe
+    return jnp.where(counts[:, None] > 0, new, centroids)
+
+
+@functools.partial(jax.jit, static_argnames=("n_clusters", "n_iters"))
+def kmeans_fit(
+    data: jax.Array,
+    *,
+    n_clusters: int,
+    n_iters: int = 10,
+    seed: int = 0,
+) -> jax.Array:
+    """Single-device k-means. data: [N, D] -> centroids f32[C, D].
+
+    Init: random distinct-ish rows (uniform without replacement).
+    """
+    n, d = data.shape
+    key = jax.random.PRNGKey(seed)
+    perm = jax.random.permutation(key, n)[:n_clusters]
+    cents = data[perm].astype(jnp.float32)
+
+    def body(_, c):
+        sums, counts = lloyd_stats(data, c)
+        return lloyd_update(c, sums, counts)
+
+    return jax.lax.fori_loop(0, n_iters, body, cents)
+
+
+def training_sample(
+    data: jax.Array,
+    n_valid: int,
+    n_clusters: int,
+    *,
+    sample_per_centroid: int = 128,
+    seed: int = 0,
+) -> jax.Array:
+    """Bounded training subset (valid rows only). Host-free: index select on
+    device. Matches the reference's bounded train blocks
+    (max_build_index_train_block_size, Settings.h:117)."""
+    target = min(n_valid, max(n_clusters * sample_per_centroid, n_clusters))
+    key = jax.random.PRNGKey(seed)
+    idx = jax.random.randint(key, (target,), 0, n_valid)
+    return jnp.take(data, idx, axis=0).astype(jnp.float32)

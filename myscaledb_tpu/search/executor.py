@@ -1,19 +1,27 @@
-"""Vector search execution: per-segment search + global top-k merge.
+"""Vector search execution: fused per-segment search + global top-k merge.
 
 This is the TPU re-expression of the reference's search-manager stack
 (SURVEY.md §3.1):
 
-  MergeTreeVSManager::vectorScan            -> search_segment (index or scan)
+  MergeTreeVSManager::vectorScan            -> per-segment search_t
   performPrefilter + DenseBitmap            -> filters.Expr -> device mask
-  getTotalTopSearchResultImpl (k-way heap)  -> device merge across segments
+  getTotalTopSearchResultImpl (k-way heap)  -> on-device merge across segments
   mergeResult (score join by label)         -> SearchResult.gather (host)
+
+TPU-shaped design decision: the WHOLE query — every segment's search plus
+the global merge — is ONE jitted computation (`_fused_multi_search`).
+Index objects are pytrees, so their HBM-resident arrays flow into jit
+without copies, and one host↔device round-trip covers the entire search
+(critical both for dispatch overhead and for pipelining concurrent
+queries). Results are lazy: device arrays are only materialized to host
+when the caller reads them, so back-to-back searches overlap on device.
 
 Labels stay segment-local; a global hit is (segment_id, row_id, score).
 """
 
 from __future__ import annotations
 
-import dataclasses
+import functools
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -22,36 +30,77 @@ import numpy as np
 
 from ..config import Settings
 from ..errors import IndexNotReadyError, QueryShapeError
+from ..index.base import params_key
+from ..index.flat import FlatIndex
 from ..metrics import Metric, score_to_distance
-from ..ops import bruteforce
 from ..ops.topk import NEG_INF
 from ..service.event_log import GLOBAL_COUNTERS
 from .filters import Expr
 
 
-@dataclasses.dataclass
 class SearchResult:
-    """Global top-k for a batch of queries.
+    """Global top-k for a batch of queries. Device-lazy: the (scores,
+    segment, row) arrays stay on device until first host access."""
 
-    scores:   f32[Q, k] internal max-is-better scores (-inf = missing)
-    segments: int64[Q, k] segment ids (-1 = missing)
-    rows:     int32[Q, k] segment-local row ids (-1 = missing)
-    metric:   for converting scores to user-visible distances
-    """
+    def __init__(
+        self,
+        metric: Metric,
+        *,
+        device: Optional[Tuple[jax.Array, jax.Array, jax.Array]] = None,
+        seg_ids: Optional[np.ndarray] = None,
+        host: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None,
+        nq: int,
+        k: int,
+        query_sqnorm: Optional[np.ndarray] = None,
+    ):
+        self.metric = metric
+        self._device = device
+        self._seg_ids = seg_ids
+        self._host = host
+        self.nq = nq
+        self.k = k
+        self.query_sqnorm = query_sqnorm
 
-    scores: np.ndarray
-    segments: np.ndarray
-    rows: np.ndarray
-    metric: Metric
-    query_sqnorm: Optional[np.ndarray] = None  # |q|^2 per query (L2 reporting)
+    @classmethod
+    def empty(cls, metric: Metric, nq: int, k: int, query_sqnorm=None):
+        return cls(
+            metric,
+            host=(
+                np.full((nq, k), NEG_INF, np.float32),
+                np.full((nq, k), -1, np.int64),
+                np.full((nq, k), -1, np.int32),
+            ),
+            nq=nq,
+            k=k,
+            query_sqnorm=query_sqnorm,
+        )
+
+    def device_arrays(self):
+        """The raw (vals, seg_tag, rows) device tuple (None if host-only).
+        Use jax.block_until_ready on this for pipelined benchmarking."""
+        return self._device
+
+    def _materialize(self):
+        if self._host is None:
+            vals, tags, rows = jax.device_get(self._device)
+            vals = vals[: self.nq]
+            tags = tags[: self.nq]
+            rows = rows[: self.nq].astype(np.int32)
+            segs = np.where(tags >= 0, self._seg_ids[np.maximum(tags, 0)], -1)
+            self._host = (vals, segs.astype(np.int64), rows)
+        return self._host
 
     @property
-    def k(self) -> int:
-        return self.scores.shape[1]
+    def scores(self) -> np.ndarray:
+        return self._materialize()[0]
 
     @property
-    def nq(self) -> int:
-        return self.scores.shape[0]
+    def segments(self) -> np.ndarray:
+        return self._materialize()[1]
+
+    @property
+    def rows(self) -> np.ndarray:
+        return self._materialize()[2]
 
     @property
     def valid(self) -> np.ndarray:
@@ -63,25 +112,66 @@ class SearchResult:
         |q|^2 constant dropped inside the kernel is re-applied here)."""
         d = score_to_distance(self.metric, self.scores.astype(np.float64))
         if self.metric == Metric.L2 and self.query_sqnorm is not None:
-            d = d + self.query_sqnorm[:, None]
+            d = d + np.asarray(self.query_sqnorm)[:, None]
             d = np.maximum(d, 0.0)
         return np.where(self.valid, d, np.inf).astype(np.float32)
 
 
-def _as_query_batch(query, dim: int) -> Tuple[np.ndarray, bool]:
+@functools.partial(jax.jit, static_argnames=("k", "pkey"))
+def _fused_multi_search(queries, searchers, masks, k, pkey):
+    """One device program: every segment's top-k + the global merge.
+
+    searchers: tuple of index pytrees (FlatIndex for scan segments, ANN
+    indexes otherwise). masks: tuple of bool[capacity] or None.
+    Returns (vals f32[Q,k], seg_tag int32[Q,k] — position in `searchers`,
+    rows int32[Q,k]).
+    """
+    vs, rs, tags = [], [], []
+    for i, (s, m) in enumerate(zip(searchers, masks)):
+        v, r = s.search_t(queries, k, mask=m, params=pkey)
+        vs.append(v)
+        rs.append(r)
+        tags.append(jnp.full(v.shape, i, jnp.int32))
+    vals = jnp.concatenate(vs, axis=-1)
+    rows = jnp.concatenate(rs, axis=-1)
+    tag = jnp.concatenate(tags, axis=-1)
+    kk = min(k, vals.shape[-1])
+    mv, pos = jax.lax.top_k(vals, kk)
+    mr = jnp.take_along_axis(rows, pos, axis=-1)
+    mt = jnp.take_along_axis(tag, pos, axis=-1)
+    bad = jnp.logical_or(~jnp.isfinite(mv), mr < 0)
+    mt = jnp.where(bad, -1, mt)
+    mr = jnp.where(bad, -1, mr)
+    if kk < k:
+        pad = ((0, 0), (0, k - kk))
+        mv = jnp.pad(mv, pad, constant_values=NEG_INF)
+        mt = jnp.pad(mt, pad, constant_values=-1)
+        mr = jnp.pad(mr, pad, constant_values=-1)
+    return mv, mt, mr
+
+
+def _as_query_batch(query, dim: int):
+    """Normalize the query input. Returns (device_or_host_batch, nq, qsq).
+
+    numpy/list input -> host [Q, dim] f32 (uploaded once by the caller).
+    jax.Array input  -> stays on device (zero-copy serving path: callers
+    that keep request batches device-resident skip the host round-trip).
+    """
+    if isinstance(query, jax.Array):
+        q = query
+        if q.ndim == 1:
+            q = q[None, :]
+        if q.ndim != 2 or q.shape[1] != dim:
+            raise QueryShapeError(f"query must be [*, {dim}], got {q.shape}")
+        qsq = jnp.sum(q.astype(jnp.float32) ** 2, axis=1)
+        return q, q.shape[0], qsq
     q = np.asarray(query, dtype=np.float32)
-    batched = q.ndim == 2
     if q.ndim == 1:
         q = q[None, :]
     if q.ndim != 2 or q.shape[1] != dim:
         raise QueryShapeError(f"query must be [*, {dim}], got {q.shape}")
-    return q, batched
-
-
-def _pad_queries_dev(q: np.ndarray, dpad: int) -> jax.Array:
-    if q.shape[1] < dpad:
-        q = np.pad(q, ((0, 0), (0, dpad - q.shape[1])))
-    return jnp.asarray(q, dtype=jnp.float32)
+    qsq = (q.astype(np.float64) ** 2).sum(1).astype(np.float32)
+    return q, q.shape[0], qsq
 
 
 def segment_mask(segment, filter_expr: Optional[Expr]) -> Optional[jax.Array]:
@@ -97,42 +187,6 @@ def segment_mask(segment, filter_expr: Optional[Expr]) -> Optional[jax.Array]:
     if alive is not None:
         dev = jnp.logical_and(dev, alive)
     return dev
-
-
-def merge_across_segments(
-    per_segment: Sequence[Tuple[int, jax.Array, jax.Array]], k: int
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Merge [(segment_id, scores[Q,k'], rows[Q,k'])] into global top-k.
-
-    Device k-way merge (the getTotalTopSearchResultImpl analogue): stack all
-    candidate lists, one exact top-k over the concatenation.
-    """
-    assert per_segment
-    seg_ids = np.array([s for s, _, _ in per_segment], dtype=np.int64)
-    vals = jnp.concatenate([v for _, v, _ in per_segment], axis=-1)  # [Q, S*k']
-    rows = jnp.concatenate([r for _, _, r in per_segment], axis=-1)
-    ks = [v.shape[-1] for _, v, _ in per_segment]
-    seg_tag = np.repeat(np.arange(len(per_segment), dtype=np.int32), ks)
-    seg_tag_dev = jnp.asarray(seg_tag)[None, :]
-
-    kk = min(k, vals.shape[-1])
-    mvals, pos = jax.lax.top_k(vals, kk)
-    mrows = jnp.take_along_axis(rows, pos, axis=-1)
-    msegs = jnp.take_along_axis(
-        jnp.broadcast_to(seg_tag_dev, vals.shape), pos, axis=-1
-    )
-    mvals_h = np.asarray(mvals)
-    mrows_h = np.asarray(mrows)
-    msegs_h = seg_ids[np.asarray(msegs)]
-    invalid = ~np.isfinite(mvals_h) | (mrows_h < 0)
-    mrows_h = np.where(invalid, -1, mrows_h)
-    msegs_h = np.where(invalid, -1, msegs_h)
-    if kk < k:
-        padq = ((0, 0), (0, k - kk))
-        mvals_h = np.pad(mvals_h, padq, constant_values=NEG_INF)
-        mrows_h = np.pad(mrows_h, padq, constant_values=-1)
-        msegs_h = np.pad(msegs_h, padq, constant_values=-1)
-    return mvals_h, msegs_h, mrows_h
 
 
 class VectorSearchExecutor:
@@ -171,48 +225,43 @@ class VectorSearchExecutor:
                 f"{st.query.max_search_result_window}"
             )
         metric = metric or t.index_metric_for(column)
-        qh, _ = _as_query_batch(query, vtype.dim)
-        GLOBAL_COUNTERS.bump("VectorSearchQueries", qh.shape[0])
+        qh, nq, qsq = _as_query_batch(query, vtype.dim)
+        GLOBAL_COUNTERS.bump("VectorSearchQueries", nq)
 
         segments = t.live_segments()
         if not segments:
-            nq = qh.shape[0]
-            return SearchResult(
-                scores=np.full((nq, k), NEG_INF, np.float32),
-                segments=np.full((nq, k), -1, np.int64),
-                rows=np.full((nq, k), -1, np.int32),
-                metric=metric,
-                query_sqnorm=(qh.astype(np.float64) ** 2).sum(1).astype(np.float32),
+            if isinstance(qsq, jax.Array):
+                qsq = np.asarray(qsq)
+            return SearchResult.empty(metric, nq, k, qsq)
+
+        dpad = segments[0].vector(column).data.shape[1]
+        nq_pad = max(8, -(-nq // 8) * 8)
+        if isinstance(qh, jax.Array):
+            # Device-resident queries: pad on device, no host round-trip.
+            qdev = jnp.pad(
+                qh.astype(jnp.float32),
+                ((0, nq_pad - nq), (0, dpad - qh.shape[1])),
             )
+        else:
+            # One padded device upload for the whole query batch.
+            qpad = np.zeros((nq_pad, dpad), np.float32)
+            qpad[:nq, : vtype.dim] = qh
+            qdev = jnp.asarray(qpad)
 
         use_two_stage = (
             st.query.two_stage_search if two_stage is None else bool(two_stage)
         )
-        per_seg: List[Tuple[int, jax.Array, jax.Array]] = []
-        first_stage: List[Tuple[int, Any, jax.Array, jax.Array]] = []
+        searchers: List[Any] = []
+        masks: List[Optional[jax.Array]] = []
+        seg_ids: List[int] = []
+        first_stage: List[Tuple[int, Any, Optional[jax.Array]]] = []
         for seg in segments:
-            dpad = seg.vector(column).data.shape[1]
-            qdev = _pad_queries_dev(qh, dpad)
             mask = segment_mask(seg, filter)
             idx = t.loaded_index(seg.segment_id, column, metric)
-            if (
-                use_two_stage
-                and idx is not None
-                and idx.supports_two_stage()
-            ):
-                ncand = min(
-                    max(k * st.query.two_stage_num_reorder_multiple, k),
-                    seg.n_rows,
-                )
-                vals, rows = idx.search_first_stage(
-                    qdev, ncand, params=params, mask=mask
-                )
-                first_stage.append((seg.segment_id, idx, vals, rows))
+            if use_two_stage and idx is not None and idx.supports_two_stage():
+                first_stage.append((seg.segment_id, idx, mask))
                 continue
-            if idx is not None:
-                vals, rows = idx.search(qdev, k, params=params, mask=mask)
-                GLOBAL_COUNTERS.bump("VectorIndexSearches")
-            else:
+            if idx is None:
                 small = seg.n_rows < st.table.min_rows_to_build_vector_index
                 if not small and not st.query.enable_brute_force_vector_search:
                     raise IndexNotReadyError(
@@ -220,58 +269,90 @@ class VectorSearchExecutor:
                         f"column {column!r} and brute force is disabled"
                     )
                 payload = seg.vector(column)
-                vals, rows = bruteforce.scan_topk(
-                    qdev,
+                idx = FlatIndex(
                     payload.data,
                     payload.aux_for(metric),
-                    k=k,
                     metric=metric,
-                    n_valid=seg.n_rows,
-                    mask=mask,
-                    approx=st.query.use_approx_topk and seg.n_rows > 4 * k,
+                    dim=vtype.dim,
+                    n_rows=seg.n_rows,
+                    approx=st.query.use_approx_topk,
                     recall_target=st.query.approx_topk_recall_target,
                 )
                 GLOBAL_COUNTERS.bump("VectorBruteForceSearches")
-            per_seg.append((seg.segment_id, vals, rows))
+            else:
+                GLOBAL_COUNTERS.bump("VectorIndexSearches")
+            searchers.append(idx)
+            masks.append(mask)
+            seg_ids.append(seg.segment_id)
 
         if first_stage:
-            per_seg.extend(
-                self._second_stage(first_stage, qh, k, metric)
+            return self._two_stage_run(
+                first_stage, searchers, masks, seg_ids, qdev, nq, qsq, k, metric, st, params
             )
 
-        scores, seg_ids, rows = merge_across_segments(per_seg, k)
+        pkey = params_key(params)
+        mv, mt, mr = _fused_multi_search(
+            qdev, tuple(searchers), tuple(masks), k, pkey
+        )
         return SearchResult(
-            scores=scores,
-            segments=seg_ids,
-            rows=rows,
-            metric=metric,
-            query_sqnorm=(qh.astype(np.float64) ** 2).sum(1).astype(np.float32),
+            metric,
+            device=(mv, mt, mr),
+            seg_ids=np.asarray(seg_ids, dtype=np.int64),
+            nq=nq,
+            k=k,
+            query_sqnorm=qsq,
         )
 
-    def _second_stage(
-        self,
-        first_stage: List[Tuple[int, Any, jax.Array, jax.Array]],
-        qh: np.ndarray,
-        k: int,
-        metric: Metric,
-    ) -> List[Tuple[int, jax.Array, jax.Array]]:
-        """Two-stage: global candidate merge, then exact per-segment re-rank
-        (§3.5: getTotalCandidateVSResult -> splitFirstStageVSResult ->
-        computeTopDistanceSubset)."""
-        # Global candidate cut: keep the best sum(k') candidates overall.
-        total = sum(v.shape[-1] for _, _, v, _ in first_stage)
-        ncand = min(total, max(k * 4, k))
-        all_vals = jnp.concatenate([v for _, _, v, _ in first_stage], axis=-1)
-        cut = jax.lax.top_k(all_vals, ncand)[0][:, -1:]  # [Q, 1] threshold
-        out = []
-        for seg_id, idx, vals, rows in first_stage:
-            keep = vals >= cut
-            rows_kept = jnp.where(keep, rows, -1)
-            exact = idx.compute_scores_subset(
-                jnp.asarray(qh, dtype=jnp.float32), rows_kept
+    # ------------------------------------------------------------ two-stage
+    def _two_stage_run(
+        self, first_stage, searchers, masks, seg_ids, qdev, nq, qsq, k, metric, st, params
+    ) -> SearchResult:
+        """Two-stage (§3.5): approximate first pass on two-stage-capable
+        indexes, global candidate cut, exact re-rank of survivors; plain
+        segments searched normally and merged in."""
+        pkey = params_key(params)
+        per: List[Tuple[int, jax.Array, jax.Array]] = []
+        cand: List[Tuple[int, Any, jax.Array, jax.Array]] = []
+        for seg_id, idx, mask in first_stage:
+            ncand = min(
+                max(k * st.query.two_stage_num_reorder_multiple, k), idx.n_rows
             )
+            v, r = idx.search_first_stage(qdev, ncand, params=params, mask=mask)
+            cand.append((seg_id, idx, v, r))
+        total = sum(v.shape[-1] for _, _, v, _ in cand)
+        ncut = min(total, max(k * st.query.two_stage_num_reorder_multiple, k))
+        all_vals = jnp.concatenate([v for _, _, v, _ in cand], axis=-1)
+        cut = jax.lax.top_k(all_vals, ncut)[0][:, -1:]
+        for seg_id, idx, v, r in cand:
+            keep = v >= cut
+            rows_kept = jnp.where(keep, r, -1)
+            exact = idx.compute_scores_subset(qdev[:, : idx.dim], rows_kept)
             kk = min(k, exact.shape[-1])
             v2, p2 = jax.lax.top_k(exact, kk)
             r2 = jnp.take_along_axis(rows_kept, p2, axis=-1)
-            out.append((seg_id, v2, r2))
-        return out
+            per.append((seg_id, v2, r2))
+        for idx_obj, mask, sid in zip(searchers, masks, seg_ids):
+            v, r = idx_obj.search(qdev, k, params=params, mask=mask)
+            per.append((sid, v, r))
+        # host-side merge of the few per-segment lists
+        vals = jnp.concatenate([v for _, v, _ in per], axis=-1)
+        rows = jnp.concatenate([r for _, _, r in per], axis=-1)
+        tags = jnp.concatenate(
+            [jnp.full(v.shape, i, jnp.int32) for i, (_, v, _) in enumerate(per)],
+            axis=-1,
+        )
+        kk = min(k, vals.shape[-1])
+        mv, pos = jax.lax.top_k(vals, kk)
+        mr = jnp.take_along_axis(rows, pos, axis=-1)
+        mt = jnp.take_along_axis(tags, pos, axis=-1)
+        bad = jnp.logical_or(~jnp.isfinite(mv), mr < 0)
+        mt = jnp.where(bad, -1, mt)
+        mr = jnp.where(bad, -1, mr)
+        return SearchResult(
+            metric,
+            device=(mv, mt, mr),
+            seg_ids=np.asarray([s for s, _, _ in per], dtype=np.int64),
+            nq=nq,
+            k=kk,
+            query_sqnorm=qsq,
+        )
