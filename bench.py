@@ -46,29 +46,28 @@ def make_corpus(n, d, seed=0):
     return out
 
 
-def measure_qps(search_fn, query_batches, nq_per_batch, *, inflight=8, repeats=3):
-    """Device-side QPS: dispatch bounded windows, device_get every result."""
+def measure_qps(search_fn, query_batches, nq_per_batch, *, rounds=5, repeats=3):
+    """Device-side QPS. The tunnel adds ~30ms per host sync, so per-repeat
+    we dispatch `rounds` passes over all batches, fold every result into
+    one tiny device-side sink, and do a single device_get — execution of
+    every search is forced through the data dependency."""
     import jax
+    import jax.numpy as jnp
 
+    sink_fn = jax.jit(lambda vs: sum(jnp.sum(v) for v in vs))
     # warmup / compile
     jax.device_get(search_fn(query_batches[0]).device_arrays())
     best = 0.0
     for _ in range(repeats):
         t0 = time.time()
-        done = 0
-        window = []
-        for qb in query_batches:
-            window.append(search_fn(qb))
-            if len(window) >= inflight:
-                for r in window:
-                    jax.device_get(r.device_arrays())
-                done += len(window) * nq_per_batch
-                window = []
-        for r in window:
-            jax.device_get(r.device_arrays())
-        done += len(window) * nq_per_batch
+        sinks = []
+        for _ in range(rounds):
+            for qb in query_batches:
+                r = search_fn(qb)
+                sinks.append(r.device_arrays()[0])
+        float(jax.device_get(sink_fn(sinks)))
         dt = time.time() - t0
-        best = max(best, done / dt)
+        best = max(best, rounds * len(query_batches) * nq_per_batch / dt)
     return best
 
 

@@ -38,8 +38,15 @@ def _device_memory_bytes() -> Optional[int]:
 
 
 class Database:
-    def __init__(self, settings: Optional[Settings] = None, *, event_log_path=None):
+    def __init__(
+        self,
+        settings: Optional[Settings] = None,
+        *,
+        path: Optional[str] = None,
+        event_log_path=None,
+    ):
         self.settings = settings or Settings()
+        self.path = path
         self.event_log = EventLog(path=event_log_path)
         self._tables: Dict[str, Table] = {}
         self._lock = threading.RLock()
@@ -55,13 +62,26 @@ class Database:
                 0.9,
             )
             cache_bytes = int(mem * ratio)
-        self.index_cache = LRUCache(cache_bytes)
+        self.index_cache = LRUCache(cache_bytes, on_evict=self._on_cache_evict)
         self.counters = GLOBAL_COUNTERS
+
+    def _on_cache_evict(self, key, _value) -> None:
+        """Route LRU evictions back to the owning table (CACHE_EXPIRE)."""
+        try:
+            table_name, index_name, segment_id = key
+        except (TypeError, ValueError):
+            return
+        with self._lock:
+            t = self._tables.get(table_name)
+        if t is not None:
+            t.on_cache_evict(index_name, segment_id)
 
     # -------------------------------------------------------------- tables
     def create_table(
         self, name: str, schema: Schema, settings: Optional[Settings] = None
     ) -> Table:
+        import os
+
         with self._lock:
             if name in self._tables:
                 raise SchemaError(f"table {name!r} already exists")
@@ -72,9 +92,97 @@ class Database:
                 event_log=self.event_log,
                 scheduler=self.scheduler,
                 index_cache=self.index_cache,
+                storage_dir=os.path.join(self.path, name) if self.path else None,
             )
             self._tables[name] = t
             return t
+
+    def load_table(self, name: str, settings: Optional[Settings] = None) -> Table:
+        """Restart path: reload a persisted table. Segments load eagerly
+        (they are the data); built ANN indexes stay on disk (status BUILT)
+        and reload lazily into the cache on first search."""
+        import json
+        import os
+
+        import numpy as np
+
+        from ..index.base import IndexStatus
+        from ..storage import persistence
+        from ..storage.table import IndexSlot
+
+        if not self.path:
+            raise SchemaError("database has no storage path")
+        root = os.path.join(self.path, name)
+        if not os.path.isdir(root):
+            raise SchemaError(f"no persisted table at {root}")
+        with open(os.path.join(root, "schema.json")) as f:
+            schema = persistence.schema_from_json(json.load(f))
+        t = self.create_table(name, schema, settings)
+        # fts indexes first: segment inserts below then build their stores
+        fts_file = os.path.join(root, "fts_indexes.json")
+        if os.path.exists(fts_file):
+            with open(fts_file) as f:
+                for iname, d in json.load(f).items():
+                    t.add_fts_index(iname, d["columns"], d.get("params"))
+        # index definitions (no builds scheduled yet — segments come first)
+        idx_file = os.path.join(root, "indexes.json")
+        descs = {}
+        if os.path.exists(idx_file):
+            with open(idx_file) as f:
+                descs = json.load(f)
+        for segdir in sorted(os.listdir(root)):
+            if not segdir.startswith("segment_"):
+                continue
+            sdir = os.path.join(root, segdir)
+            seg_id, cols, deleted = persistence.load_segment_columns(sdir, schema)
+            new_id = t.insert(cols)
+            seg = next(s for s in t.live_segments() if s.segment_id == new_id)
+            if deleted is not None:
+                seg.delete_rows(np.nonzero(deleted)[0])
+            # attach persisted index dirs to the new segment's slots
+            for iname in descs:
+                idir = os.path.join(sdir, f"index_{iname}")
+                if os.path.isdir(idir):
+                    with t._lock:
+                        t._slots[(new_id, iname)] = IndexSlot(
+                            IndexStatus.BUILT, path=idir
+                        )
+        for iname, d in descs.items():
+            with t._lock:
+                already = iname in t._index_descs
+            if not already:
+                # register the description without rescheduling builds for
+                # segments that already carry a persisted index
+                from ..index import registry as _registry
+
+                vtype = schema.require_vector(d["column"])
+                from ..storage.schema import BinaryVector as _BV
+
+                desc = _registry.make_description(
+                    iname,
+                    d["column"],
+                    d["type"],
+                    vtype.dim,
+                    is_binary_column=isinstance(vtype, _BV),
+                    default_metric=d["metric"],
+                    params=dict(d["params"], metric_type=d["metric"]),
+                    strict=False,
+                )
+                with t._lock:
+                    t._index_descs[iname] = desc
+                    for seg in t.live_segments():
+                        key = (seg.segment_id, iname)
+                        if key not in t._slots:
+                            t._slots[key] = IndexSlot(IndexStatus.PENDING)
+                for seg in t.live_segments():
+                    with t._lock:
+                        pending = (
+                            t._slots[(seg.segment_id, iname)].status
+                            == IndexStatus.PENDING
+                        )
+                    if pending:
+                        t._schedule_build(seg, desc)
+        return t
 
     def table(self, name: str) -> Table:
         with self._lock:

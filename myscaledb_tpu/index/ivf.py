@@ -33,7 +33,7 @@ import numpy as np
 
 from ..errors import IndexParameterError
 from ..metrics import Metric
-from ..ops import bruteforce, kmeans
+from ..ops import bruteforce, distance, kmeans
 from ..ops._pallas import round_up
 from ..ops.topk import NEG_INF, topk_scores
 from .base import IndexKind, ParamsKey, VectorIndex, register_index_pytree
@@ -232,7 +232,11 @@ class IVFFlatIndex(VectorIndex):
             cs = 2.0 * cs - self.csq[None, :]
         _, probe = jax.lax.top_k(cs, nprobe)  # [Q, P]
 
-        qc = q.astype(self.bucket_data.dtype)
+        # hi/lo query split against bf16 buckets (see split_query_bf16)
+        if self.bucket_data.dtype == jnp.bfloat16:
+            q_parts = distance.split_query_bf16(q)  # [2, Q, D]
+        else:
+            q_parts = q.astype(jnp.float32)[None]  # [1, Q, D]
         kk = min(k, self.bucket_cap)  # per-step cut; final pads below
 
         def step(carry, s):
@@ -240,12 +244,14 @@ class IVFFlatIndex(VectorIndex):
             cl = probe[:, s]  # [Q]
             xb = jnp.take(self.bucket_data, cl, axis=0)  # [Q, B, D]
             rows = jnp.take(self.bucket_rows, cl, axis=0)  # [Q, B]
-            scores = jax.lax.dot_general(
-                qc[:, None, :],
-                xb,
-                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )[:, 0, :]  # [Q, B]
+            scores = jnp.zeros((q.shape[0], xb.shape[1]), jnp.float32)
+            for p in range(q_parts.shape[0]):
+                scores = scores + jax.lax.dot_general(
+                    q_parts[p][:, None, :],
+                    xb,
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )[:, 0, :]  # [Q, B]
             if self.metric == Metric.L2:
                 aux = jnp.take(self.bucket_aux, cl, axis=0)
                 scores = 2.0 * scores - aux

@@ -40,17 +40,40 @@ DEFAULT_Q_TILE = 128
 DEFAULT_N_TILE = 512
 
 
-def _score_kernel(metric: Metric, q_ref, x_ref, aux_ref, out_ref):
+def split_query_bf16(q: jax.Array) -> jax.Array:
+    """Split f32 queries into bf16 (hi, lo) halves stacked on axis 0.
+
+    q ≈ hi + lo with both bf16 gives ~16 mantissa bits for the query side
+    of the score matmul while the payload side stays bf16 — two MXU passes,
+    zero extra HBM traffic, removing the bf16 query-quantization noise that
+    would otherwise reorder near-tied neighbors (|Δq|·|x| can exceed the
+    gap between rank-10 and rank-11 at SIFT scale)."""
+    q = q.astype(jnp.float32)
+    hi = q.astype(jnp.bfloat16)
+    lo = (q - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.stack([hi, lo])
+
+
+def _score_kernel(metric: Metric, split: bool, q_ref, x_ref, aux_ref, out_ref):
     """One (Q_TILE, N_TILE) tile of the score matrix.
 
+    q_ref is [2, Q_TILE, D] (bf16 hi/lo halves) when split, else [Q_TILE, D].
     aux_ref is [1, N_TILE]: |x|^2 for L2, 1/|x| for Cosine, unused for IP.
     """
-    s = jax.lax.dot_general(
-        q_ref[:],
-        x_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    dn = (((1,), (1,)), ((), ()))
+    if split:
+        s = jax.lax.dot_general(
+            q_ref[0], x_ref[:], dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            q_ref[1], x_ref[:], dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        s = jax.lax.dot_general(
+            q_ref[:], x_ref[:], dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+        )
     if metric == Metric.L2:
         out_ref[:] = 2.0 * s - aux_ref[:]
     elif metric == Metric.COSINE:
@@ -81,7 +104,11 @@ def scores(
     q, n, d = queries.shape[0], base.shape[0], base.shape[1]
     if queries.shape[1] != d:
         raise ValueError(f"dim mismatch: queries D={queries.shape[1]} base D={d}")
-    q_tile = min(q_tile, max(8, round_up(q, 8)))
+    # largest sublane-aligned tile that divides Q
+    for t in (min(q_tile, q), 128, 64, 32, 16, 8):
+        if t <= q_tile and q % t == 0 and t % 8 == 0:
+            q_tile = t
+            break
     if q % q_tile or n % n_tile or d % 128:
         raise ValueError(
             f"padded shapes required: Q={q} % {q_tile}, N={n} % {n_tile}, D={d} % 128"
@@ -92,17 +119,27 @@ def scores(
         aux = jnp.zeros((n,), jnp.float32)
     aux2d = aux.reshape(1, n).astype(jnp.float32)
 
-    # Queries enter the MXU in the same dtype as the base payload so the
-    # matmul runs at full bf16 throughput when storage is bf16.
-    q_in = queries.astype(base.dtype) if precision == "default" else queries
+    # bf16 payload: hi/lo query split keeps the matmul on the fast bf16 MXU
+    # path without query-quantization noise. f32 payload: plain f32 matmul.
+    split = base.dtype == jnp.bfloat16
+    if split:
+        q_in = split_query_bf16(queries)
+        q_spec = pl.BlockSpec(
+            (2, q_tile, d), lambda i, j: (0, i, 0), memory_space=pltpu.VMEM
+        )
+    else:
+        q_in = queries.astype(jnp.float32)
+        q_spec = pl.BlockSpec(
+            (q_tile, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+        )
 
     grid = (q // q_tile, n // n_tile)
-    kernel = functools.partial(_score_kernel, metric)
+    kernel = functools.partial(_score_kernel, metric, split)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((q_tile, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            q_spec,
             pl.BlockSpec((n_tile, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_tile), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
@@ -111,7 +148,7 @@ def scores(
         ),
         out_shape=jax.ShapeDtypeStruct((q, n), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * q * n * d,
+            flops=(4 if split else 2) * q * n * d,
             bytes_accessed=q * d * base.dtype.itemsize
             + n * d * base.dtype.itemsize
             + q * n * 4,

@@ -1,0 +1,194 @@
+"""Durable storage: segments + built indexes on disk, with checksums.
+
+The reference persists indexes as `<index>-<component>.vidx3` files +
+description + checksums inside the part directory (VICommon.h:55-62;
+VIUtils.cpp:267-380 dumpCheckSums/getVectorIndexChecksums), and reloads
+lazily into the LRU cache on restart (VIWithDataPart.cpp:1279
+loadVectorIndexFromLocalFile). Layout here:
+
+  <root>/<table>/
+    schema.json                     table schema + settings fingerprint
+    segment_<id>/
+      columns.npz                   scalar + vector columns (unpadded)
+      deletes.npy                   delete bitmap (present iff any)
+      meta.json
+      index_<name>/
+        arrays.npz                  device arrays of the built index
+        meta.json                   kind/metric/params
+        checksums.json              sha256 per file — verified on load
+
+Checksum mismatch -> PersistenceError (the reference's checksum guard).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from ..errors import PersistenceError
+from ..index.base import IndexKind
+from .schema import (
+    BinaryVector,
+    ColumnType,
+    Float32,
+    Float64,
+    FloatVector,
+    Int32,
+    Int64,
+    Schema,
+    String,
+    UInt64,
+)
+
+_TYPE_TAGS = {
+    "UInt64": UInt64,
+    "Int64": Int64,
+    "Int32": Int32,
+    "Float32": Float32,
+    "Float64": Float64,
+    "String": String,
+}
+
+
+def _sha256(path: str) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def _write_checksums(dirpath: str, names) -> None:
+    sums = {n: _sha256(os.path.join(dirpath, n)) for n in names}
+    with open(os.path.join(dirpath, "checksums.json"), "w") as f:
+        json.dump(sums, f)
+
+
+def _verify_checksums(dirpath: str) -> None:
+    cpath = os.path.join(dirpath, "checksums.json")
+    if not os.path.exists(cpath):
+        raise PersistenceError(f"missing checksums in {dirpath}")
+    with open(cpath) as f:
+        sums = json.load(f)
+    for name, want in sums.items():
+        p = os.path.join(dirpath, name)
+        if not os.path.exists(p):
+            raise PersistenceError(f"missing file {p}")
+        got = _sha256(p)
+        if got != want:
+            raise PersistenceError(f"checksum mismatch for {p}")
+
+
+# ------------------------------------------------------------------ schema
+def schema_to_json(schema: Schema) -> Dict[str, Any]:
+    out = {}
+    for name, t in schema.columns.items():
+        if isinstance(t, FloatVector):
+            out[name] = {"type": "FloatVector", "dim": t.dim}
+        elif isinstance(t, BinaryVector):
+            out[name] = {"type": "BinaryVector", "dim": t.dim}
+        else:
+            out[name] = {"type": t.name}
+    return out
+
+
+def schema_from_json(d: Dict[str, Any]) -> Schema:
+    cols: Dict[str, ColumnType] = {}
+    for name, spec in d.items():
+        t = spec["type"]
+        if t == "FloatVector":
+            cols[name] = FloatVector(spec["dim"])
+        elif t == "BinaryVector":
+            cols[name] = BinaryVector(spec["dim"])
+        elif t in _TYPE_TAGS:
+            cols[name] = _TYPE_TAGS[t]()
+        else:
+            raise PersistenceError(f"unknown column type {t}")
+    return Schema(cols)
+
+
+# ----------------------------------------------------------------- segment
+def save_segment(segment, dirpath: str) -> None:
+    os.makedirs(dirpath, exist_ok=True)
+    cols: Dict[str, np.ndarray] = {}
+    for name, t in segment.schema.columns.items():
+        if isinstance(t, FloatVector):
+            data = np.asarray(segment.vector(name).data[: segment.n_rows], np.float32)
+            cols[name] = data[:, : t.dim]
+        elif isinstance(t, BinaryVector):
+            cols[name] = np.asarray(segment.vector(name).data[: segment.n_rows])
+        else:
+            col = segment.scalar(name)
+            cols[name] = (
+                col.astype(str) if col.dtype == object else col
+            )
+    np.savez_compressed(os.path.join(dirpath, "columns.npz"), **cols)
+    names = ["columns.npz", "meta.json"]
+    deleted = segment.deleted_host()[: segment.n_rows]
+    if deleted.any():
+        np.save(os.path.join(dirpath, "deletes.npy"), deleted)
+        names.append("deletes.npy")
+    with open(os.path.join(dirpath, "meta.json"), "w") as f:
+        json.dump(
+            {"segment_id": segment.segment_id, "n_rows": segment.n_rows}, f
+        )
+    _write_checksums(dirpath, names)
+
+
+def load_segment_columns(dirpath: str, schema: Schema):
+    """-> (segment_id, columns dict, deleted bool[n] or None), verified."""
+    _verify_checksums(dirpath)
+    with open(os.path.join(dirpath, "meta.json")) as f:
+        meta = json.load(f)
+    with np.load(os.path.join(dirpath, "columns.npz"), allow_pickle=False) as z:
+        cols = {}
+        for name, t in schema.columns.items():
+            arr = z[name]
+            if isinstance(t, String):
+                arr = arr.astype(object)
+            cols[name] = arr
+    dpath = os.path.join(dirpath, "deletes.npy")
+    deleted = np.load(dpath) if os.path.exists(dpath) else None
+    return meta["segment_id"], cols, deleted
+
+
+# ------------------------------------------------------------------- index
+def save_index(instance, dirpath: str) -> None:
+    os.makedirs(dirpath, exist_ok=True)
+    state = instance.state_dict()
+    with open(os.path.join(dirpath, "meta.json"), "w") as f:
+        json.dump(state["meta"], f)
+    names = ["meta.json"]
+    arrays = state.get("arrays")
+    if arrays:
+        np.savez_compressed(
+            os.path.join(dirpath, "arrays.npz"),
+            **{k: np.asarray(v) for k, v in arrays.items() if v is not None},
+        )
+        names.append("arrays.npz")
+    _write_checksums(dirpath, names)
+
+
+def load_index(dirpath: str):
+    """Rebuild a VectorIndex from disk (checksums verified). Returns None
+    for kinds that rebuild from the segment payload (FLAT)."""
+    from ..index import registry
+
+    _verify_checksums(dirpath)
+    with open(os.path.join(dirpath, "meta.json")) as f:
+        meta = json.load(f)
+    kind = IndexKind.parse(meta["kind"])
+    cls = registry.implementation(kind)
+    apath = os.path.join(dirpath, "arrays.npz")
+    arrays: Dict[str, np.ndarray] = {}
+    if os.path.exists(apath):
+        with np.load(apath, allow_pickle=False) as z:
+            arrays = {k: z[k] for k in z.files}
+    try:
+        return cls.from_state_dict({"meta": meta, "arrays": arrays})
+    except NotImplementedError:
+        return None  # payload-backed kinds (FLAT) rebuild from the segment

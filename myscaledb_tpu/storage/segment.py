@@ -120,7 +120,12 @@ class Segment:
                 )
             validated[cname] = v
         assert n_rows is not None and n_rows > 0
-        capacity = round_up(n_rows, alignment)
+        # Large segments align to the scan chunk (128k rows) so the chunked
+        # scan divides evenly — a prime number of 1k units would otherwise
+        # force a degenerate 1k-row chunk loop. Waste is <=128k rows of
+        # zero padding, masked out of every search.
+        eff_align = alignment if n_rows < 128 * 1024 else 128 * 1024
+        capacity = round_up(n_rows, eff_align)
 
         vectors: Dict[str, VectorPayload] = {}
         scalars: Dict[str, np.ndarray] = {}

@@ -48,6 +48,7 @@ class IndexSlot:
     error: str = ""
     elapsed_s: float = 0.0
     retries: int = 0
+    path: str = ""  # on-disk dir when persisted (lazy reload target)
 
 
 class Table:
@@ -60,10 +61,12 @@ class Table:
         event_log: Optional[EventLog] = None,
         scheduler=None,
         index_cache=None,
+        storage_dir: Optional[str] = None,
     ):
         self.name = name
         self.schema = schema
         self.settings = settings or Settings()
+        self.storage_dir = storage_dir
         self.event_log = event_log or EventLog()
         self._scheduler = scheduler
         self._index_cache = index_cache
@@ -288,11 +291,149 @@ class Table:
                 if desc.column != column or desc.metric != metric:
                     continue
                 slot = self._slots.get((segment_id, desc.name))
-                if slot and slot.status == IndexStatus.LOADED and slot.instance:
+                if slot is None:
+                    continue
+                if slot.status == IndexStatus.LOADED and slot.instance:
                     if self._index_cache is not None:
                         self._index_cache.get((self.name, desc.name, segment_id))
                     return slot.instance
+                if slot.status == IndexStatus.BUILT and slot.path:
+                    return self._reload_index(segment_id, desc, slot)
         return None
+
+    def _reload_index(self, segment_id: int, desc, slot) -> Optional[VectorIndex]:
+        """Lazy reload from disk after restart/eviction
+        (loadVectorIndexFromLocalFile analogue). Caller holds the lock."""
+        import time as _time
+
+        from .persistence import load_index
+
+        t0 = _time.time()
+        self.event_log.record(
+            self.name, desc.name, desc.column, EventType.LOAD_START,
+            segment_id=segment_id,
+        )
+        try:
+            inst = load_index(slot.path)
+            if inst is None:  # payload-backed kind: rebuild from segment
+                seg = self._segments.get(segment_id)
+                if seg is None:
+                    return None
+                impl = registry.implementation(desc.kind)
+                inst = impl.build(
+                    seg.vector(desc.column),
+                    seg.n_rows,
+                    metric=desc.metric,
+                    dim=desc.dim,
+                    params=desc.params,
+                    settings=self.settings,
+                )
+            slot.instance = inst
+            slot.status = IndexStatus.LOADED
+            if self._index_cache is not None:
+                self._index_cache.put(
+                    (self.name, desc.name, segment_id), inst, inst.memory_bytes
+                )
+            self.event_log.record(
+                self.name, desc.name, desc.column, EventType.LOAD_SUCCEED,
+                segment_id=segment_id, elapsed_s=_time.time() - t0,
+            )
+            GLOBAL_COUNTERS.bump("VectorIndexLoads")
+            return inst
+        except Exception as e:  # noqa: BLE001
+            GLOBAL_COUNTERS.bump("VectorIndexLoadFailEvents")
+            slot.status = IndexStatus.ERROR
+            slot.error = f"load: {type(e).__name__}: {e}"
+            self.event_log.record(
+                self.name, desc.name, desc.column, EventType.LOAD_ERROR,
+                segment_id=segment_id, error=slot.error,
+            )
+            return None
+
+    def on_cache_evict(self, index_name: str, segment_id: int) -> None:
+        """LRU eviction: drop device arrays; persisted indexes demote to
+        BUILT (reloadable), unpersisted ones stay LOADED (nothing to reload
+        from — dropping them would lose the index)."""
+        with self._lock:
+            slot = self._slots.get((segment_id, index_name))
+            if slot is None or slot.status != IndexStatus.LOADED:
+                return
+            if not slot.path:
+                return
+            slot.instance = None
+            slot.status = IndexStatus.BUILT
+        desc = self._index_descs.get(index_name)
+        if desc is not None:
+            self.event_log.record(
+                self.name, index_name, desc.column, EventType.CACHE_EXPIRE,
+                segment_id=segment_id,
+            )
+
+    # ------------------------------------------------------------ persist
+    def persist(self) -> str:
+        """Write schema + all segments + built indexes to storage_dir
+        (checkpoint; restart = Database.load_table)."""
+        import os
+
+        from . import persistence
+
+        if not self.storage_dir:
+            raise SchemaError(f"table {self.name!r} has no storage_dir")
+        root = self.storage_dir
+        os.makedirs(root, exist_ok=True)
+        with open(os.path.join(root, "schema.json"), "w") as f:
+            import json
+
+            json.dump(persistence.schema_to_json(self.schema), f)
+        with self._lock:
+            segs = list(self._segments.values())
+            descs = dict(self._index_descs)
+        for seg in segs:
+            segdir = os.path.join(root, f"segment_{seg.segment_id}")
+            persistence.save_segment(seg, segdir)
+            for name, desc in descs.items():
+                with self._lock:
+                    slot = self._slots.get((seg.segment_id, name))
+                    inst = slot.instance if slot else None
+                if slot is None:
+                    continue
+                if inst is not None or slot.status in (
+                    IndexStatus.LOADED,
+                    IndexStatus.BUILT,
+                ):
+                    idir = os.path.join(segdir, f"index_{name}")
+                    if inst is not None:
+                        persistence.save_index(inst, idir)
+                        with self._lock:
+                            slot.path = idir
+        with open(os.path.join(root, "indexes.json"), "w") as f:
+            import json
+
+            json.dump(
+                {
+                    name: {
+                        "column": d.column,
+                        "type": d.kind.value,
+                        "metric": d.metric.value,
+                        "params": d.params,
+                    }
+                    for name, d in descs.items()
+                },
+                f,
+            )
+        with self._lock:
+            tdefs = dict(self._text_indexes)
+        with open(os.path.join(root, "fts_indexes.json"), "w") as f:
+            import json
+
+            json.dump(
+                {
+                    name: {"columns": d.columns, "params": d.params}
+                    for name, d in tdefs.items()
+                },
+                f,
+            )
+        return root
 
     def index_metric_for(self, column: str) -> Metric:
         """Metric used for a column: its index's metric, else the table
@@ -308,6 +449,90 @@ class Table:
             if binary
             else self.settings.table.float_vector_search_metric_type,
             binary=binary,
+        )
+
+    # ----------------------------------------------------------------- fts
+    def add_fts_index(
+        self, name: str, columns, params: Optional[Dict[str, Any]] = None
+    ):
+        """INDEX name(col, ...) TYPE fts('{json}') analogue. Builds for
+        existing segments now and for every future segment at insert time
+        (the reference writes the fts index during part writes)."""
+        from ..search.text_executor import TextIndexDefinition
+
+        if isinstance(columns, str):
+            columns = [columns]
+        for c in columns:
+            t = self.schema.require(c)
+            if t.name != "String":
+                raise SchemaError(f"fts index requires String columns, {c} is {t}")
+        with self._lock:
+            if name in self._text_indexes:
+                raise IndexParameterError(f"fts index {name!r} already exists")
+            tdef = TextIndexDefinition(name, columns, params)
+            self._text_indexes[name] = tdef
+        for seg in self.live_segments():
+            tdef.on_new_segment(seg)
+        self.event_log.record(
+            self.name, name, ",".join(columns), EventType.DEFINITION_CREATED
+        )
+        return tdef
+
+    def drop_fts_index(self, name: str) -> None:
+        with self._lock:
+            tdef = self._text_indexes.pop(name, None)
+        if tdef is None:
+            raise IndexParameterError(f"no fts index named {name!r}")
+        self.event_log.record(
+            self.name, name, ",".join(tdef.columns), EventType.DEFINITION_DROPPED
+        )
+
+    def text_search(
+        self,
+        column_or_index: str,
+        query: str,
+        k: Optional[int] = None,
+        *,
+        filter: Optional[Expr] = None,
+        operator: str = "OR",
+    ):
+        """textsearch()(col, 'query') analogue: BM25 top-k, descending."""
+        from ..search.text_executor import TextSearchExecutor
+
+        return TextSearchExecutor(self).run(
+            column_or_index, query, k, filter=filter, operator=operator
+        )
+
+    def hybrid_search(
+        self,
+        vector_column: str,
+        text_column: str,
+        vector_query,
+        text_query: str,
+        k: Optional[int] = None,
+        *,
+        fusion_type: str = "rsf",
+        fusion_weight: Optional[float] = None,
+        fusion_k: Optional[int] = None,
+        filter: Optional[Expr] = None,
+        operator: str = "OR",
+        params: Optional[Dict[str, Any]] = None,
+    ):
+        """hybridsearch('fusion_type=…')(vec, text, [q], 'text') analogue."""
+        from ..search.text_executor import HybridSearchExecutor
+
+        return HybridSearchExecutor(self).run(
+            vector_column,
+            text_column,
+            vector_query,
+            text_query,
+            k,
+            fusion_type=fusion_type,
+            fusion_weight=fusion_weight,
+            fusion_k=fusion_k,
+            filter=filter,
+            operator=operator,
+            params=params,
         )
 
     # -------------------------------------------------------------- search
@@ -426,6 +651,9 @@ class Table:
                 self._segments.pop(i, None)
                 for key in [k for k in self._slots if k[0] == i]:
                     del self._slots[key]
+        for tdef in self._text_indexes.values():
+            for i in ids:
+                tdef.on_segment_dropped(i)
         if self._index_cache is not None:
             for i in ids:
                 for desc in list(self._index_descs.values()):

@@ -1,0 +1,333 @@
+"""Per-segment inverted index with device-resident postings + BM25 scoring.
+
+Replaces the tantivy index + TantivyIndexStore (SURVEY.md §2.4). Layout:
+
+  host:   term -> term_id dict; term_offsets int64[V+1] (CSR row pointers);
+          per-term doc freq (df)
+  device: postings_rows int32[nnz]  (row ids, CSR order by term)
+          postings_tf   f32[nnz]    (term frequency in that row)
+          doc_len       f32[capacity]
+
+Scoring is Okapi BM25 with *externally supplied* corpus statistics
+(total_docs / total_tokens / df summed over segments — exactly the
+TANTIVY::Statistics contract of bm25Search[WithFilter],
+TantivyIndexStore.h:168-183, so scores are consistent across segments and
+shards). The per-query device program slices each query term's posting
+range (padded to a shared static budget), computes BM25 contributions, and
+scatter-adds into a dense per-row score vector; AND semantics count
+distinct matched terms. The pre-filter bitmap masks scores before top-k
+(pre-filter semantics, as everywhere in this engine).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.topk import NEG_INF, topk_scores
+from .analyzer import Analyzer
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+@dataclasses.dataclass
+class BM25Stats:
+    """Corpus statistics for BM25 (BM25InfoInDataParts analogue): summed
+    across segments before scoring so ranking is table-consistent."""
+
+    total_docs: int
+    total_tokens: int
+    doc_freq: Dict[str, int]
+
+    @classmethod
+    def merge(cls, parts: Sequence["BM25Stats"]) -> "BM25Stats":
+        df: Dict[str, int] = {}
+        docs = tokens = 0
+        for p in parts:
+            docs += p.total_docs
+            tokens += p.total_tokens
+            for t, c in p.doc_freq.items():
+                df[t] = df.get(t, 0) + c
+        return cls(docs, tokens, df)
+
+    def idf(self, term: str) -> float:
+        n = self.doc_freq.get(term, 0)
+        # Lucene/tantivy BM25 idf: ln(1 + (N - n + 0.5)/(n + 0.5))
+        return float(np.log(1.0 + (self.total_docs - n + 0.5) / (n + 0.5)))
+
+    @property
+    def avg_doc_len(self) -> float:
+        return self.total_tokens / max(self.total_docs, 1)
+
+
+def _round_pow2(x: int, lo: int = 128, hi: int = 1 << 20) -> int:
+    p = lo
+    while p < min(x, hi):
+        p <<= 1
+    return p
+
+
+@functools.partial(
+    jax.jit, static_argnames=("budget", "capacity", "require_all", "k", "approx")
+)
+def _bm25_score_topk(
+    postings_rows: jax.Array,  # int32[nnz_pad]
+    postings_tf: jax.Array,  # f32[nnz_pad]
+    doc_len: jax.Array,  # f32[capacity]
+    starts: jax.Array,  # int32[T] posting range starts
+    lengths: jax.Array,  # int32[T] posting range lengths
+    idfs: jax.Array,  # f32[T]
+    avg_len: jax.Array,  # f32 scalar
+    mask: Optional[jax.Array],  # bool[capacity] or None
+    *,
+    budget: int,
+    capacity: int,
+    require_all: bool,
+    k: int,
+    approx: bool,
+) -> Tuple[jax.Array, jax.Array]:
+    """One query: BM25 scatter-accumulate + top-k. T = #query terms."""
+    n_terms = starts.shape[0]
+    scores = jnp.zeros((capacity,), jnp.float32)
+    nmatch = jnp.zeros((capacity,), jnp.int32)
+
+    def body(t, carry):
+        scores, nmatch = carry
+        start = starts[t]
+        ln = lengths[t]
+        rows = jax.lax.dynamic_slice(postings_rows, (start,), (budget,))
+        tf = jax.lax.dynamic_slice(postings_tf, (start,), (budget,))
+        valid = jnp.arange(budget, dtype=jnp.int32) < ln
+        rows = jnp.where(valid, rows, capacity)  # OOB -> dropped
+        dl = jnp.take(doc_len, jnp.minimum(rows, capacity - 1))
+        denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avg_len)
+        contrib = idfs[t] * tf * (BM25_K1 + 1.0) / jnp.maximum(denom, 1e-9)
+        contrib = jnp.where(valid, contrib, 0.0)
+        scores = scores.at[rows].add(contrib, mode="drop")
+        nmatch = nmatch.at[rows].add(valid.astype(jnp.int32), mode="drop")
+        return scores, nmatch
+
+    scores, nmatch = jax.lax.fori_loop(0, n_terms, body, (scores, nmatch))
+    hit = nmatch >= (n_terms if require_all else 1)
+    if mask is not None:
+        hit = jnp.logical_and(hit, mask)
+    scores = jnp.where(hit, scores, NEG_INF)
+    vals, rows = topk_scores(scores[None, :], k, approx=approx)
+    rows = jnp.where(jnp.isfinite(vals), rows, -1)
+    return vals, rows
+
+
+class InvertedIndex:
+    """Built per (segment, text columns) — the TantivyIndexStore analogue.
+    Multi-column: tokens of all indexed columns are concatenated per row
+    (the reference indexes multi-column docs into one tantivy index,
+    indexMultiColumnDoc)."""
+
+    def __init__(
+        self,
+        capacity: int,
+        n_rows: int,
+        vocab: Dict[str, int],
+        term_offsets: np.ndarray,
+        postings_rows: jax.Array,
+        postings_tf: jax.Array,
+        doc_len: jax.Array,
+        stats: BM25Stats,
+        analyzer: Analyzer,
+    ):
+        self.capacity = capacity
+        self.n_rows = n_rows
+        self.vocab = vocab
+        self.term_offsets = term_offsets  # host int64[V+1]
+        self.postings_rows = postings_rows
+        self.postings_tf = postings_tf
+        self.doc_len = doc_len
+        self.stats = stats
+        self.analyzer = analyzer
+
+    # ------------------------------------------------------------- build
+    @classmethod
+    def build(
+        cls,
+        texts_per_column: List[np.ndarray],
+        capacity: int,
+        *,
+        analyzer: Optional[Analyzer] = None,
+    ) -> "InvertedIndex":
+        analyzer = analyzer or Analyzer()
+        n_rows = len(texts_per_column[0])
+        vocab: Dict[str, int] = {}
+        # first pass: tokenize, count tf per (term, row)
+        row_tokens: List[List[int]] = []
+        doc_len = np.zeros(capacity, np.float32)
+        df_counts: List[int] = []
+        tf_maps: List[Dict[int, int]] = []
+        total_tokens = 0
+        for row in range(n_rows):
+            tf: Dict[int, int] = {}
+            for col in texts_per_column:
+                for tok in analyzer.tokenize(str(col[row])):
+                    tid = vocab.setdefault(tok, len(vocab))
+                    tf[tid] = tf.get(tid, 0) + 1
+            ntok = sum(tf.values())
+            doc_len[row] = ntok
+            total_tokens += ntok
+            tf_maps.append(tf)
+        v = len(vocab)
+        df = np.zeros(v, np.int64)
+        for tf in tf_maps:
+            for tid in tf:
+                df[tid] += 1
+        offsets = np.zeros(v + 1, np.int64)
+        np.cumsum(df, out=offsets[1:])
+        nnz = int(offsets[-1])
+        # tail padding >= the largest possible slice budget, so a term
+        # slice [start, start+budget) never clamps (clamping would shift
+        # the window off the term's posting range)
+        max_df = int(df.max()) if v else 1
+        nnz_pad = nnz + _round_pow2(max(max_df, 128))
+        prow = np.zeros(nnz_pad, np.int32)
+        ptf = np.zeros(nnz_pad, np.float32)
+        cursor = offsets[:-1].copy()
+        for row, tf in enumerate(tf_maps):
+            for tid, c in tf.items():
+                p = cursor[tid]
+                prow[p] = row
+                ptf[p] = c
+                cursor[tid] = p + 1
+        doc_freq = {t: int(df[i]) for t, i in vocab.items()}
+        stats = BM25Stats(n_rows, total_tokens, doc_freq)
+        return cls(
+            capacity,
+            n_rows,
+            vocab,
+            offsets,
+            jnp.asarray(prow),
+            jnp.asarray(ptf),
+            jnp.asarray(doc_len),
+            stats,
+            analyzer,
+        )
+
+    # ------------------------------------------------------------- query
+    def term_range(self, term: str) -> Tuple[int, int]:
+        tid = self.vocab.get(term)
+        if tid is None:
+            return 0, 0
+        return int(self.term_offsets[tid]), int(
+            self.term_offsets[tid + 1] - self.term_offsets[tid]
+        )
+
+    def term_bitmap(self, term: str) -> np.ndarray:
+        """bool[n_rows] rows containing the term — the ffi_query_term_bitmap
+        analogue, used for hasToken-style predicate acceleration."""
+        s, ln = self.term_range(term)
+        rows = np.asarray(self.postings_rows[s : s + ln])
+        out = np.zeros(self.n_rows, bool)
+        out[rows[rows < self.n_rows]] = True
+        return out
+
+    def bm25_topk(
+        self,
+        query: str,
+        k: int,
+        *,
+        stats: Optional[BM25Stats] = None,
+        operator: str = "OR",
+        mask: Optional[jax.Array] = None,
+        approx: bool = False,
+    ) -> Tuple[jax.Array, jax.Array, List[str]]:
+        """Device BM25 top-k for one query string against this segment,
+        using table-level `stats` (falls back to segment-local)."""
+        stats = stats or self.stats
+        terms = self.analyzer.tokenize(query)
+        # dedupe, keep order
+        seen = set()
+        terms = [t for t in terms if not (t in seen or seen.add(t))]
+        if not terms:
+            v = jnp.full((1, k), NEG_INF)
+            return v, jnp.full((1, k), -1, jnp.int32), []
+        starts, lengths, idfs = [], [], []
+        maxlen = 1
+        for t in terms:
+            s, ln = self.term_range(t)
+            starts.append(s)
+            lengths.append(ln)
+            idfs.append(stats.idf(t))
+            maxlen = max(maxlen, ln)
+        budget = _round_pow2(maxlen)
+        vals, rows = _bm25_score_topk(
+            self.postings_rows,
+            self.postings_tf,
+            self.doc_len,
+            jnp.asarray(starts, jnp.int32),
+            jnp.asarray(lengths, jnp.int32),
+            jnp.asarray(idfs, jnp.float32),
+            jnp.float32(stats.avg_doc_len),
+            mask,
+            budget=budget,
+            capacity=self.capacity,
+            require_all=(operator.upper() == "AND"),
+            k=k,
+            approx=approx,
+        )
+        return vals, rows, terms
+
+    @property
+    def memory_bytes(self) -> int:
+        return (
+            self.postings_rows.size * 4
+            + self.postings_tf.size * 4
+            + self.doc_len.size * 4
+        )
+
+    # ----------------------------------------------------------- persist
+    def state_dict(self) -> Dict[str, Any]:
+        terms = sorted(self.vocab, key=self.vocab.get)
+        return {
+            "meta": {
+                "capacity": self.capacity,
+                "n_rows": self.n_rows,
+                "total_tokens": self.stats.total_tokens,
+                "analyzer": self.analyzer.config(),
+            },
+            "arrays": {
+                "term_offsets": self.term_offsets,
+                "postings_rows": np.asarray(self.postings_rows),
+                "postings_tf": np.asarray(self.postings_tf),
+                "doc_len": np.asarray(self.doc_len),
+                "terms": np.asarray(terms, dtype=str),
+            },
+        }
+
+    @classmethod
+    def from_state_dict(cls, state: Dict[str, Any]) -> "InvertedIndex":
+        m = state["meta"]
+        a = state["arrays"]
+        terms = [str(t) for t in a["terms"]]
+        vocab = {t: i for i, t in enumerate(terms)}
+        offsets = np.asarray(a["term_offsets"], np.int64)
+        df = {t: int(offsets[i + 1] - offsets[i]) for t, i in vocab.items()}
+        stats = BM25Stats(m["n_rows"], m["total_tokens"], df)
+        cfg = dict(m["analyzer"])
+        if cfg.get("stop_words"):
+            cfg["stop_words"] = list(cfg["stop_words"])
+        else:
+            cfg.pop("stop_words", None)
+        return cls(
+            m["capacity"],
+            m["n_rows"],
+            vocab,
+            offsets,
+            jnp.asarray(a["postings_rows"]),
+            jnp.asarray(a["postings_tf"]),
+            jnp.asarray(a["doc_len"]),
+            stats,
+            Analyzer(cfg),
+        )
