@@ -1,25 +1,31 @@
-"""IVF-FLAT index: k-means coarse quantizer + bucketed posting lists.
+"""IVF indexes: k-means coarse quantizer + bucketed posting lists, with
+raw (IVFFLAT), int8 (IVFSQ), and product-quantized (IVFPQ) payloads, plus
+the two-stage MSTG-style index (quantized first pass + exact re-rank).
 
-TPU re-design of the reference's IVFFLAT (search-index library, SURVEY.md
-§2.3). The CPU layout (ragged posting lists, per-list scan) becomes a
-static bucketed layout:
+TPU re-design of the reference's IVF*/MSTG family (search-index library,
+SURVEY.md §2.3). The CPU layout (ragged posting lists, per-list scan)
+becomes a static bucketed layout:
 
   * centroids f32[C, D]: trained by ops/kmeans (MXU Lloyd's);
-  * bucket_data [C, B, D]: every cluster padded/clipped to a fixed bucket
-    capacity B (≈1.2× mean cluster size, multiple of 8). Static shapes —
-    XLA-friendly; memory overhead is the padding (~20%).
-  * rows that overflow their bucket spill to a small FLAT "overflow" region
-    scanned on every query — so clipping never loses rows, it only moves
-    them to the exact path (recall can only go up).
+  * bucket payload [C, B, ...]: every cluster padded/clipped to a fixed
+    bucket capacity B (≈1.2x mean cluster size). Static shapes; memory
+    overhead is the padding.
+  * rows that overflow their bucket spill to a small "overflow" region
+    scanned on every query — clipping never loses rows, it only moves
+    them to the always-scanned path (recall can only go up).
 
 Search: top-nprobe centroids per query on the MXU, then a lax.scan over
-probe slots — each step gathers one bucket per query ([Q, B, D] HBM read),
-scores it, and folds into a running top-k. The pre-filter/delete bitmap is
-applied inside the scan by row-id lookup (same contract as the bitmap
-passed into index->search at VIWithDataPart.cpp:930).
+probe slots — each step gathers one bucket per query, decodes it (codec
+fused into the scan), scores on the MXU, and folds into a running top-k.
+The pre-filter/delete bitmap is applied inside the scan by row-id lookup
+(the DenseBitmap-into-search contract, VIWithDataPart.cpp:930).
 
-Cosine is handled as normalize-then-IP (the reference does the same,
-VIWithDataPart.h:349-381): bucket vectors are stored pre-normalized.
+Cosine is normalize-then-IP (as the reference does, VIWithDataPart.h:349).
+
+MSTG here = IVF over SQ8-compressed buckets + exact re-rank of the top
+candidates against the raw segment payload (the two-stage semantics of
+§3.5: search(first_stage_only) + computeTopDistanceSubset). `disk_mode`
+is accepted for DDL parity; payloads are HBM-resident either way.
 """
 
 from __future__ import annotations
@@ -33,7 +39,7 @@ import numpy as np
 
 from ..errors import IndexParameterError
 from ..metrics import Metric
-from ..ops import bruteforce, distance, kmeans
+from ..ops import bruteforce, distance, kmeans, quantize
 from ..ops._pallas import round_up
 from ..ops.topk import NEG_INF, topk_scores
 from .base import IndexKind, ParamsKey, VectorIndex, register_index_pytree
@@ -49,6 +55,22 @@ def default_ncentroids(n_rows: int) -> int:
     return int(min(c, max(16, n_rows // 8), 65_536))
 
 
+def _choose_bucket_cap(sizes: np.ndarray, n_rows: int) -> int:
+    """Smallest bucket capacity with <=2% of rows spilling to overflow,
+    capped at 4x the mean so a single runaway cluster cannot blow up
+    memory. Padding waste is bounded by the size histogram itself."""
+    mean = max(1.0, n_rows / max(len(sizes), 1))
+    hi = int(round_up(max(32, int(math.ceil(4.0 * mean))), 8))
+    lo = int(round_up(max(32, int(math.ceil(1.0 * mean))), 8))
+    cap = hi
+    for cand in range(lo, hi + 1, 8):
+        spill = np.maximum(sizes - cand, 0).sum()
+        if spill <= 0.02 * n_rows:
+            cap = cand
+            break
+    return int(cap)
+
+
 def _scan_rep(payload, n_rows: int, metric: Metric) -> jax.Array:
     """Rows in 'scan representation': raw for L2/IP, normalized for Cosine."""
     data = payload.data[:n_rows].astype(jnp.float32)
@@ -57,9 +79,11 @@ def _scan_rep(payload, n_rows: int, metric: Metric) -> jax.Array:
     return data
 
 
-@register(IndexKind.IVFFLAT)
 @register_index_pytree
-class IVFFlatIndex(VectorIndex):
+class IVFIndex(VectorIndex):
+    """Shared IVF machinery; `codec` selects the bucket payload:
+    'raw' -> IVFFLAT, 'sq8' -> IVFSQ, 'pq' -> IVFPQ."""
+
     _array_fields = (
         "centroids",
         "csq",
@@ -69,6 +93,10 @@ class IVFFlatIndex(VectorIndex):
         "over_data",
         "over_rows",
         "over_aux",
+        "codec_a",  # sq8: lo[D'] / pq: codebooks[M, K, ds]
+        "codec_b",  # sq8: scale[D'] / pq: None
+        "raw_data",  # two-stage only: reference to the segment payload
+        "raw_aux",
     )
     _static_fields = (
         "metric",
@@ -79,61 +107,32 @@ class IVFFlatIndex(VectorIndex):
         "n_overflow",
         "approx",
         "recall_target",
+        "codec",
+        "two_stage",
+        "rerank_multiple",
     )
 
-    def __init__(
-        self,
-        centroids,
-        csq,
-        bucket_data,
-        bucket_rows,
-        bucket_aux,
-        over_data,
-        over_rows,
-        over_aux,
-        *,
-        metric: Metric,
-        dim: int,
-        n_rows: int,
-        n_clusters: int,
-        bucket_cap: int,
-        n_overflow: int,
-        approx: bool = True,
-        recall_target: float = 0.99,
-    ):
-        self.centroids = centroids
-        self.csq = csq
-        self.bucket_data = bucket_data
-        self.bucket_rows = bucket_rows
-        self.bucket_aux = bucket_aux
-        self.over_data = over_data
-        self.over_rows = over_rows
-        self.over_aux = over_aux
-        self.metric = metric
-        self.dim = dim
-        self.n_rows = n_rows
-        self.n_clusters = n_clusters
-        self.bucket_cap = bucket_cap
-        self.n_overflow = n_overflow
-        self.approx = approx
-        self.recall_target = recall_target
+    def __init__(self, **kw):
+        for f in self._array_fields + self._static_fields:
+            setattr(self, f, kw.pop(f))
+        assert not kw, f"unexpected fields: {kw}"
 
     # ------------------------------------------------------------- build
     @classmethod
-    def build(
+    def _build_common(
         cls,
         payload,
         n_rows: int,
         *,
         metric: Metric,
         dim: int,
-        params: Optional[Dict[str, Any]] = None,
-        settings=None,
-        progress_cb=None,
-    ) -> "IVFFlatIndex":
+        params: Dict[str, Any],
+        settings,
+        codec: str,
+        two_stage: bool,
+    ) -> "IVFIndex":
         if metric not in (Metric.L2, Metric.IP, Metric.COSINE):
-            raise IndexParameterError(f"IVFFLAT does not support metric {metric}")
-        params = params or {}
+            raise IndexParameterError(f"IVF does not support metric {metric}")
         c = int(params.get("ncentroids", default_ncentroids(n_rows)))
         c = max(1, min(c, n_rows))
         storage_dtype = payload.data.dtype
@@ -146,11 +145,9 @@ class IVFFlatIndex(VectorIndex):
 
         # Host-side bucket packing (build path; one device pull + one push).
         sizes = np.bincount(assign, minlength=c)
-        mean = max(1.0, n_rows / c)
-        cap = int(round_up(max(32, int(math.ceil(1.2 * mean))), 8))
+        cap = _choose_bucket_cap(sizes, n_rows)
         order = np.argsort(assign, kind="stable")
         rep_h = np.asarray(rep, dtype=np.float32)
-        sq_h = (rep_h.astype(np.float64) ** 2).sum(1).astype(np.float32)
 
         bucket_rows = np.full((c, cap), -1, np.int32)
         overflow: list = []
@@ -165,34 +162,78 @@ class IVFFlatIndex(VectorIndex):
         over = np.asarray(overflow, dtype=np.int64)
         n_over = len(over)
         opad = round_up(max(n_over, 8), 8)
+        over_rows = np.full(opad, -1, np.int32)
+        if n_over:
+            over_rows[:n_over] = over
 
+        # ---- codec: encode payloads + exact-w.r.t.-codes sqnorms --------
         flat_rows = bucket_rows.reshape(-1)
         safe = np.maximum(flat_rows, 0)
-        bucket_data = rep_h[safe].reshape(c, cap, dpad)
-        bucket_data[bucket_rows < 0] = 0.0
-        bucket_aux = sq_h[safe].reshape(c, cap)
-        bucket_aux[bucket_rows < 0] = np.float32(np.inf)  # L2 score -> -inf
+        codec_a = codec_b = None
+        if codec == "raw":
+            enc = rep_h
+            dec_sq = (rep_h.astype(np.float64) ** 2).sum(1).astype(np.float32)
+            bucket_data = jnp.asarray(
+                enc[safe].reshape(c, cap, dpad), dtype=storage_dtype
+            )
+            over_data_np = np.zeros((opad, dpad), np.float32)
+            if n_over:
+                over_data_np[:n_over] = enc[over]
+            over_data = jnp.asarray(over_data_np, dtype=storage_dtype)
+        elif codec == "sq8":
+            p = quantize.sq8_train(rep_h)
+            enc = quantize.sq8_encode(rep_h, p)
+            codec_a = jnp.asarray(p.lo)
+            codec_b = jnp.asarray(p.scale)
+            dec_sq = quantize.decoded_sqnorm(
+                lambda cb: quantize.sq8_decode_dev(cb, codec_a, codec_b), enc
+            )
+            bucket_data = jnp.asarray(enc[safe].reshape(c, cap, dpad))
+            over_data_np = np.zeros((opad, dpad), np.uint8)
+            if n_over:
+                over_data_np[:n_over] = enc[over]
+            over_data = jnp.asarray(over_data_np)
+        elif codec == "pq":
+            m = int(params.get("M", 32))
+            if dim % m:
+                raise IndexParameterError(f"dim {dim} not divisible by M={m}")
+            bits = int(params.get("bit_size", 8))
+            pqp = quantize.pq_train(rep_h[:, :dim], m, bits=bits)
+            enc = quantize.pq_encode(rep_h[:, :dim], pqp)
+            codec_a = jnp.asarray(pqp.codebooks)
+            dec_sq = quantize.decoded_sqnorm(
+                lambda cb: quantize.pq_decode_dev(cb, codec_a), enc
+            )
+            bucket_data = jnp.asarray(enc[safe].reshape(c, cap, m))
+            over_data_np = np.zeros((opad, m), np.uint8)
+            if n_over:
+                over_data_np[:n_over] = enc[over]
+            over_data = jnp.asarray(over_data_np)
+        else:  # pragma: no cover
+            raise IndexParameterError(f"unknown codec {codec}")
 
-        over_data = np.zeros((opad, dpad), np.float32)
-        over_rows = np.full(opad, -1, np.int32)
+        bucket_aux = dec_sq[safe].reshape(c, cap)
+        bucket_aux[bucket_rows < 0] = np.float32(np.inf)  # L2 score -> -inf
         over_aux = np.full(opad, np.inf, np.float32)
         if n_over:
-            over_data[:n_over] = rep_h[over]
-            over_rows[:n_over] = over
-            over_aux[:n_over] = sq_h[over]
+            over_aux[:n_over] = dec_sq[over]
 
         csq = np.asarray(jnp.sum(cents * cents, axis=1))
         approx = bool(settings is None or settings.query.use_approx_topk)
         rt = settings.query.approx_topk_recall_target if settings else 0.99
         return cls(
-            jnp.asarray(cents),
-            jnp.asarray(csq),
-            jnp.asarray(bucket_data, dtype=storage_dtype),
-            jnp.asarray(bucket_rows),
-            jnp.asarray(bucket_aux),
-            jnp.asarray(over_data, dtype=storage_dtype),
-            jnp.asarray(over_rows),
-            jnp.asarray(over_aux),
+            centroids=jnp.asarray(cents),
+            csq=jnp.asarray(csq),
+            bucket_data=bucket_data,
+            bucket_rows=jnp.asarray(bucket_rows),
+            bucket_aux=jnp.asarray(bucket_aux),
+            over_data=over_data,
+            over_rows=jnp.asarray(over_rows),
+            over_aux=jnp.asarray(over_aux),
+            codec_a=codec_a,
+            codec_b=codec_b,
+            raw_data=payload.data if two_stage else None,
+            raw_aux=payload.aux_for(metric) if two_stage else None,
             metric=metric,
             dim=dim,
             n_rows=n_rows,
@@ -201,14 +242,73 @@ class IVFFlatIndex(VectorIndex):
             n_overflow=n_over,
             approx=approx,
             recall_target=rt,
+            codec=codec,
+            two_stage=two_stage,
+            rerank_multiple=4,
         )
 
-    # ------------------------------------------------------------- search
+    # ------------------------------------------------------------- score
+    def _q_parts(self, q: jax.Array) -> jax.Array:
+        """Query in matmul form: [P, Q, D'] hi/lo bf16 halves (or f32)."""
+        if self.codec == "raw" and self.bucket_data.dtype != jnp.bfloat16:
+            return q.astype(jnp.float32)[None]
+        return distance.split_query_bf16(q)
+
+    def _decode(self, gathered: jax.Array) -> jax.Array:
+        """Gathered bucket payload -> bf16 rows for the MXU."""
+        if self.codec == "raw":
+            return gathered
+        if self.codec == "sq8":
+            return quantize.sq8_decode_dev(gathered, self.codec_a, self.codec_b)
+        return quantize.pq_decode_dev(gathered, self.codec_a)
+
+    def _dot(self, q_parts: jax.Array, rows_mat: jax.Array) -> jax.Array:
+        """[P, Q, D'] x [Q, B, D'] -> f32[Q, B] (batched over queries)."""
+        d = rows_mat.shape[-1]
+        out = jnp.zeros((q_parts.shape[1], rows_mat.shape[1]), jnp.float32)
+        for p in range(q_parts.shape[0]):
+            out = out + jax.lax.dot_general(
+                q_parts[p][:, None, :d],
+                rows_mat,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )[:, 0, :]
+        return out
+
     def _nprobe(self, params: ParamsKey) -> int:
-        p = dict(params).get("nprobe", DEFAULT_NPROBE)
+        d = dict(params)
+        p = d.get("nprobe", DEFAULT_NPROBE)
+        # MSTG 'alpha' maps to probe width (its reference role: search
+        # expansion factor) — alpha*default probes.
+        if "alpha" in d and "nprobe" not in d:
+            p = max(1, int(float(d["alpha"]) * DEFAULT_NPROBE))
         return int(max(1, min(int(p), self.n_clusters)))
 
+    # ------------------------------------------------------------- search
     def search_t(
+        self,
+        queries: jax.Array,
+        k: int,
+        *,
+        mask: Optional[jax.Array] = None,
+        params: ParamsKey = (),
+    ) -> Tuple[jax.Array, jax.Array]:
+        if self.two_stage:
+            ncand = min(max(k * self.rerank_multiple, k), self.n_rows)
+            v, r = self._scan_stage(queries, ncand, mask=mask, params=params)
+            ev = self._exact_scores(queries, r)
+            kk = min(k, ev.shape[-1])
+            v2, p2 = jax.lax.top_k(ev, kk)
+            r2 = jnp.take_along_axis(r, p2, axis=-1)
+            r2 = jnp.where(jnp.isfinite(v2), r2, -1)
+            if kk < k:
+                pad = ((0, 0), (0, k - kk))
+                v2 = jnp.pad(v2, pad, constant_values=NEG_INF)
+                r2 = jnp.pad(r2, pad, constant_values=-1)
+            return v2, r2
+        return self._scan_stage(queries, k, mask=mask, params=params)
+
+    def _scan_stage(
         self,
         queries: jax.Array,
         k: int,
@@ -232,26 +332,15 @@ class IVFFlatIndex(VectorIndex):
             cs = 2.0 * cs - self.csq[None, :]
         _, probe = jax.lax.top_k(cs, nprobe)  # [Q, P]
 
-        # hi/lo query split against bf16 buckets (see split_query_bf16)
-        if self.bucket_data.dtype == jnp.bfloat16:
-            q_parts = distance.split_query_bf16(q)  # [2, Q, D]
-        else:
-            q_parts = q.astype(jnp.float32)[None]  # [1, Q, D]
+        q_parts = self._q_parts(q)
         kk = min(k, self.bucket_cap)  # per-step cut; final pads below
 
         def step(carry, s):
             bv, br = carry
             cl = probe[:, s]  # [Q]
-            xb = jnp.take(self.bucket_data, cl, axis=0)  # [Q, B, D]
+            xb = self._decode(jnp.take(self.bucket_data, cl, axis=0))
             rows = jnp.take(self.bucket_rows, cl, axis=0)  # [Q, B]
-            scores = jnp.zeros((q.shape[0], xb.shape[1]), jnp.float32)
-            for p in range(q_parts.shape[0]):
-                scores = scores + jax.lax.dot_general(
-                    q_parts[p][:, None, :],
-                    xb,
-                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32,
-                )[:, 0, :]  # [Q, B]
+            scores = self._dot(q_parts, xb)
             if self.metric == Metric.L2:
                 aux = jnp.take(self.bucket_aux, cl, axis=0)
                 scores = 2.0 * scores - aux
@@ -281,28 +370,7 @@ class IVFFlatIndex(VectorIndex):
         )
 
         if self.n_overflow > 0:
-            omask = None
-            if mask is not None:
-                omask = jnp.where(
-                    self.over_rows >= 0,
-                    jnp.take(mask, jnp.maximum(self.over_rows, 0)),
-                    False,
-                )
-            ov, op = bruteforce.scan_topk_t(
-                q,  # normalized for Cosine — must match bucket scoring
-                self.over_data,
-                None if self.metric != Metric.L2 else self.over_aux,
-                k=kk,
-                metric=self.metric if self.metric != Metric.COSINE else Metric.IP,
-                n_valid=self.n_overflow,
-                mask=omask,
-                approx=False,
-            )
-            orr = jnp.where(op >= 0, jnp.take(self.over_rows, jnp.maximum(op, 0)), -1)
-            bv = jnp.concatenate([bv, ov], axis=-1)
-            br = jnp.concatenate([br, orr], axis=-1)
-            bv, pos = jax.lax.top_k(bv, kk)
-            br = jnp.take_along_axis(br, pos, axis=-1)
+            bv, br = self._merge_overflow(q, q_parts, bv, br, kk, mask)
 
         br = jnp.where(jnp.isfinite(bv), br, -1)
         if kk < k:
@@ -311,16 +379,89 @@ class IVFFlatIndex(VectorIndex):
             br = jnp.pad(br, pad, constant_values=-1)
         return bv, br
 
+    def _merge_overflow(self, q, q_parts, bv, br, kk, mask):
+        """Exact scan of the spill region, merged into the running top-k."""
+        dec = self._decode(self.over_data[None])[0]  # [O, D']
+        d = dec.shape[-1]
+        s = jnp.zeros((q.shape[0], dec.shape[0]), jnp.float32)
+        for p in range(q_parts.shape[0]):
+            s = s + jax.lax.dot_general(
+                q_parts[p][:, :d],
+                dec,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        if self.metric == Metric.L2:
+            s = 2.0 * s - self.over_aux[None, :]
+        valid = self.over_rows[None, :] >= 0
+        if mask is not None:
+            om = jnp.take(mask, jnp.maximum(self.over_rows, 0))
+            valid = jnp.logical_and(valid, om[None, :])
+        s = jnp.where(valid, s, NEG_INF)
+        ov, op = topk_scores(s, kk, approx=False)
+        orr = jnp.where(
+            op >= 0, jnp.take(self.over_rows, jnp.maximum(op, 0)), -1
+        )
+        mv = jnp.concatenate([bv, ov], axis=-1)
+        mr = jnp.concatenate([br, orr], axis=-1)
+        nv, pos = jax.lax.top_k(mv, kk)
+        nr = jnp.take_along_axis(mr, pos, axis=-1)
+        return nv, nr
+
+    # ---------------------------------------------------------- two-stage
+    def supports_two_stage(self) -> bool:
+        return self.two_stage
+
+    def search_first_stage(
+        self,
+        queries: jax.Array,
+        num_candidates: int,
+        *,
+        params: Optional[Dict[str, Any]] = None,
+        mask: Optional[jax.Array] = None,
+    ) -> Tuple[jax.Array, jax.Array]:
+        pkey = tuple(sorted((params or {}).items()))
+        return self._scan_stage(queries, num_candidates, mask=mask, params=pkey)
+
+    def _exact_scores(self, queries: jax.Array, row_ids: jax.Array) -> jax.Array:
+        """Exact scores vs the RAW payload (computeTopDistanceSubset)."""
+        assert self.raw_data is not None
+        rows = jnp.take(
+            self.raw_data, jnp.maximum(row_ids, 0), axis=0
+        ).astype(jnp.float32)
+        q = distance.normalize_queries(queries.astype(jnp.float32), self.metric)
+        s = jnp.einsum("qd,qkd->qk", q, rows)
+        if self.metric == Metric.L2:
+            aux = jnp.take(self.raw_aux, jnp.maximum(row_ids, 0))
+            s = 2.0 * s - aux
+        elif self.metric == Metric.COSINE:
+            nrm = jnp.linalg.norm(rows, axis=-1)
+            s = s * jnp.where(nrm > 0, 1.0 / jnp.where(nrm > 0, nrm, 1.0), 0.0)
+        return jnp.where(row_ids >= 0, s, NEG_INF)
+
+    def compute_scores_subset(self, queries: jax.Array, row_ids: jax.Array):
+        return self._exact_scores(queries, row_ids)
+
+    # -------------------------------------------------------------- misc
     @property
     def memory_bytes(self) -> int:
         total = 0
         for f in self._array_fields:
+            if f in ("raw_data", "raw_aux"):
+                continue  # references to the segment payload, not owned
             a = getattr(self, f)
             if a is not None:
                 total += a.size * a.dtype.itemsize
         return total
 
     def state_dict(self) -> Dict[str, Any]:
+        arrays = {}
+        for f in self._array_fields:
+            if f in ("raw_data", "raw_aux"):
+                continue
+            a = getattr(self, f)
+            if a is not None:
+                arrays[f] = np.asarray(a)
         return {
             "meta": {
                 "kind": self.kind.value,
@@ -332,28 +473,32 @@ class IVFFlatIndex(VectorIndex):
                 "n_overflow": self.n_overflow,
                 "approx": self.approx,
                 "recall_target": self.recall_target,
+                "codec": self.codec,
+                "two_stage": self.two_stage,
+                "rerank_multiple": self.rerank_multiple,
                 "storage_dtype": str(self.bucket_data.dtype),
             },
-            "arrays": {
-                f: np.asarray(getattr(self, f))
-                for f in self._array_fields
-            },
+            "arrays": arrays,
         }
 
     @classmethod
-    def from_state_dict(cls, state: Dict[str, Any]) -> "IVFFlatIndex":
+    def from_state_dict(cls, state: Dict[str, Any]) -> "IVFIndex":
         m = state["meta"]
-        a = state["arrays"]
-        dt = jnp.bfloat16 if "bfloat16" in m["storage_dtype"] else jnp.float32
-        return cls(
-            jnp.asarray(a["centroids"]),
-            jnp.asarray(a["csq"]),
-            jnp.asarray(a["bucket_data"], dtype=dt),
-            jnp.asarray(a["bucket_rows"]),
-            jnp.asarray(a["bucket_aux"]),
-            jnp.asarray(a["over_data"], dtype=dt),
-            jnp.asarray(a["over_rows"]),
-            jnp.asarray(a["over_aux"]),
+        a = dict(state["arrays"])
+        if m["two_stage"]:
+            # raw payload references are re-attached by the table on load
+            raise NotImplementedError("two-stage indexes rebuild from payload")
+        dt = jnp.bfloat16 if "bfloat16" in m["storage_dtype"] else None
+        kw = {}
+        for f in cls._array_fields:
+            v = a.get(f)
+            if v is None:
+                kw[f] = None
+            elif f in ("bucket_data", "over_data") and dt is not None and m["codec"] == "raw":
+                kw[f] = jnp.asarray(v, dtype=dt)
+            else:
+                kw[f] = jnp.asarray(v)
+        kw.update(
             metric=Metric(m["metric"]),
             dim=m["dim"],
             n_rows=m["n_rows"],
@@ -362,4 +507,61 @@ class IVFFlatIndex(VectorIndex):
             n_overflow=m["n_overflow"],
             approx=m["approx"],
             recall_target=m["recall_target"],
+            codec=m["codec"],
+            two_stage=m["two_stage"],
+            rerank_multiple=m["rerank_multiple"],
+            raw_data=None,
+            raw_aux=None,
+        )
+        obj = cls.__new__(cls)
+        IVFIndex.__init__(obj, **kw)
+        return obj
+
+
+@register(IndexKind.IVFFLAT)
+@register_index_pytree
+class IVFFlatIndex(IVFIndex):
+    @classmethod
+    def build(cls, payload, n_rows, *, metric, dim, params=None, settings=None, progress_cb=None):
+        return cls._build_common(
+            payload, n_rows, metric=metric, dim=dim, params=dict(params or {}),
+            settings=settings, codec="raw", two_stage=False,
+        )
+
+
+@register(IndexKind.IVFSQ)
+@register_index_pytree
+class IVFSQIndex(IVFIndex):
+    @classmethod
+    def build(cls, payload, n_rows, *, metric, dim, params=None, settings=None, progress_cb=None):
+        return cls._build_common(
+            payload, n_rows, metric=metric, dim=dim, params=dict(params or {}),
+            settings=settings, codec="sq8", two_stage=False,
+        )
+
+
+@register(IndexKind.IVFPQ)
+@register_index_pytree
+class IVFPQIndex(IVFIndex):
+    @classmethod
+    def build(cls, payload, n_rows, *, metric, dim, params=None, settings=None, progress_cb=None):
+        return cls._build_common(
+            payload, n_rows, metric=metric, dim=dim, params=dict(params or {}),
+            settings=settings, codec="pq", two_stage=False,
+        )
+
+
+@register(IndexKind.MSTG)
+@register_index_pytree
+class MSTGIndex(IVFIndex):
+    """Multi-stage tree-graph analogue: SQ8 quantized IVF first pass +
+    exact re-rank on the raw payload (two-stage, §3.5)."""
+
+    @classmethod
+    def build(cls, payload, n_rows, *, metric, dim, params=None, settings=None, progress_cb=None):
+        params = dict(params or {})
+        params.pop("disk_mode", None)  # accepted for DDL parity
+        return cls._build_common(
+            payload, n_rows, metric=metric, dim=dim, params=params,
+            settings=settings, codec="sq8", two_stage=True,
         )

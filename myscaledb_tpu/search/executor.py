@@ -326,7 +326,7 @@ class VectorSearchExecutor:
         for seg_id, idx, v, r in cand:
             keep = v >= cut
             rows_kept = jnp.where(keep, r, -1)
-            exact = idx.compute_scores_subset(qdev[:, : idx.dim], rows_kept)
+            exact = idx.compute_scores_subset(qdev, rows_kept)
             kk = min(k, exact.shape[-1])
             v2, p2 = jax.lax.top_k(exact, kk)
             r2 = jnp.take_along_axis(rows_kept, p2, axis=-1)
