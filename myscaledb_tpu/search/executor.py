@@ -174,6 +174,31 @@ def _as_query_batch(query, dim: int):
     return q, q.shape[0], qsq
 
 
+def _as_binary_query_batch(query, vtype):
+    """Binary query: packed uint8 [*, dim/8] or bool [*, dim] -> packed."""
+    if isinstance(query, jax.Array):
+        q = query if query.ndim == 2 else query[None]
+        if q.dtype != jnp.uint8 or q.shape[1] != vtype.nbytes:
+            raise QueryShapeError(
+                f"binary query must be packed uint8 [*, {vtype.nbytes}]"
+            )
+        return q, q.shape[0]
+    q = np.asarray(query)
+    if q.ndim == 1:
+        q = q[None, :]
+    if q.dtype == np.bool_:
+        if q.shape[1] != vtype.dim:
+            raise QueryShapeError(f"binary query must be [*, {vtype.dim}] bits")
+        q = np.packbits(q, axis=1)
+    else:
+        q = q.astype(np.uint8, copy=False)
+        if q.shape[1] != vtype.nbytes:
+            raise QueryShapeError(
+                f"binary query must be packed [*, {vtype.nbytes}] uint8"
+            )
+    return q, q.shape[0]
+
+
 def segment_mask(segment, filter_expr: Optional[Expr]) -> Optional[jax.Array]:
     """Pre-filter bitmap for one segment: WHERE bitmap ∩ alive bitmap,
     extended to capacity (False in padding). None when unconstrained."""
@@ -225,7 +250,14 @@ class VectorSearchExecutor:
                 f"{st.query.max_search_result_window}"
             )
         metric = metric or t.index_metric_for(column)
-        qh, nq, qsq = _as_query_batch(query, vtype.dim)
+        from ..storage.schema import BinaryVector
+
+        is_binary = isinstance(vtype, BinaryVector)
+        if is_binary:
+            qh, nq = _as_binary_query_batch(query, vtype)
+            qsq = None
+        else:
+            qh, nq, qsq = _as_query_batch(query, vtype.dim)
         GLOBAL_COUNTERS.bump("VectorSearchQueries", nq)
 
         segments = t.live_segments()
@@ -234,19 +266,27 @@ class VectorSearchExecutor:
                 qsq = np.asarray(qsq)
             return SearchResult.empty(metric, nq, k, qsq)
 
-        dpad = segments[0].vector(column).data.shape[1]
         nq_pad = max(8, -(-nq // 8) * 8)
-        if isinstance(qh, jax.Array):
-            # Device-resident queries: pad on device, no host round-trip.
-            qdev = jnp.pad(
-                qh.astype(jnp.float32),
-                ((0, nq_pad - nq), (0, dpad - qh.shape[1])),
-            )
+        if is_binary:
+            if isinstance(qh, jax.Array):
+                qdev = jnp.pad(qh, ((0, nq_pad - nq), (0, 0)))
+            else:
+                qdev = jnp.asarray(
+                    np.pad(qh, ((0, nq_pad - nq), (0, 0))), dtype=jnp.uint8
+                )
         else:
-            # One padded device upload for the whole query batch.
-            qpad = np.zeros((nq_pad, dpad), np.float32)
-            qpad[:nq, : vtype.dim] = qh
-            qdev = jnp.asarray(qpad)
+            dpad = segments[0].vector(column).data.shape[1]
+            if isinstance(qh, jax.Array):
+                # Device-resident queries: pad on device, no host round-trip.
+                qdev = jnp.pad(
+                    qh.astype(jnp.float32),
+                    ((0, nq_pad - nq), (0, dpad - qh.shape[1])),
+                )
+            else:
+                # One padded device upload for the whole query batch.
+                qpad = np.zeros((nq_pad, dpad), np.float32)
+                qpad[:nq, : vtype.dim] = qh
+                qdev = jnp.asarray(qpad)
 
         use_two_stage = (
             st.query.two_stage_search if two_stage is None else bool(two_stage)
@@ -269,15 +309,25 @@ class VectorSearchExecutor:
                         f"column {column!r} and brute force is disabled"
                     )
                 payload = seg.vector(column)
-                idx = FlatIndex(
-                    payload.data,
-                    payload.aux_for(metric),
-                    metric=metric,
-                    dim=vtype.dim,
-                    n_rows=seg.n_rows,
-                    approx=st.query.use_approx_topk,
-                    recall_target=st.query.approx_topk_recall_target,
-                )
+                if is_binary:
+                    from ..index.binary import BinaryFlatIndex
+
+                    idx = BinaryFlatIndex(
+                        payload.data,
+                        metric=metric,
+                        dim=vtype.dim,
+                        n_rows=seg.n_rows,
+                    )
+                else:
+                    idx = FlatIndex(
+                        payload.data,
+                        payload.aux_for(metric),
+                        metric=metric,
+                        dim=vtype.dim,
+                        n_rows=seg.n_rows,
+                        approx=st.query.use_approx_topk,
+                        recall_target=st.query.approx_topk_recall_target,
+                    )
                 GLOBAL_COUNTERS.bump("VectorBruteForceSearches")
             else:
                 GLOBAL_COUNTERS.bump("VectorIndexSearches")
