@@ -39,6 +39,7 @@ from .storage.table import Table
 from .index import flat as _flat  # noqa: F401
 from .index import ivf as _ivf  # noqa: F401
 from .index import binary as _binary  # noqa: F401
+from .index import hnsw as _hnsw  # noqa: F401
 
 __version__ = "0.1.0"
 

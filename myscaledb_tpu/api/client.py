@@ -223,6 +223,15 @@ class Database:
             ]
         raise SchemaError(f"unknown system table: {which}")
 
+    # ----------------------------------------------------------------- sql
+    def sql(self, statement: str):
+        """Execute one SQL statement (the reference's dialect subset —
+        SURVEY.md §2.7). Returns a list of row dicts for SELECT, [] for
+        DDL/INSERT."""
+        from ..sql.runner import SQLRunner
+
+        return SQLRunner(self).execute(statement)
+
     def close(self):
         self.scheduler.shutdown()
 

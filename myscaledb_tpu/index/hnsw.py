@@ -1,0 +1,508 @@
+"""HNSW-family graph indexes: HNSWFLAT / HNSWSQ / HNSWPQ.
+
+Reference capability: hnswlib-style graphs inside search-index
+(SURVEY.md §2.3; params m / ef_c, search param ef_s; benchmark grid
+m=32 ef_c=100, ef_s∈{50..400}). A literal HNSW — sequential greedy
+insertion over a multi-layer skip graph — is a pathological fit for a
+SIMD machine, so this is a TPU-first redesign with the same contract:
+
+  BUILD (batched, MXU-heavy):
+    1. candidate generation: a throwaway IVF index over the segment
+       produces each node's ~2m approximate nearest neighbors in large
+       query batches (pure matmul work);
+    2. diversity pruning: the Vamana/HNSW robust-prune rule — keep
+       candidate c unless an already-kept p has α·d(p,c) ≤ d(u,c) —
+       applied to whole node-chunks at once ([B, 2m, 2m] MXU distance
+       blocks + a lax.fori selection);
+    3. reverse-edge pass fills remaining slots (host, one linear sweep);
+    4. entry points: the IVF centroids double as the "upper layers" — a
+       query starts from the representative rows of its nearest
+       centroids, which is what HNSW's hierarchy achieves (log-distance
+       routing) without a sequentially-built hierarchy.
+
+  SEARCH (batched beam, traceable):
+    a fixed-iteration frontier loop — expand the best `beam` unexpanded
+    candidates per query, gather their neighbor lists, score them on the
+    MXU, merge by-id-deduplicated candidates back into the ef-wide
+    frontier. The pre-filter bitmap is applied to RESULT collection but
+    not to routing (the graph is traversed through filtered-out nodes,
+    matching the reference's bitmap-into-index behavior).
+
+  HNSWSQ / HNSWPQ store payload codes (ops/quantize) and decode at
+  gather time; scores for L2 use decoded sqnorms so ordering is exact
+  w.r.t. codes.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..errors import IndexParameterError
+from ..metrics import Metric
+from ..ops import distance, kmeans, quantize
+from ..ops._pallas import round_up
+from ..ops.topk import NEG_INF
+from .base import IndexKind, ParamsKey, VectorIndex, register_index_pytree
+from .ivf import IVFFlatIndex, _scan_rep, default_ncentroids
+from .registry import register
+
+DEFAULT_M = 32
+DEFAULT_EF_C = 100
+DEFAULT_EF_S = 64
+BEAM = 4  # nodes expanded per iteration per query
+PRUNE_ALPHA = 1.2
+
+
+def _prune_chunk(
+    node_vecs: jax.Array,  # f32[B, D]
+    cand_vecs: jax.Array,  # f32[B, Ck, D]
+    cand_rows: jax.Array,  # int32[B, Ck] (-1 invalid), sorted by distance
+    m: int,
+    alpha: float,
+) -> jax.Array:
+    """Robust prune for a chunk of nodes -> int32[B, m] neighbor rows."""
+    bsz, ck, d = cand_vecs.shape
+    # pairwise distances among candidates and node->candidate
+    ip = jnp.einsum("bkd,bjd->bkj", cand_vecs, cand_vecs)
+    sq = jnp.einsum("bkd,bkd->bk", cand_vecs, cand_vecs)
+    d_cc = sq[:, :, None] + sq[:, None, :] - 2.0 * ip  # [B, Ck, Ck]
+    d_uc = (
+        jnp.einsum("bd,bd->b", node_vecs, node_vecs)[:, None]
+        + sq
+        - 2.0 * jnp.einsum("bd,bkd->bk", node_vecs, cand_vecs)
+    )  # [B, Ck]
+    valid = cand_rows >= 0
+
+    def body(j, state):
+        kept, count = state  # kept bool[B, Ck], count int32[B]
+        # prune j if some kept i has alpha*d(i,j) <= d(u,j)
+        dij = jax.lax.dynamic_index_in_dim(d_cc, j, axis=2, keepdims=False)
+        duj = jax.lax.dynamic_index_in_dim(d_uc, j, axis=1, keepdims=False)
+        vj = jax.lax.dynamic_index_in_dim(valid, j, axis=1, keepdims=False)
+        blocked = jnp.any(
+            jnp.logical_and(kept, alpha * dij <= duj[:, None]), axis=1
+        )
+        take = jnp.logical_and(jnp.logical_and(vj, ~blocked), count < m)
+        kept = kept.at[:, j].set(take)
+        count = count + take.astype(jnp.int32)
+        return kept, count
+
+    kept, _ = jax.lax.fori_loop(
+        0,
+        ck,
+        body,
+        (jnp.zeros((bsz, ck), bool), jnp.zeros((bsz,), jnp.int32)),
+    )
+    # compact kept candidates to the front, pad with -1
+    order = jnp.argsort(~kept, axis=1, stable=True)  # kept first
+    rows_sorted = jnp.take_along_axis(
+        jnp.where(kept, cand_rows, -1), order, axis=1
+    )
+    return rows_sorted[:, :m]
+
+
+def _dedup_by_row(values: jax.Array, rows: jax.Array, extra: Optional[jax.Array]):
+    """Kill duplicate row ids, keeping one copy per row. When `extra`
+    (the 'expanded' flag) is given, the expanded copy is the one kept, so
+    a node never gets re-expanded after merging. Padding (-1 rows) sorts
+    to the end. Row ids must be < 2^30 (int32 sort keys)."""
+    pad_key = jnp.int32(2**31 - 1)
+    if extra is not None:
+        # row*2 + (1 - expanded): expanded copy sorts first within a row
+        key = jnp.where(
+            rows >= 0,
+            rows.astype(jnp.int32) * 2 + (1 - extra.astype(jnp.int32)),
+            pad_key,
+        )
+    else:
+        key = jnp.where(rows >= 0, rows.astype(jnp.int32), pad_key)
+    order = jnp.argsort(key, axis=1, stable=True)
+    v_s = jnp.take_along_axis(values, order, axis=1)
+    r_s = jnp.take_along_axis(rows, order, axis=1)
+    dup = jnp.concatenate(
+        [
+            jnp.zeros_like(r_s[:, :1], bool),
+            jnp.logical_and(r_s[:, 1:] == r_s[:, :-1], r_s[:, 1:] >= 0),
+        ],
+        axis=1,
+    )
+    v_s = jnp.where(dup, NEG_INF, v_s)
+    r_s = jnp.where(dup, -1, r_s)
+    if extra is not None:
+        e_s = jnp.take_along_axis(extra, order, axis=1)
+        e_s = jnp.where(dup, False, e_s)
+        return v_s, r_s, e_s
+    return v_s, r_s, None
+
+
+class _HNSWBase(VectorIndex):
+    _array_fields = (
+        "data",  # payload for scoring: raw (storage dtype) or codes
+        "aux",  # f32[N'] decoded |x|^2 (L2)
+        "codec_a",
+        "codec_b",
+        "neighbors",  # int32[N', m]
+        "centroids",  # f32[C, D'] entry routing
+        "csq",
+        "entry_rows",  # int32[C]
+    )
+    _static_fields = ("metric", "dim", "n_rows", "m", "ef_default", "codec")
+    codec = "raw"
+
+    def __init__(self, **kw):
+        for f in self._array_fields + self._static_fields:
+            setattr(self, f, kw.pop(f))
+        assert not kw
+
+    # ------------------------------------------------------------- build
+    @classmethod
+    def _build_common(
+        cls, payload, n_rows, *, metric, dim, params, settings, codec
+    ) -> "_HNSWBase":
+        if metric not in (Metric.L2, Metric.IP, Metric.COSINE):
+            raise IndexParameterError(f"HNSW does not support metric {metric}")
+        params = dict(params or {})
+        m = int(params.get("m", DEFAULT_M))
+        ef_c = int(params.get("ef_c", DEFAULT_EF_C))
+        dpad = payload.data.shape[1]
+        rep = _scan_rep(payload, n_rows, metric)  # f32[n, dpad]
+        rep_h = np.asarray(rep, np.float32)
+
+        # 1) candidate generation via a throwaway IVF over the SCAN
+        # REPRESENTATION (normalized rows for Cosine — graph geometry must
+        # match search-time scoring)
+        from ..storage.segment import VectorPayload
+
+        ivf_payload = payload
+        if metric == Metric.COSINE:
+            ivf_payload = VectorPayload(
+                data=jnp.asarray(rep_h, dtype=payload.data.dtype),
+                sqnorm=jnp.sum(rep * rep, axis=1),
+                invnorm=jnp.ones((n_rows,), jnp.float32),
+            )
+        ivf = IVFFlatIndex._build_common(
+            ivf_payload,
+            n_rows,
+            metric=Metric.L2 if metric != Metric.IP else Metric.IP,
+            dim=dim,
+            params={"ncentroids": default_ncentroids(n_rows)},
+            settings=settings,
+            codec="raw",
+            two_stage=False,
+        )
+        ck = min(2 * m + 1, n_rows)
+        nprobe = max(4, min(16, ivf.n_clusters))
+        cand = np.full((n_rows, ck), -1, np.int32)
+        bs = 2048
+        for i in range(0, n_rows, bs):
+            qs = jnp.asarray(rep_h[i : i + bs])
+            _, r = ivf.search(qs, ck + 1, params={"nprobe": nprobe})
+            r = np.asarray(r)
+            # drop self-matches
+            for j in range(r.shape[0]):
+                row = r[j][r[j] != (i + j)][:ck]
+                cand[i + j, : len(row)] = row
+
+        # 2) batched robust prune on device
+        neighbors = np.full((n_rows, m), -1, np.int32)
+        prune = jax.jit(
+            lambda nv, cv, cr: _prune_chunk(nv, cv, cr, m, PRUNE_ALPHA)
+        )
+        rep_dev = jnp.asarray(rep_h)
+        for i in range(0, n_rows, bs):
+            rows = jnp.asarray(cand[i : i + bs])
+            cvecs = jnp.take(rep_dev, jnp.maximum(rows, 0), axis=0)
+            cvecs = jnp.where((rows >= 0)[..., None], cvecs, 0.0)
+            nb = prune(rep_dev[i : i + rows.shape[0]], cvecs, rows)
+            neighbors[i : i + rows.shape[0]] = np.asarray(nb)
+
+        # 3) reverse edges into free slots (host sweep)
+        free = (neighbors < 0).sum(axis=1)
+        for u in range(n_rows):
+            for v in neighbors[u]:
+                if v < 0:
+                    break
+                if free[v] > 0:
+                    slot = m - free[v]
+                    # avoid dup edge
+                    if u not in neighbors[v, :slot]:
+                        neighbors[v, slot] = u
+                        free[v] -= 1
+
+        # 4) entry points = IVF centroid representatives
+        entry_rows = np.asarray(ivf.bucket_rows[:, 0])
+
+        # payload codec for scoring
+        codec_a = codec_b = None
+        if codec == "raw":
+            data = payload.data
+            aux = payload.aux_for(metric if metric != Metric.COSINE else Metric.L2)
+            if metric == Metric.COSINE:
+                # scoring uses normalized reps: store them
+                data = jnp.asarray(rep_h, dtype=payload.data.dtype)
+                aux = None
+            dec_sq = (
+                np.asarray(jnp.sum(rep_dev * rep_dev, axis=1))
+                if metric == Metric.L2
+                else None
+            )
+            aux_arr = jnp.asarray(dec_sq) if dec_sq is not None else None
+        elif codec == "sq8":
+            p = quantize.sq8_train(rep_h)
+            enc = quantize.sq8_encode(rep_h, p)
+            codec_a = jnp.asarray(p.lo)
+            codec_b = jnp.asarray(p.scale)
+            dec_sq = quantize.decoded_sqnorm(
+                lambda cb: quantize.sq8_decode_dev(cb, codec_a, codec_b), enc
+            )
+            data = jnp.asarray(enc)
+            aux_arr = jnp.asarray(dec_sq)
+        elif codec == "pq":
+            mm = int(params.get("M", 32))
+            if dim % mm:
+                raise IndexParameterError(f"dim {dim} not divisible by M={mm}")
+            pqp = quantize.pq_train(rep_h[:, :dim], mm, bits=int(params.get("bit_size", 8)))
+            enc = quantize.pq_encode(rep_h[:, :dim], pqp)
+            codec_a = jnp.asarray(pqp.codebooks)
+            dec_sq = quantize.decoded_sqnorm(
+                lambda cb: quantize.pq_decode_dev(cb, codec_a), enc
+            )
+            data = jnp.asarray(enc)
+            aux_arr = jnp.asarray(dec_sq)
+        else:  # pragma: no cover
+            raise IndexParameterError(codec)
+
+        return cls(
+            data=data,
+            aux=aux_arr,
+            codec_a=codec_a,
+            codec_b=codec_b,
+            neighbors=jnp.asarray(neighbors),
+            centroids=ivf.centroids,
+            csq=ivf.csq,
+            entry_rows=jnp.asarray(entry_rows),
+            metric=metric,
+            dim=dim,
+            n_rows=n_rows,
+            m=m,
+            ef_default=max(DEFAULT_EF_S, ef_c // 2),
+            codec=codec,
+        )
+
+    # ------------------------------------------------------------- score
+    def _decode_rows(self, rows: jax.Array) -> jax.Array:
+        g = jnp.take(self.data, jnp.maximum(rows, 0), axis=0)
+        if self.codec == "sq8":
+            return quantize.sq8_decode_dev(g, self.codec_a, self.codec_b)
+        if self.codec == "pq":
+            return quantize.pq_decode_dev(g, self.codec_a)
+        return g
+
+    def _score_rows(self, q_parts, rows: jax.Array) -> jax.Array:
+        """scores f32[Q, R] for per-query row sets rows[Q, R]."""
+        vecs = self._decode_rows(rows)  # [Q, R, D']
+        d = vecs.shape[-1]
+        s = jnp.zeros(rows.shape, jnp.float32)
+        for p in range(q_parts.shape[0]):
+            s = s + jax.lax.dot_general(
+                q_parts[p][:, None, :d],
+                vecs,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )[:, 0, :]
+        if self.metric == Metric.L2:
+            s = 2.0 * s - jnp.take(self.aux, jnp.maximum(rows, 0))
+        return jnp.where(rows >= 0, s, NEG_INF)
+
+    def _q_parts(self, q: jax.Array) -> jax.Array:
+        if self.codec == "raw" and self.data.dtype != jnp.bfloat16:
+            return q.astype(jnp.float32)[None]
+        return distance.split_query_bf16(q)
+
+    # ------------------------------------------------------------- search
+    def search_t(
+        self,
+        queries: jax.Array,
+        k: int,
+        *,
+        mask: Optional[jax.Array] = None,
+        params: ParamsKey = (),
+    ) -> Tuple[jax.Array, jax.Array]:
+        p = dict(params)
+        ef = int(p.get("ef_s", self.ef_default))
+        ef = max(ef, k)
+        iters = max(4, int(math.ceil(1.5 * ef / BEAM)))
+        nq = queries.shape[0]
+        q = queries.astype(jnp.float32)
+        if self.metric == Metric.COSINE:
+            nrm = jnp.linalg.norm(q, axis=1, keepdims=True)
+            q = q / jnp.where(nrm > 0, nrm, 1.0)
+        q_parts = self._q_parts(q)
+
+        # entry: representatives of the nearest centroids
+        n_entry = min(max(BEAM, 8), self.centroids.shape[0])
+        cs = jnp.dot(q, self.centroids.T, preferred_element_type=jnp.float32)
+        if self.metric in (Metric.L2, Metric.COSINE):
+            cs = 2.0 * cs - self.csq[None, :]
+        _, ecl = jax.lax.top_k(cs, n_entry)  # [Q, E]
+        erows = jnp.take(self.entry_rows, ecl)  # [Q, E]
+        escores = self._score_rows(q_parts, erows)
+
+        def res_mask(rows, scores):
+            ok = rows >= 0
+            if mask is not None:
+                ok = jnp.logical_and(ok, jnp.take(mask, jnp.maximum(rows, 0)))
+            return jnp.where(ok, scores, NEG_INF)
+
+        # frontier [Q, ef]: scores, rows, expanded
+        pad = ef - n_entry if ef > n_entry else 0
+        fv = jnp.pad(escores, ((0, 0), (0, pad)), constant_values=NEG_INF)[:, :ef]
+        fr = jnp.pad(erows, ((0, 0), (0, pad)), constant_values=-1)[:, :ef]
+        fe = jnp.zeros((nq, ef), bool)
+        iv, ir, _ = _dedup_by_row(res_mask(erows, escores), erows, None)
+        rv, pos = jax.lax.top_k(
+            jnp.pad(iv, ((0, 0), (0, max(0, k - iv.shape[1]))), constant_values=NEG_INF),
+            k,
+        )
+        rr = jnp.take_along_axis(
+            jnp.pad(ir, ((0, 0), (0, max(0, k - ir.shape[1]))), constant_values=-1),
+            pos,
+            axis=1,
+        )
+
+        def body(_, state):
+            fv, fr, fe, rv, rr = state
+            # expand best BEAM unexpanded frontier nodes
+            sel = jnp.where(jnp.logical_or(fe, fr < 0), NEG_INF, fv)
+            _, bpos = jax.lax.top_k(sel, BEAM)  # positions in frontier
+            onehot = jnp.zeros_like(fe).at[
+                jnp.arange(nq)[:, None], bpos
+            ].set(True)
+            fe2 = jnp.logical_or(fe, onehot)
+            exp_rows = jnp.take_along_axis(fr, bpos, axis=1)  # [Q, BEAM]
+            nbrs = jnp.take(
+                self.neighbors, jnp.maximum(exp_rows, 0), axis=0
+            )  # [Q, BEAM, m]
+            nbrs = jnp.where(exp_rows[..., None] >= 0, nbrs, -1).reshape(nq, -1)
+            ns = self._score_rows(q_parts, nbrs)  # [Q, BEAM*m]
+            # results: masked scores, deduped by row id before the cut
+            # (the frontier revisits nodes; without dedup the k result
+            # slots fill with copies of the best row)
+            cv = jnp.concatenate([rv, res_mask(nbrs, ns)], axis=1)
+            cr = jnp.concatenate([rr, nbrs], axis=1)
+            cv, cr, _ = _dedup_by_row(cv, cr, None)
+            rv2, pos2 = jax.lax.top_k(cv, k)
+            rr2 = jnp.take_along_axis(cr, pos2, axis=1)
+            # frontier merge with by-id dedup
+            av = jnp.concatenate([fv, ns], axis=1)
+            ar = jnp.concatenate([fr, nbrs], axis=1)
+            ae = jnp.concatenate([fe2, jnp.zeros_like(ns, bool)], axis=1)
+            av, ar, ae = _dedup_by_row(av, ar, ae)
+            nv, npos = jax.lax.top_k(av, ef)
+            nr = jnp.take_along_axis(ar, npos, axis=1)
+            ne = jnp.take_along_axis(ae, npos, axis=1)
+            return nv, nr, ne, rv2, rr2
+
+        fv, fr, fe, rv, rr = jax.lax.fori_loop(
+            0, iters, body, (fv, fr, fe, rv, rr)
+        )
+        # final result dedup (duplicates can enter across iterations)
+        rv, rr, _ = _dedup_by_row(rv, rr, None)
+        rv, pos = jax.lax.top_k(rv, k)
+        rr = jnp.take_along_axis(rr, pos, axis=1)
+        rr = jnp.where(jnp.isfinite(rv), rr, -1)
+        return rv, rr
+
+    # -------------------------------------------------------------- misc
+    @property
+    def memory_bytes(self) -> int:
+        total = 0
+        for f in self._array_fields:
+            a = getattr(self, f)
+            if a is not None:
+                total += a.size * a.dtype.itemsize
+        return total
+
+    def state_dict(self) -> Dict[str, Any]:
+        arrays = {
+            f: np.asarray(getattr(self, f))
+            for f in self._array_fields
+            if getattr(self, f) is not None
+        }
+        return {
+            "meta": {
+                "kind": self.kind.value,
+                "metric": self.metric.value,
+                "dim": self.dim,
+                "n_rows": self.n_rows,
+                "m": self.m,
+                "ef_default": self.ef_default,
+                "codec": self.codec,
+                "storage_dtype": str(self.data.dtype),
+            },
+            "arrays": arrays,
+        }
+
+    @classmethod
+    def from_state_dict(cls, state: Dict[str, Any]) -> "_HNSWBase":
+        m = state["meta"]
+        a = state["arrays"]
+        dt = jnp.bfloat16 if "bfloat16" in m["storage_dtype"] else None
+        kw = {}
+        for f in cls._array_fields:
+            v = a.get(f)
+            if v is None:
+                kw[f] = None
+            elif f == "data" and dt is not None and m["codec"] == "raw":
+                kw[f] = jnp.asarray(v, dtype=dt)
+            else:
+                kw[f] = jnp.asarray(v)
+        kw.update(
+            metric=Metric(m["metric"]),
+            dim=m["dim"],
+            n_rows=m["n_rows"],
+            m=m["m"],
+            ef_default=m["ef_default"],
+            codec=m["codec"],
+        )
+        obj = cls.__new__(cls)
+        _HNSWBase.__init__(obj, **kw)
+        return obj
+
+
+@register(IndexKind.HNSWFLAT)
+@register_index_pytree
+class HNSWFlatIndex(_HNSWBase):
+    @classmethod
+    def build(cls, payload, n_rows, *, metric, dim, params=None, settings=None, progress_cb=None):
+        return cls._build_common(
+            payload, n_rows, metric=metric, dim=dim, params=params,
+            settings=settings, codec="raw",
+        )
+
+
+@register(IndexKind.HNSWSQ)
+@register_index_pytree
+class HNSWSQIndex(_HNSWBase):
+    @classmethod
+    def build(cls, payload, n_rows, *, metric, dim, params=None, settings=None, progress_cb=None):
+        return cls._build_common(
+            payload, n_rows, metric=metric, dim=dim, params=params,
+            settings=settings, codec="sq8",
+        )
+
+
+@register(IndexKind.HNSWPQ)
+@register_index_pytree
+class HNSWPQIndex(_HNSWBase):
+    @classmethod
+    def build(cls, payload, n_rows, *, metric, dim, params=None, settings=None, progress_cb=None):
+        return cls._build_common(
+            payload, n_rows, metric=metric, dim=dim, params=params,
+            settings=settings, codec="pq",
+        )

@@ -1,0 +1,673 @@
+"""SQL parser for the reference's query surface (SURVEY.md §2.7).
+
+Hand-written lexer + recursive-descent parser covering the dialect the
+reference's vector tests exercise:
+
+  CREATE TABLE t (id UInt64, body String, vec Array(Float32),
+                  CONSTRAINT c CHECK length(vec) = 128
+                  [, VECTOR INDEX vidx vec TYPE MSTG('metric_type=L2')]
+                  [, INDEX fts_idx body TYPE fts('{...}')])
+         [ENGINE = MergeTree] [ORDER BY id]
+  ALTER TABLE t ADD VECTOR INDEX v vec TYPE IVFFLAT('ncentroids=1024')
+  ALTER TABLE t DROP VECTOR INDEX v
+  ALTER TABLE t ADD INDEX f body TYPE fts('{"lower_case": true}')
+  CREATE VECTOR INDEX v ON t vec TYPE HNSWFLAT
+  INSERT INTO t (id, vec) VALUES (1, [0.1, 0.2]), (2, [0.3, 0.4])
+  SELECT id, distance[('nprobe=32')](vec, [..]) AS d FROM t
+    [PREWHERE/WHERE pred] ORDER BY d [ASC|DESC] LIMIT n [OFFSET m]
+  SELECT id, batch_distance(vec, [[..],[..]]) AS d FROM t
+    ORDER BY d.2 LIMIT k BY d.1
+  SELECT id, textsearch(body, 'query') AS s FROM t ORDER BY s DESC LIMIT k
+  SELECT id, hybridsearch('fusion_type=rsf')(vec, body, [..], 'q') AS s
+    FROM t ORDER BY s DESC LIMIT k
+  DELETE FROM t WHERE pred
+  DROP TABLE t
+  SELECT * FROM system.vector_indices
+
+Parse errors raise SQLError with position info. (Reference analogues:
+ParserAlterQuery.cpp:113-114, ParserCreateIndexQuery.h:10,
+ParserCreateQuery.cpp:266, TreeRewriter.cpp:904-1000.)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Any, Dict, List, Optional, Tuple
+
+from ..errors import SQLError
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<comment>--[^\n]*)
+  | (?P<float>\d+\.\d*(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+)
+  | (?P<int>\d+)
+  | (?P<string>'(?:[^'\\]|\\.|'')*')
+  | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<op><=|>=|!=|<>|==|=|<|>|\(|\)|\[|\]|,|\.|\*|\+|-|/)
+""",
+    re.VERBOSE,
+)
+
+KEYWORDS = {
+    "create", "table", "alter", "add", "drop", "vector", "index", "on",
+    "type", "constraint", "check", "length", "engine", "order", "by",
+    "insert", "into", "values", "select", "from", "where", "prewhere",
+    "limit", "offset", "asc", "desc", "delete", "and", "or", "not", "in",
+    "like", "as", "exists", "if",
+}
+
+
+@dataclasses.dataclass
+class Token:
+    kind: str  # 'int' | 'float' | 'string' | 'name' | 'op' | 'eof'
+    value: Any
+    pos: int
+
+    def lower(self):
+        return self.value.lower() if isinstance(self.value, str) else self.value
+
+
+def tokenize(sql: str) -> List[Token]:
+    out: List[Token] = []
+    i = 0
+    while i < len(sql):
+        m = _TOKEN_RE.match(sql, i)
+        if not m:
+            raise SQLError(f"unexpected character {sql[i]!r} at position {i}")
+        i = m.end()
+        kind = m.lastgroup
+        if kind in ("ws", "comment"):
+            continue
+        text = m.group(0)
+        if kind == "int":
+            out.append(Token("int", int(text), m.start()))
+        elif kind == "float":
+            out.append(Token("float", float(text), m.start()))
+        elif kind == "string":
+            body = text[1:-1].replace("''", "'").replace("\\'", "'")
+            out.append(Token("string", body, m.start()))
+        else:
+            out.append(Token(kind, text, m.start()))
+    out.append(Token("eof", None, len(sql)))
+    return out
+
+
+# ----------------------------------------------------------------- AST
+@dataclasses.dataclass
+class ColumnDef:
+    name: str
+    type_name: str
+    type_arg: Optional[Any] = None  # Array inner type / FixedString size
+
+
+@dataclasses.dataclass
+class VectorIndexDef:
+    name: str
+    column: str
+    type_name: str
+    params: Dict[str, Any]
+
+
+@dataclasses.dataclass
+class FtsIndexDef:
+    name: str
+    columns: List[str]
+    params_json: Optional[str]
+
+
+@dataclasses.dataclass
+class CreateTable:
+    table: str
+    columns: List[ColumnDef]
+    constraints: Dict[str, int]  # column -> dim from CHECK length(col)=D
+    vector_indexes: List[VectorIndexDef]
+    fts_indexes: List[FtsIndexDef]
+    if_not_exists: bool = False
+
+
+@dataclasses.dataclass
+class AddVectorIndex:
+    table: str
+    index: VectorIndexDef
+
+
+@dataclasses.dataclass
+class DropVectorIndex:
+    table: str
+    name: str
+
+
+@dataclasses.dataclass
+class AddFtsIndex:
+    table: str
+    index: FtsIndexDef
+
+
+@dataclasses.dataclass
+class Insert:
+    table: str
+    columns: Optional[List[str]]
+    rows: List[List[Any]]
+
+
+@dataclasses.dataclass
+class Delete:
+    table: str
+    where: Any
+
+
+@dataclasses.dataclass
+class DropTable:
+    table: str
+    if_exists: bool = False
+
+
+# WHERE expression nodes
+@dataclasses.dataclass
+class Cmp:
+    column: str
+    op: str
+    value: Any
+
+
+@dataclasses.dataclass
+class InList:
+    column: str
+    values: List[Any]
+    negate: bool = False
+
+
+@dataclasses.dataclass
+class LikeExpr:
+    column: str
+    pattern: str
+    negate: bool = False
+
+
+@dataclasses.dataclass
+class BoolOp:
+    op: str  # and | or | not
+    args: List[Any]
+
+
+@dataclasses.dataclass
+class SearchCall:
+    func: str  # distance | batch_distance | textsearch | hybridsearch
+    params: Dict[str, Any]
+    args: List[Any]  # column names / literal vectors / strings
+    alias: str
+
+
+@dataclasses.dataclass
+class SelectItem:
+    expr: Any  # str column name | '*' | SearchCall | ('count',)
+    alias: Optional[str] = None
+
+
+@dataclasses.dataclass
+class Select:
+    items: List[SelectItem]
+    table: str
+    where: Any = None
+    prewhere: Any = None
+    order_by: List[Tuple[Any, str]] = dataclasses.field(default_factory=list)
+    limit: Optional[int] = None
+    offset: int = 0
+    limit_by: Optional[Any] = None  # the LIMIT n BY expr column
+
+
+class Parser:
+    def __init__(self, sql: str):
+        self.toks = tokenize(sql)
+        self.i = 0
+
+    # -------------------------------------------------------------- utils
+    def peek(self, ahead: int = 0) -> Token:
+        return self.toks[min(self.i + ahead, len(self.toks) - 1)]
+
+    def next(self) -> Token:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def error(self, msg: str):
+        t = self.peek()
+        raise SQLError(f"{msg} (near {t.value!r} at {t.pos})")
+
+    def accept_kw(self, *words: str) -> bool:
+        t = self.peek()
+        if t.kind == "name" and t.lower() == words[0]:
+            for j, w in enumerate(words[1:], 1):
+                tj = self.peek(j)
+                if not (tj.kind == "name" and tj.lower() == w):
+                    return False
+            self.i += len(words)
+            return True
+        return False
+
+    def expect_kw(self, *words: str):
+        if not self.accept_kw(*words):
+            self.error(f"expected {' '.join(words).upper()}")
+
+    def accept_op(self, op: str) -> bool:
+        t = self.peek()
+        if t.kind == "op" and t.value == op:
+            self.i += 1
+            return True
+        return False
+
+    def expect_op(self, op: str):
+        if not self.accept_op(op):
+            self.error(f"expected {op!r}")
+
+    def expect_name(self) -> str:
+        t = self.next()
+        if t.kind != "name":
+            raise SQLError(f"expected identifier, got {t.value!r} at {t.pos}")
+        return t.value
+
+    def table_name(self) -> str:
+        n = self.expect_name()
+        if self.accept_op("."):
+            n = f"{n}.{self.expect_name()}"
+        return n
+
+    # ------------------------------------------------------------ entry
+    def parse(self):
+        t = self.peek()
+        if t.kind != "name":
+            self.error("expected statement")
+        kw = t.lower()
+        if kw == "create":
+            if self.peek(1).lower() == "table":
+                return self.create_table()
+            if self.peek(1).lower() == "vector":
+                return self.create_vector_index()
+            self.error("expected CREATE TABLE or CREATE VECTOR INDEX")
+        if kw == "alter":
+            return self.alter()
+        if kw == "insert":
+            return self.insert()
+        if kw == "select":
+            return self.select()
+        if kw == "delete":
+            return self.delete()
+        if kw == "drop":
+            return self.drop_table()
+        self.error(f"unsupported statement {kw.upper()}")
+
+    # ------------------------------------------------------------- DDL
+    def _index_params(self) -> Dict[str, Any]:
+        """TYPE name('k=v', 'k2=v2') / ('{json}') argument list."""
+        params: Dict[str, Any] = {}
+        if not self.accept_op("("):
+            return params
+        while not self.accept_op(")"):
+            t = self.next()
+            if t.kind == "string":
+                s = t.value.strip()
+                if s.startswith("{"):
+                    params["__json__"] = s
+                else:
+                    for piece in s.split(","):
+                        if "=" in piece:
+                            k, v = piece.split("=", 1)
+                            params[k.strip()] = _auto(v.strip())
+            elif t.kind in ("int", "float"):
+                params.setdefault("__args__", []).append(t.value)
+            else:
+                self.error("bad index parameter")
+            self.accept_op(",")
+        return params
+
+    def create_table(self) -> CreateTable:
+        self.expect_kw("create", "table")
+        ine = self.accept_kw("if", "not", "exists")
+        table = self.table_name()
+        self.expect_op("(")
+        cols: List[ColumnDef] = []
+        constraints: Dict[str, int] = {}
+        vidx: List[VectorIndexDef] = []
+        fts: List[FtsIndexDef] = []
+        while True:
+            if self.accept_kw("constraint"):
+                self.expect_name()  # constraint name
+                self.expect_kw("check")
+                self.expect_kw("length")
+                self.expect_op("(")
+                col = self.expect_name()
+                self.expect_op(")")
+                self.expect_op("=")
+                dim = self.next()
+                if dim.kind != "int":
+                    self.error("CHECK length() = <int> expected")
+                constraints[col] = dim.value
+            elif self.accept_kw("vector", "index"):
+                name = self.expect_name()
+                col = self.expect_name()
+                self.expect_kw("type")
+                tname = self.expect_name()
+                vidx.append(VectorIndexDef(name, col, tname, self._index_params()))
+            elif self.accept_kw("index"):
+                name = self.expect_name()
+                cols_l: List[str] = []
+                if self.accept_op("("):
+                    while not self.accept_op(")"):
+                        cols_l.append(self.expect_name())
+                        self.accept_op(",")
+                else:
+                    cols_l.append(self.expect_name())
+                self.expect_kw("type")
+                fname = self.expect_name()
+                if fname.lower() != "fts":
+                    self.error("only TYPE fts skip indexes are supported")
+                p = self._index_params()
+                # GRANULARITY n (ignored — no mark granularity here)
+                if self.accept_kw("granularity"):
+                    self.next()
+                fts.append(FtsIndexDef(name, cols_l, p.get("__json__")))
+            else:
+                cname = self.expect_name()
+                tname = self.expect_name()
+                arg = None
+                if self.accept_op("("):
+                    inner = self.next()
+                    arg = inner.value
+                    self.expect_op(")")
+                cols.append(ColumnDef(cname, tname, arg))
+            if self.accept_op(","):
+                continue
+            self.expect_op(")")
+            break
+        # optional ENGINE = MergeTree / ORDER BY ... — accepted and ignored
+        if self.accept_kw("engine"):
+            self.accept_op("=")
+            self.expect_name()
+            if self.accept_op("("):
+                depth = 1
+                while depth:
+                    t = self.next()
+                    if t.kind == "op" and t.value == "(":
+                        depth += 1
+                    elif t.kind == "op" and t.value == ")":
+                        depth -= 1
+        if self.accept_kw("order", "by"):
+            self.expect_name()
+        return CreateTable(table, cols, constraints, vidx, fts, ine)
+
+    def create_vector_index(self) -> AddVectorIndex:
+        self.expect_kw("create", "vector", "index")
+        name = self.expect_name()
+        self.expect_kw("on")
+        table = self.table_name()
+        col = self.expect_name()
+        self.expect_kw("type")
+        tname = self.expect_name()
+        return AddVectorIndex(
+            table, VectorIndexDef(name, col, tname, self._index_params())
+        )
+
+    def alter(self):
+        self.expect_kw("alter", "table")
+        table = self.table_name()
+        if self.accept_kw("add", "vector", "index"):
+            name = self.expect_name()
+            col = self.expect_name()
+            self.expect_kw("type")
+            tname = self.expect_name()
+            return AddVectorIndex(
+                table, VectorIndexDef(name, col, tname, self._index_params())
+            )
+        if self.accept_kw("drop", "vector", "index"):
+            return DropVectorIndex(table, self.expect_name())
+        if self.accept_kw("add", "index"):
+            name = self.expect_name()
+            cols_l = []
+            if self.accept_op("("):
+                while not self.accept_op(")"):
+                    cols_l.append(self.expect_name())
+                    self.accept_op(",")
+            else:
+                cols_l.append(self.expect_name())
+            self.expect_kw("type")
+            if self.expect_name().lower() != "fts":
+                self.error("only TYPE fts supported")
+            p = self._index_params()
+            if self.accept_kw("granularity"):
+                self.next()
+            return AddFtsIndex(table, FtsIndexDef(name, cols_l, p.get("__json__")))
+        self.error("unsupported ALTER")
+
+    # ------------------------------------------------------------- DML
+    def literal(self):
+        t = self.peek()
+        if t.kind in ("int", "float", "string"):
+            self.next()
+            return t.value
+        if self.accept_op("["):
+            out = []
+            while not self.accept_op("]"):
+                out.append(self.literal())
+                self.accept_op(",")
+            return out
+        if self.accept_op("-"):
+            v = self.literal()
+            return -v
+        if t.kind == "name" and t.lower() in ("true", "false"):
+            self.next()
+            return t.lower() == "true"
+        if t.kind == "name" and t.lower() == "null":
+            self.next()
+            return None
+        self.error("expected literal")
+
+    def insert(self) -> Insert:
+        self.expect_kw("insert", "into")
+        table = self.table_name()
+        cols = None
+        if self.accept_op("("):
+            cols = []
+            while not self.accept_op(")"):
+                cols.append(self.expect_name())
+                self.accept_op(",")
+        self.expect_kw("values")
+        rows = []
+        while True:
+            self.expect_op("(")
+            row = []
+            while not self.accept_op(")"):
+                row.append(self.literal())
+                self.accept_op(",")
+            rows.append(row)
+            if not self.accept_op(","):
+                break
+        return Insert(table, cols, rows)
+
+    def delete(self) -> Delete:
+        self.expect_kw("delete", "from")
+        table = self.table_name()
+        self.expect_kw("where")
+        return Delete(table, self.where_expr())
+
+    def drop_table(self) -> DropTable:
+        self.expect_kw("drop", "table")
+        ie = self.accept_kw("if", "exists")
+        return DropTable(self.table_name(), ie)
+
+    # ------------------------------------------------------------ WHERE
+    def where_expr(self):
+        return self._or_expr()
+
+    def _or_expr(self):
+        left = self._and_expr()
+        while self.accept_kw("or"):
+            left = BoolOp("or", [left, self._and_expr()])
+        return left
+
+    def _and_expr(self):
+        left = self._not_expr()
+        while self.accept_kw("and"):
+            left = BoolOp("and", [left, self._not_expr()])
+        return left
+
+    def _not_expr(self):
+        if self.accept_kw("not"):
+            return BoolOp("not", [self._not_expr()])
+        return self._atom()
+
+    def _atom(self):
+        if self.accept_op("("):
+            e = self._or_expr()
+            self.expect_op(")")
+            return e
+        col = self.expect_name()
+        if self.accept_kw("not", "in") or self.accept_kw("not", "like"):
+            prev = self.toks[self.i - 1].lower()
+            if prev == "in":
+                self.expect_op("(")
+                vals = []
+                while not self.accept_op(")"):
+                    vals.append(self.literal())
+                    self.accept_op(",")
+                return InList(col, vals, negate=True)
+            return LikeExpr(col, str(self.literal()), negate=True)
+        if self.accept_kw("in"):
+            self.expect_op("(")
+            vals = []
+            while not self.accept_op(")"):
+                vals.append(self.literal())
+                self.accept_op(",")
+            return InList(col, vals)
+        if self.accept_kw("like"):
+            return LikeExpr(col, str(self.literal()))
+        t = self.next()
+        if t.kind != "op" or t.value not in ("<", "<=", ">", ">=", "=", "==", "!=", "<>"):
+            self.error("expected comparison operator")
+        op = {"=": "==", "<>": "!="}.get(t.value, t.value)
+        return Cmp(col, op, self.literal())
+
+    # ----------------------------------------------------------- SELECT
+    SEARCH_FUNCS = {"distance", "batch_distance", "textsearch", "hybridsearch"}
+
+    def _search_call(self, fname: str) -> SearchCall:
+        params: Dict[str, Any] = {}
+        self.expect_op("(")
+        # parametrized form: distance('nprobe=1')(col, [..])
+        if self.peek().kind == "string":
+            while not self.accept_op(")"):
+                s = self.next()
+                if s.kind != "string":
+                    self.error("expected parameter string")
+                for piece in s.value.split(","):
+                    if "=" in piece:
+                        k, v = piece.split("=", 1)
+                        params[k.strip()] = _auto(v.strip())
+                self.accept_op(",")
+            self.expect_op("(")
+        args: List[Any] = []
+        while not self.accept_op(")"):
+            t = self.peek()
+            if t.kind == "name":
+                args.append(("col", self.expect_name()))
+            else:
+                args.append(("lit", self.literal()))
+            self.accept_op(",")
+        alias = fname
+        if self.accept_kw("as"):
+            alias = self.expect_name()
+        return SearchCall(fname, params, args, alias)
+
+    def select(self) -> Select:
+        self.expect_kw("select")
+        items: List[SelectItem] = []
+        while True:
+            t = self.peek()
+            if t.kind == "op" and t.value == "*":
+                self.next()
+                items.append(SelectItem("*"))
+            elif t.kind == "name" and t.lower() in self.SEARCH_FUNCS:
+                fname = self.next().lower()
+                items.append(SelectItem(self._search_call(fname)))
+            elif t.kind == "name" and t.lower() == "count":
+                self.next()
+                self.expect_op("(")
+                if self.peek().kind == "op" and self.peek().value == "*":
+                    self.next()
+                self.expect_op(")")
+                alias = None
+                if self.accept_kw("as"):
+                    alias = self.expect_name()
+                items.append(SelectItem(("count",), alias))
+            else:
+                name = self.expect_name()
+                alias = None
+                if self.accept_kw("as"):
+                    alias = self.expect_name()
+                items.append(SelectItem(name, alias))
+            if not self.accept_op(","):
+                break
+        self.expect_kw("from")
+        table = self.table_name()
+        sel = Select(items=items, table=table)
+        if self.accept_kw("prewhere"):
+            sel.prewhere = self.where_expr()
+        if self.accept_kw("where"):
+            sel.where = self.where_expr()
+        if self.accept_kw("order", "by"):
+            while True:
+                name = self.expect_name()
+                expr: Any = name
+                if self.accept_op("."):
+                    part = self.next()
+                    expr = (name, int(part.value))
+                direction = "asc"
+                if self.accept_kw("desc"):
+                    direction = "desc"
+                elif self.accept_kw("asc"):
+                    direction = "asc"
+                sel.order_by.append((expr, direction))
+                if not self.accept_op(","):
+                    break
+        if self.accept_kw("limit"):
+            n = self.next()
+            if n.kind != "int":
+                self.error("LIMIT expects an integer")
+            if self.accept_op(","):
+                m = self.next()
+                sel.offset = n.value
+                sel.limit = m.value
+            else:
+                sel.limit = n.value
+            if self.accept_kw("by"):
+                name = self.expect_name()
+                if self.accept_op("."):
+                    part = self.next()
+                    sel.limit_by = (name, int(part.value))
+                else:
+                    sel.limit_by = name
+            if self.accept_kw("offset"):
+                o = self.next()
+                sel.offset = o.value
+        if self.peek().kind != "eof":
+            self.error("unexpected trailing input")
+        return sel
+
+
+def _auto(s: str) -> Any:
+    try:
+        return int(s)
+    except ValueError:
+        pass
+    try:
+        return float(s)
+    except ValueError:
+        pass
+    return s
+
+
+def parse(sql: str):
+    """Parse one statement (trailing semicolon allowed)."""
+    sql = sql.strip().rstrip(";")
+    return Parser(sql).parse()

@@ -1,0 +1,425 @@
+"""SQL statement execution against a Database.
+
+The analysis rules mirror the reference's TreeRewriter/ExpressionAnalyzer
+contract (SURVEY.md §2.7):
+
+  * distance(): requires LIMIT; top-k = LIMIT + OFFSET capped by
+    max_search_result_window (VSUtils.cpp:205); ORDER BY direction must
+    match the metric (ASC for L2/Hamming/Jaccard distances, DESC for
+    IP/Cosine similarities — 00027_mqvs_check_order_by_for_metric_type);
+  * batch_distance(): requires LIMIT k BY d.1; the result column is the
+    (query_id, distance) tuple;
+  * textsearch()/hybridsearch(): require ORDER BY score DESC;
+  * WHERE/PREWHERE compile to pre-filter bitmaps (never post-filter).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from ..errors import QueryShapeError, SchemaError, SQLError
+from ..metrics import direction as metric_direction
+from ..search import filters as F
+from ..storage import schema as sch
+from . import parser as P
+
+
+def _to_filter(expr) -> Optional[F.Expr]:
+    if expr is None:
+        return None
+    if isinstance(expr, P.Cmp):
+        return F.Compare(expr.column, expr.op, expr.value)
+    if isinstance(expr, P.InList):
+        return F.In(expr.column, expr.values, negate=expr.negate)
+    if isinstance(expr, P.LikeExpr):
+        return F.Like(expr.column, expr.pattern, negate=expr.negate)
+    if isinstance(expr, P.BoolOp):
+        args = [_to_filter(a) for a in expr.args]
+        if expr.op == "and":
+            out = args[0]
+            for a in args[1:]:
+                out = F.And(out, a)
+            return out
+        if expr.op == "or":
+            out = args[0]
+            for a in args[1:]:
+                out = F.Or(out, a)
+            return out
+        return F.Not(args[0])
+    raise SQLError(f"unsupported WHERE clause element: {expr}")
+
+
+def _column_type(cdef: P.ColumnDef, dims: Dict[str, int]):
+    t = cdef.type_name.lower()
+    if t == "uint64":
+        return sch.UInt64()
+    if t == "int64":
+        return sch.Int64()
+    if t in ("int32", "int"):
+        return sch.Int32()
+    if t == "float32":
+        return sch.Float32()
+    if t in ("float64", "double"):
+        return sch.Float64()
+    if t == "string":
+        return sch.String()
+    if t == "array":
+        inner = str(cdef.type_arg).lower()
+        if inner != "float32":
+            raise SQLError(f"only Array(Float32) vector columns supported, got Array({cdef.type_arg})")
+        if cdef.name not in dims:
+            raise SQLError(
+                f"vector column {cdef.name!r} needs CONSTRAINT CHECK length({cdef.name}) = D"
+            )
+        return sch.FloatVector(dims[cdef.name])
+    if t == "fixedstring":
+        return sch.BinaryVector(int(cdef.type_arg) * 8)
+    raise SQLError(f"unsupported column type {cdef.type_name}")
+
+
+def _index_params(params: Dict[str, Any]) -> Dict[str, Any]:
+    p = dict(params)
+    p.pop("__args__", None)
+    p.pop("__json__", None)
+    return p
+
+
+class SQLRunner:
+    def __init__(self, db):
+        self.db = db
+
+    # ------------------------------------------------------------ execute
+    def execute(self, sql: str):
+        stmt = P.parse(sql)
+        handler = {
+            P.CreateTable: self._create_table,
+            P.AddVectorIndex: self._add_vindex,
+            P.DropVectorIndex: self._drop_vindex,
+            P.AddFtsIndex: self._add_fts,
+            P.Insert: self._insert,
+            P.Delete: self._delete,
+            P.DropTable: self._drop_table,
+            P.Select: self._select,
+        }.get(type(stmt))
+        if handler is None:  # pragma: no cover
+            raise SQLError(f"no handler for {type(stmt).__name__}")
+        return handler(stmt)
+
+    # --------------------------------------------------------------- DDL
+    def _create_table(self, st: P.CreateTable):
+        if st.if_not_exists and st.table in self.db.tables():
+            return []
+        cols = {c.name: _column_type(c, st.constraints) for c in st.columns}
+        t = self.db.create_table(st.table, sch.Schema(cols))
+        for v in st.vector_indexes:
+            t.add_vector_index(
+                v.name, v.column, type=v.type_name, **_index_params(v.params)
+            )
+        for f in st.fts_indexes:
+            params = json.loads(f.params_json) if f.params_json else None
+            t.add_fts_index(f.name, f.columns, params)
+        return []
+
+    def _add_vindex(self, st: P.AddVectorIndex):
+        t = self.db.table(st.table)
+        t.add_vector_index(
+            st.index.name,
+            st.index.column,
+            type=st.index.type_name,
+            **_index_params(st.index.params),
+        )
+        return []
+
+    def _drop_vindex(self, st: P.DropVectorIndex):
+        self.db.table(st.table).drop_vector_index(st.name)
+        return []
+
+    def _add_fts(self, st: P.AddFtsIndex):
+        params = json.loads(st.index.params_json) if st.index.params_json else None
+        self.db.table(st.table).add_fts_index(st.index.name, st.index.columns, params)
+        return []
+
+    # --------------------------------------------------------------- DML
+    def _insert(self, st: P.Insert):
+        t = self.db.table(st.table)
+        cols = st.columns or list(t.schema.columns)
+        if any(len(r) != len(cols) for r in st.rows):
+            raise SQLError("VALUES row width mismatch")
+        data: Dict[str, Any] = {c: [] for c in cols}
+        for row in st.rows:
+            for c, v in zip(cols, row):
+                data[c].append(v)
+        conv = {}
+        for c, vals in data.items():
+            ctype = t.schema.require(c)
+            if isinstance(ctype, sch.FloatVector):
+                conv[c] = np.asarray(vals, np.float32)
+            elif isinstance(ctype, sch.BinaryVector):
+                conv[c] = np.asarray(
+                    [list(bytes(v, "latin1")) if isinstance(v, str) else v for v in vals],
+                    np.uint8,
+                )
+            elif isinstance(ctype, sch.String):
+                conv[c] = np.asarray(vals, object)
+            else:
+                conv[c] = np.asarray(vals)
+        t.insert(conv)
+        return []
+
+    def _delete(self, st: P.Delete):
+        n = self.db.table(st.table).delete(_to_filter(st.where))
+        return [{"deleted": n}]
+
+    def _drop_table(self, st: P.DropTable):
+        if st.if_exists and st.table not in self.db.tables():
+            return []
+        self.db.drop_table(st.table)
+        return []
+
+    # ------------------------------------------------------------- SELECT
+    def _select(self, st: P.Select):
+        if st.table.startswith("system."):
+            rows = self.db.system_table(st.table.split(".", 1)[1])
+            return self._project_plain(rows, st)
+        t = self.db.table(st.table)
+        search = None
+        for it in st.items:
+            if isinstance(it.expr, P.SearchCall):
+                if search is not None:
+                    raise SQLError("only one search function per query")
+                search = it.expr
+        filt = _to_filter(st.prewhere) if st.prewhere is not None else None
+        wfilt = _to_filter(st.where)
+        if filt is not None and wfilt is not None:
+            filt = F.And(filt, wfilt)
+        elif wfilt is not None:
+            filt = wfilt
+
+        if search is None:
+            return self._plain_scan(t, st, filt)
+        if search.func == "distance":
+            return self._distance(t, st, search, filt)
+        if search.func == "batch_distance":
+            return self._batch_distance(t, st, search, filt)
+        if search.func == "textsearch":
+            return self._textsearch(t, st, search, filt)
+        if search.func == "hybridsearch":
+            return self._hybridsearch(t, st, search, filt)
+        raise SQLError(f"unknown search function {search.func}")  # pragma: no cover
+
+    # ------------------------------------------------------------ helpers
+    def _topk(self, st: P.Select, settings) -> int:
+        if st.limit is None:
+            raise QueryShapeError("vector search requires LIMIT")
+        k = st.limit + st.offset
+        if k > settings.query.max_search_result_window:
+            raise QueryShapeError(
+                f"LIMIT+OFFSET {k} exceeds max_search_result_window"
+            )
+        return k
+
+    def _out_columns(self, st: P.Select, t, score_alias: str) -> List[str]:
+        out = []
+        for it in st.items:
+            if isinstance(it.expr, P.SearchCall):
+                out.append(it.expr.alias)
+            elif it.expr == "*":
+                out.extend(t.schema.scalar_columns())
+            elif isinstance(it.expr, tuple) and it.expr[0] == "count":
+                raise SQLError("count() cannot be combined with search")
+            else:
+                out.append(it.alias or it.expr)
+        return out
+
+    def _check_direction(self, st: P.Select, alias: str, want: str):
+        for expr, d in st.order_by:
+            name = expr[0] if isinstance(expr, tuple) else expr
+            if name == alias and d != want:
+                raise QueryShapeError(
+                    f"ORDER BY {alias} must be {want.upper()} for this metric "
+                    "(ExpressionAnalyzer direction check)"
+                )
+
+    def _emit_search_rows(self, t, st, res, alias: str) -> List[Dict[str, Any]]:
+        cols = [
+            c
+            for c in self._out_columns(st, t, alias)
+            if c != alias and c in t.schema.columns
+        ]
+        gathered = t.gather(res, cols) if cols else {}
+        dists = res.distances
+        out = []
+        for j in range(res.k):
+            if not res.valid[0, j]:
+                continue
+            row = {c: _pyval(gathered[c][0, j]) for c in cols}
+            row[alias] = float(dists[0, j])
+            out.append(row)
+        return out[st.offset : st.offset + st.limit if st.limit else None]
+
+    # ------------------------------------------------------- search kinds
+    def _distance(self, t, st: P.Select, call: P.SearchCall, filt):
+        cols = [a[1] for a in call.args if a[0] == "col"]
+        lits = [a[1] for a in call.args if a[0] == "lit"]
+        if len(cols) != 1 or len(lits) != 1:
+            raise SQLError("distance() takes (vector_column, [query...])")
+        k = self._topk(st, t.settings)
+        metric = t.index_metric_for(cols[0])
+        self._check_direction(st, call.alias, metric_direction(metric))
+        res = t.search(cols[0], np.asarray(lits[0], np.float32), k, filter=filt,
+                       params=call.params or None)
+        return self._emit_search_rows(t, st, res, call.alias)
+
+    def _batch_distance(self, t, st: P.Select, call: P.SearchCall, filt):
+        cols = [a[1] for a in call.args if a[0] == "col"]
+        lits = [a[1] for a in call.args if a[0] == "lit"]
+        if len(cols) != 1 or len(lits) != 1:
+            raise SQLError("batch_distance() takes (vector_column, [[q1...],[q2...]])")
+        if st.limit is None or st.limit_by is None:
+            raise QueryShapeError("batch_distance requires LIMIT k BY <alias>.1")
+        queries = np.asarray(lits[0], np.float32)
+        if queries.ndim != 2:
+            raise SQLError("batch_distance query must be a list of vectors")
+        res = t.search(cols[0], queries, st.limit, filter=filt, params=call.params or None)
+        out_cols = [
+            c
+            for c in self._out_columns(st, t, call.alias)
+            if c != call.alias and c in t.schema.columns
+        ]
+        gathered = t.gather(res, out_cols) if out_cols else {}
+        dists = res.distances
+        rows = []
+        for qi in range(res.nq):
+            for j in range(res.k):
+                if not res.valid[qi, j]:
+                    continue
+                row = {c: _pyval(gathered[c][qi, j]) for c in out_cols}
+                row[call.alias] = (qi, float(dists[qi, j]))
+                rows.append(row)
+        return rows
+
+    def _textsearch(self, t, st: P.Select, call: P.SearchCall, filt):
+        cols = [a[1] for a in call.args if a[0] == "col"]
+        lits = [a[1] for a in call.args if a[0] == "lit"]
+        if len(cols) != 1 or len(lits) != 1:
+            raise SQLError("textsearch() takes (text_column, 'query')")
+        k = self._topk(st, t.settings)
+        self._check_direction(st, call.alias, "desc")
+        if not any(
+            (e[0] if isinstance(e, tuple) else e) == call.alias for e, _ in st.order_by
+        ):
+            raise QueryShapeError("textsearch requires ORDER BY score DESC")
+        op = str(call.params.get("operator", "OR"))
+        res = t.text_search(cols[0], str(lits[0]), k, filter=filt, operator=op)
+        rows = self._emit_search_rows(t, st, res, call.alias)
+        for r in rows:  # BM25 column is the raw score (bigger better)
+            r[call.alias] = float(r[call.alias])
+        return rows
+
+    def _hybridsearch(self, t, st: P.Select, call: P.SearchCall, filt):
+        cols = [a[1] for a in call.args if a[0] == "col"]
+        lits = [a[1] for a in call.args if a[0] == "lit"]
+        if len(cols) != 2 or len(lits) != 2:
+            raise SQLError(
+                "hybridsearch() takes (vector_col, text_col, [query...], 'text')"
+            )
+        k = self._topk(st, t.settings)
+        self._check_direction(st, call.alias, "desc")
+        p = dict(call.params)
+        fusion_type = str(p.pop("fusion_type", "rsf"))
+        fusion_weight = p.pop("fusion_weight", None)
+        fusion_k = p.pop("fusion_k", None)
+        operator = str(p.pop("operator", "OR"))
+        # dense_-prefixed params route to the vector leg (00040 syntax)
+        vec_params = {
+            kk[len("dense_"):]: vv for kk, vv in p.items() if kk.startswith("dense_")
+        } or None
+        res = t.hybrid_search(
+            cols[0], cols[1],
+            np.asarray(lits[0], np.float32), str(lits[1]), k,
+            fusion_type=fusion_type, fusion_weight=fusion_weight,
+            fusion_k=fusion_k, filter=filt, operator=operator, params=vec_params,
+        )
+        rows = self._emit_search_rows(t, st, res, call.alias)
+        for r in rows:
+            r[call.alias] = float(r[call.alias])
+        return rows
+
+    # -------------------------------------------------------------- plain
+    def _plain_scan(self, t, st: P.Select, filt):
+        want_count = any(
+            isinstance(it.expr, tuple) and it.expr[0] == "count" for it in st.items
+        )
+        rows: List[Dict[str, Any]] = []
+        total = 0
+        cols: List[str] = []
+        for it in st.items:
+            if it.expr == "*":
+                cols.extend(t.schema.scalar_columns())
+            elif isinstance(it.expr, str):
+                cols.append(it.expr)
+        for seg in sorted(t.live_segments(), key=lambda s: s.segment_id):
+            alive = ~seg.deleted_host()[: seg.n_rows]
+            m = filt.evaluate(seg) & alive if filt is not None else alive
+            idxs = np.nonzero(m)[0]
+            total += len(idxs)
+            if not want_count:
+                for i in idxs:
+                    rows.append(
+                        {c: _pyval(seg.scalar(c)[i]) for c in cols}
+                    )
+        if want_count:
+            it = next(
+                it for it in st.items if isinstance(it.expr, tuple)
+            )
+            return [{it.alias or "count()": total}]
+        if st.order_by:
+            for expr, d in reversed(st.order_by):
+                name = expr[0] if isinstance(expr, tuple) else expr
+                rows.sort(key=lambda r: r.get(name), reverse=(d == "desc"))
+        lo = st.offset
+        hi = None if st.limit is None else st.offset + st.limit
+        return rows[lo:hi]
+
+    def _project_plain(self, rows: List[Dict[str, Any]], st: P.Select):
+        filt = st.where
+        if filt is not None:
+            rows = [r for r in rows if _eval_plain(filt, r)]
+        keep = []
+        for it in st.items:
+            if it.expr == "*":
+                return rows[: st.limit]
+            if isinstance(it.expr, str):
+                keep.append((it.expr, it.alias or it.expr))
+        out = [{alias: r.get(c) for c, alias in keep} for r in rows]
+        return out[: st.limit]
+
+
+def _eval_plain(expr, row: Dict[str, Any]) -> bool:
+    import operator as op
+
+    if isinstance(expr, P.Cmp):
+        f = {"<": op.lt, "<=": op.le, ">": op.gt, ">=": op.ge,
+             "==": op.eq, "!=": op.ne}[expr.op]
+        return bool(f(row.get(expr.column), expr.value))
+    if isinstance(expr, P.InList):
+        r = row.get(expr.column) in expr.values
+        return not r if expr.negate else r
+    if isinstance(expr, P.BoolOp):
+        if expr.op == "and":
+            return all(_eval_plain(a, row) for a in expr.args)
+        if expr.op == "or":
+            return any(_eval_plain(a, row) for a in expr.args)
+        return not _eval_plain(expr.args[0], row)
+    raise SQLError("unsupported system-table filter")
+
+
+def _pyval(v):
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if isinstance(v, (np.floating,)):
+        return float(v)
+    return v

@@ -1,0 +1,153 @@
+"""HNSW graph indexes: build quality (recall vs exact), beam-search
+semantics, filters, quantized variants, persistence. Mirrors reference
+tests 00013/00014 (hnsw metric grid) at small scale."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import myscaledb_tpu as ms
+from myscaledb_tpu import F
+from myscaledb_tpu.index.hnsw import HNSWFlatIndex, HNSWPQIndex, HNSWSQIndex
+from myscaledb_tpu.metrics import Metric
+from myscaledb_tpu.storage.segment import Segment
+from myscaledb_tpu.storage.schema import FloatVector, Schema, UInt64
+
+
+def _make(rng, n, d):
+    centers = 8.0 * rng.standard_normal((30, d)).astype(np.float32)
+    which = rng.integers(0, 30, n)
+    vecs = (centers[which] + rng.standard_normal((n, d))).astype(np.float32)
+    schema = Schema({"id": UInt64(), "vec": FloatVector(d)})
+    seg = Segment.from_columns(
+        0, schema,
+        {"id": np.arange(n, dtype=np.uint64), "vec": vecs},
+        storage_dtype=jnp.float32,
+    )
+    return seg, vecs
+
+
+def _recall(rows, want):
+    rows = np.asarray(rows)
+    return sum(
+        len(set(g.tolist()) & set(w.tolist())) for g, w in zip(rows, want)
+    ) / want.size
+
+
+@pytest.mark.parametrize("metric", [Metric.L2, Metric.COSINE])
+def test_hnsw_recall(rng, metric):
+    n, d, k, nq = 10_000, 32, 10, 16
+    seg, vecs = _make(rng, n, d)
+    idx = HNSWFlatIndex.build(
+        seg.vector("vec"), n, metric=metric, dim=d, params={"m": 16, "ef_c": 80}
+    )
+    q = (vecs[rng.choice(n, nq, replace=False)] + 0.05 * rng.standard_normal((nq, d))).astype(np.float32)
+    dpad = seg.vector("vec").data.shape[1]
+    qdev = jnp.asarray(np.pad(q, ((0, 0), (0, dpad - d))))
+    if metric == Metric.L2:
+        s = -((q[:, None] - vecs[None]) ** 2).sum(-1)
+    else:
+        s = (q / np.linalg.norm(q, axis=1, keepdims=True)) @ (
+            vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        ).T
+    want = np.argsort(-s, 1)[:, :k]
+    v, r = idx.search(qdev, k, params={"ef_s": 100})
+    rec = _recall(r, want)
+    assert rec >= 0.9, f"HNSW recall {rec} for {metric}"
+    # no duplicate rows in results
+    rr = np.asarray(r)
+    for row in rr:
+        live = row[row >= 0]
+        assert len(set(live.tolist())) == len(live)
+
+
+def test_hnsw_ef_s_tradeoff(rng):
+    n, d, k = 8_000, 16, 10
+    seg, vecs = _make(rng, n, d)
+    idx = HNSWFlatIndex.build(
+        seg.vector("vec"), n, metric=Metric.L2, dim=d, params={"m": 8, "ef_c": 40}
+    )
+    q = vecs[rng.choice(n, 16, replace=False)]
+    dpad = seg.vector("vec").data.shape[1]
+    qdev = jnp.asarray(np.pad(q, ((0, 0), (0, dpad - d))))
+    s = -((q[:, None] - vecs[None]) ** 2).sum(-1)
+    want = np.argsort(-s, 1)[:, :k]
+    recs = []
+    for ef in (16, 64, 128):
+        _, r = idx.search(qdev, k, params={"ef_s": ef})
+        recs.append(_recall(r, want))
+    assert recs[-1] >= recs[0] - 0.02  # more ef -> no worse
+    assert recs[-1] >= 0.9
+
+
+@pytest.mark.parametrize("cls", [HNSWSQIndex, HNSWPQIndex])
+def test_hnsw_quantized(rng, cls):
+    n, d, k = 6_000, 32, 10
+    seg, vecs = _make(rng, n, d)
+    params = {"m": 16, "ef_c": 60}
+    if cls is HNSWPQIndex:
+        params["M"] = 16
+    idx = cls.build(seg.vector("vec"), n, metric=Metric.L2, dim=d, params=params)
+    q = vecs[rng.choice(n, 8, replace=False)]
+    dpad = seg.vector("vec").data.shape[1]
+    qdev = jnp.asarray(np.pad(q, ((0, 0), (0, dpad - d))))
+    s = -((q[:, None] - vecs[None]) ** 2).sum(-1)
+    want = np.argsort(-s, 1)[:, :k]
+    _, r = idx.search(qdev, k, params={"ef_s": 100})
+    # quantized payloads: recall floor is codec-limited; self-neighbors
+    # should still dominate
+    assert _recall(r, want) >= 0.5
+
+
+def test_hnsw_filtered(rng):
+    n, d, k = 6_000, 16, 5
+    seg, vecs = _make(rng, n, d)
+    idx = HNSWFlatIndex.build(
+        seg.vector("vec"), n, metric=Metric.L2, dim=d, params={"m": 16}
+    )
+    allowed = rng.choice(n, 1000, replace=False)
+    mask = np.zeros(seg.capacity, bool)
+    mask[allowed] = True
+    dpad = seg.vector("vec").data.shape[1]
+    qdev = jnp.asarray(np.pad(vecs[:4], ((0, 0), (0, dpad - d))))
+    v, r = idx.search(qdev, k, params={"ef_s": 128}, mask=jnp.asarray(mask))
+    r = np.asarray(r)
+    assert np.all(np.isin(r[r >= 0], allowed))
+    assert (r >= 0).sum() > 0
+
+
+def test_hnsw_table_end_to_end(db, rng):
+    st = ms.Settings()
+    st.table.min_rows_to_build_vector_index = 500
+    d = 24
+    t = db.create_table(
+        "hnsw", ms.Schema({"id": ms.UInt64(), "vec": ms.FloatVector(d)}), settings=st
+    )
+    centers = 8 * rng.standard_normal((20, d)).astype(np.float32)
+    vecs = (centers[rng.integers(0, 20, 5000)] + rng.standard_normal((5000, d))).astype(np.float32)
+    t.insert({"id": np.arange(5000, dtype=np.uint64), "vec": vecs})
+    t.add_vector_index("h", "vec", type="HNSWFLAT", m=16, ef_c=60, metric_type="Cosine")
+    assert t.wait_index_built(300)
+    assert t.system_vector_indices()[0]["type"] == "HNSWFLAT"
+    res = t.search("vec", vecs[99], k=3, params={"ef_s": 64})
+    assert int(t.gather(res, ["id"])["id"][0, 0]) == 99
+    # cosine distances ascending and ~0 for self
+    assert res.distances[0, 0] < 1e-3
+    # deleted rows never surface
+    t.delete(F("id") == 99)
+    res2 = t.search("vec", vecs[99], k=3, params={"ef_s": 64})
+    assert 99 not in t.gather(res2, ["id"])["id"][0].astype(int)
+
+
+def test_hnsw_state_roundtrip(rng):
+    n, d = 3_000, 16
+    seg, vecs = _make(rng, n, d)
+    idx = HNSWFlatIndex.build(
+        seg.vector("vec"), n, metric=Metric.L2, dim=d, params={"m": 8}
+    )
+    idx2 = HNSWFlatIndex.from_state_dict(idx.state_dict())
+    dpad = seg.vector("vec").data.shape[1]
+    qdev = jnp.asarray(np.pad(vecs[:3], ((0, 0), (0, dpad - d))))
+    v1, r1 = idx.search(qdev, 5)
+    v2, r2 = idx2.search(qdev, 5)
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))

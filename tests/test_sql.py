@@ -1,0 +1,160 @@
+"""SQL surface: DDL, INSERT, distance()/batch_distance()/textsearch()/
+hybridsearch() queries, direction checks, LIMIT/OFFSET windows, system
+tables. Mirrors the reference SQL functional tests (tests/queries/
+2_vector_search/*) at unit scale."""
+
+import numpy as np
+import pytest
+
+import myscaledb_tpu as ms
+
+
+@pytest.fixture()
+def sdb(db, rng):
+    db.sql(
+        """
+        CREATE TABLE docs (
+            id UInt64,
+            body String,
+            price Float32,
+            vec Array(Float32),
+            CONSTRAINT c CHECK length(vec) = 8,
+            VECTOR INDEX vidx vec TYPE FLAT('metric_type=L2'),
+            INDEX ft (body) TYPE fts('{"lower_case": true}') GRANULARITY 1
+        ) ENGINE = MergeTree ORDER BY id
+        """
+    )
+    rows = []
+    texts = ["red fox jumps", "lazy dog sleeps", "fast red car", "a dog and a fox",
+             "tpu vector search", "blue whale swims", "red dog barks", "quiet night sky"]
+    for i, txt in enumerate(texts):
+        vec = [float(i)] * 8
+        rows.append(f"({i}, '{txt}', {i * 10}.0, {vec})")
+    db.sql(f"INSERT INTO docs (id, body, price, vec) VALUES {', '.join(rows)}")
+    return db
+
+
+def test_create_insert_and_count(sdb):
+    assert sdb.sql("SELECT count() FROM docs")[0]["count()"] == 8
+    rows = sdb.sql("SELECT id, body FROM docs WHERE id < 3 ORDER BY id DESC")
+    assert [r["id"] for r in rows] == [2, 1, 0]
+    assert rows[0]["body"] == "fast red car"
+
+
+def test_distance_query(sdb):
+    rows = sdb.sql(
+        "SELECT id, distance(vec, [3.1,3.1,3.1,3.1,3.1,3.1,3.1,3.1]) AS d "
+        "FROM docs ORDER BY d ASC LIMIT 3"
+    )
+    assert [r["id"] for r in rows] == [3, 4, 2]
+    assert rows[0]["d"] < rows[1]["d"] < rows[2]["d"]
+
+
+def test_distance_with_where(sdb):
+    rows = sdb.sql(
+        "SELECT id, distance(vec, [3.1]*8 ) AS d FROM docs "
+        "WHERE price > 35 ORDER BY d LIMIT 2"
+        .replace("[3.1]*8", "[3.1,3.1,3.1,3.1,3.1,3.1,3.1,3.1]")
+    )
+    assert [r["id"] for r in rows] == [4, 5]
+
+
+def test_distance_requires_limit(sdb):
+    with pytest.raises(ms.QueryShapeError):
+        sdb.sql("SELECT id, distance(vec, [1.0,1,1,1,1,1,1,1]) AS d FROM docs ORDER BY d")
+
+
+def test_order_by_direction_check(sdb):
+    with pytest.raises(ms.QueryShapeError):
+        sdb.sql(
+            "SELECT id, distance(vec, [1.0,1,1,1,1,1,1,1]) AS d "
+            "FROM docs ORDER BY d DESC LIMIT 3"
+        )
+
+
+def test_limit_offset(sdb):
+    rows = sdb.sql(
+        "SELECT id, distance(vec, [0.0,0,0,0,0,0,0,0]) AS d "
+        "FROM docs ORDER BY d LIMIT 2 OFFSET 1"
+    )
+    assert [r["id"] for r in rows] == [1, 2]
+
+
+def test_batch_distance(sdb):
+    rows = sdb.sql(
+        "SELECT id, batch_distance(vec, [[0.0,0,0,0,0,0,0,0],[7.0,7,7,7,7,7,7,7]]) AS d "
+        "FROM docs ORDER BY d.2 LIMIT 2 BY d.1"
+    )
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["d"][0], []).append(r["id"])
+    assert by_q[0] == [0, 1]
+    assert by_q[1] == [7, 6]
+
+
+def test_textsearch(sdb):
+    rows = sdb.sql(
+        "SELECT id, body, textsearch(body, 'red dog') AS s "
+        "FROM docs ORDER BY s DESC LIMIT 3"
+    )
+    assert rows[0]["id"] == 6  # contains both terms
+    assert all(rows[i]["s"] >= rows[i + 1]["s"] for i in range(len(rows) - 1))
+    with pytest.raises(ms.QueryShapeError):
+        sdb.sql("SELECT id, textsearch(body, 'red') AS s FROM docs LIMIT 3")
+
+
+def test_hybridsearch(sdb):
+    rows = sdb.sql(
+        "SELECT id, hybridsearch('fusion_type=rrf','fusion_k=60')"
+        "(vec, body, [6.9,6.9,6.9,6.9,6.9,6.9,6.9,6.9], 'red dog') AS score "
+        "FROM docs ORDER BY score DESC LIMIT 3"
+    )
+    ids = [r["id"] for r in rows]
+    # doc 6 matches both legs (nearest-but-one vector + both text terms)
+    assert ids[0] == 6
+    assert all(rows[i]["score"] >= rows[i + 1]["score"] for i in range(len(rows) - 1))
+
+
+def test_alter_and_system_tables(sdb):
+    sdb.sql("ALTER TABLE docs DROP VECTOR INDEX vidx")
+    assert sdb.sql("SELECT * FROM system.vector_indices") == []
+    sdb.sql("ALTER TABLE docs ADD VECTOR INDEX v2 vec TYPE IVFFLAT('ncentroids=4')")
+    rows = sdb.sql("SELECT name, type, status FROM system.vector_indices")
+    assert rows[0]["name"] == "v2" and rows[0]["type"] == "IVFFLAT"
+    ev = sdb.sql(
+        "SELECT event FROM system.vector_index_event_log WHERE event = 'DefinitionDropped'"
+    )
+    assert len(ev) >= 1
+
+
+def test_delete_and_drop(sdb):
+    out = sdb.sql("DELETE FROM docs WHERE id IN (0, 1)")
+    assert out[0]["deleted"] == 2
+    assert sdb.sql("SELECT count() FROM docs")[0]["count()"] == 6
+    sdb.sql("DROP TABLE docs")
+    assert "docs" not in sdb.tables()
+    sdb.sql("DROP TABLE IF EXISTS docs")  # no error
+
+
+def test_create_vector_index_statement(db, rng):
+    db.sql(
+        "CREATE TABLE v2 (id UInt64, vec Array(Float32), "
+        "CONSTRAINT c CHECK length(vec) = 4)"
+    )
+    db.sql("INSERT INTO v2 (id, vec) VALUES (1, [1.0,0,0,0]), (2, [0.0,1,0,0])")
+    db.sql("CREATE VECTOR INDEX vi ON v2 vec TYPE MSTG")
+    rows = db.sql("SELECT name, type FROM system.vector_indices")
+    assert rows[0]["type"] == "MSTG"
+    got = db.sql(
+        "SELECT id, distance(vec, [1.0,0.1,0,0]) AS d FROM v2 ORDER BY d LIMIT 1"
+    )
+    assert got[0]["id"] == 1
+
+
+def test_parse_errors(db):
+    with pytest.raises(ms.SQLError):
+        db.sql("SELEC 1")
+    with pytest.raises(ms.SQLError):
+        db.sql("CREATE TABLE t (v Array(Float32))")  # missing constraint
+    with pytest.raises(ms.SQLError):
+        db.sql("SELECT id FROM")
