@@ -159,9 +159,14 @@ class InvertedIndex:
         capacity: int,
         *,
         analyzer: Optional[Analyzer] = None,
+        use_native: bool = True,
     ) -> "InvertedIndex":
         analyzer = analyzer or Analyzer()
         n_rows = len(texts_per_column[0])
+        if use_native:
+            native_out = cls._build_native(texts_per_column, capacity, analyzer)
+            if native_out is not None:
+                return native_out
         vocab: Dict[str, int] = {}
         # first pass: tokenize, count tf per (term, row)
         row_tokens: List[List[int]] = []
@@ -211,6 +216,60 @@ class InvertedIndex:
             jnp.asarray(prow),
             jnp.asarray(ptf),
             jnp.asarray(doc_len),
+            stats,
+            analyzer,
+        )
+
+    @classmethod
+    def _build_native(cls, texts_per_column, capacity: int, analyzer: Analyzer):
+        """Native (C++) build path — identical output to the Python
+        builder; returns None when the library is unavailable."""
+        from . import native
+
+        if not native.available():
+            return None
+        n_rows = len(texts_per_column[0])
+        if len(texts_per_column) == 1:
+            docs = [str(x) for x in texts_per_column[0]]
+        else:
+            # multi-column: concatenate with a separator (space is never a
+            # token char, so tokenization is unchanged)
+            docs = [
+                " ".join(str(col[i]) for col in texts_per_column)
+                for i in range(n_rows)
+            ]
+        out = native.build_csr(
+            docs,
+            lower_case=analyzer.lower_case,
+            min_token_len=analyzer.min_token_len,
+            max_token_len=analyzer.max_token_len,
+            stop_words=analyzer.stop_words,
+        )
+        if out is None:
+            return None
+        vocab, offsets, rows, tf, doc_len, total_tokens = out
+        v = len(vocab)
+        df_arr = (offsets[1:] - offsets[:-1]) if v else np.zeros(0, np.int64)
+        max_df = int(df_arr.max()) if v else 1
+        nnz = int(offsets[-1]) if v else 0
+        nnz_pad = nnz + _round_pow2(max(max_df, 128))
+        prow = np.zeros(nnz_pad, np.int32)
+        ptf = np.zeros(nnz_pad, np.float32)
+        prow[:nnz] = rows
+        ptf[:nnz] = tf
+        dl = np.zeros(capacity, np.float32)
+        dl[:n_rows] = doc_len
+        terms = sorted(vocab, key=vocab.get)
+        doc_freq = {t: int(df_arr[i]) for i, t in enumerate(terms)}
+        stats = BM25Stats(n_rows, total_tokens, doc_freq)
+        return cls(
+            capacity,
+            n_rows,
+            vocab,
+            offsets,
+            jnp.asarray(prow),
+            jnp.asarray(ptf),
+            jnp.asarray(dl),
             stats,
             analyzer,
         )

@@ -1,0 +1,76 @@
+"""Native C++ FTS builder: availability, parity with the Python builder,
+and speed sanity. (The reference's equivalent native component is the
+tantivy Rust writer — SURVEY.md §2.4.)"""
+
+import numpy as np
+import pytest
+
+from myscaledb_tpu.text import native
+from myscaledb_tpu.text.analyzer import Analyzer
+from myscaledb_tpu.text.inverted import InvertedIndex
+
+DOCS = [
+    "The quick brown fox JUMPS over the lazy dog's tail",
+    "a quick brown cat; sits, on the mat!",
+    "naïve café unicode—separated tokens_and_more",
+    "",
+    "repeat repeat repeat once",
+    "don't stop believing",
+]
+
+
+@pytest.fixture(scope="module")
+def native_ok():
+    if not native.available():
+        pytest.skip("native library unavailable (no g++?)")
+    return True
+
+
+def test_native_matches_python_builder(native_ok):
+    docs = np.array(DOCS * 10, dtype=object)
+    a = Analyzer({"stop_words": "english", "min_token_len": 2})
+    py = InvertedIndex.build([docs], capacity=64, analyzer=a, use_native=False)
+    nat = InvertedIndex.build([docs], capacity=64, analyzer=a, use_native=True)
+    assert nat.vocab == py.vocab
+    np.testing.assert_array_equal(nat.term_offsets, py.term_offsets)
+    nnz = int(py.term_offsets[-1])
+    np.testing.assert_array_equal(
+        np.asarray(nat.postings_rows)[:nnz], np.asarray(py.postings_rows)[:nnz]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(nat.postings_tf)[:nnz], np.asarray(py.postings_tf)[:nnz]
+    )
+    np.testing.assert_array_equal(np.asarray(nat.doc_len), np.asarray(py.doc_len))
+    assert nat.stats.total_tokens == py.stats.total_tokens
+    assert nat.stats.doc_freq == py.stats.doc_freq
+
+
+def test_native_multi_column_parity(native_ok):
+    c1 = np.array(["alpha beta", "gamma"], dtype=object)
+    c2 = np.array(["beta delta", "epsilon gamma"], dtype=object)
+    py = InvertedIndex.build([c1, c2], capacity=8, use_native=False)
+    nat = InvertedIndex.build([c1, c2], capacity=8, use_native=True)
+    assert nat.vocab == py.vocab
+    assert nat.stats.doc_freq == py.stats.doc_freq
+    v1, r1, _ = py.bm25_topk("beta gamma", 2)
+    v2, r2, _ = nat.bm25_topk("beta gamma", 2)
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-6)
+
+
+def test_native_speed_sanity(native_ok):
+    """Native build must beat the Python tokenizer comfortably at scale."""
+    import time
+
+    rng = np.random.default_rng(0)
+    words = [f"w{i}" for i in range(5000)]
+    docs = np.array(
+        [" ".join(rng.choice(words, 60)) for _ in range(3000)], dtype=object
+    )
+    t0 = time.time()
+    InvertedIndex.build([docs], capacity=3072, use_native=False)
+    t_py = time.time() - t0
+    t0 = time.time()
+    InvertedIndex.build([docs], capacity=3072, use_native=True)
+    t_nat = time.time() - t0
+    assert t_nat < t_py, f"native {t_nat:.3f}s not faster than python {t_py:.3f}s"
