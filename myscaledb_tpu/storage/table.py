@@ -79,7 +79,7 @@ class Table:
         self._text_indexes: Dict[str, Any] = {}  # name -> TextIndexDefinition
 
     # ------------------------------------------------------------- ingest
-    def insert(self, columns: Dict[str, Any]) -> int:
+    def insert(self, columns: Dict[str, Any], *, _schedule_builds: bool = True) -> int:
         """One insert = one immutable segment (one MergeTree part)."""
         from .segment import Segment
 
@@ -98,8 +98,9 @@ class Table:
         )
         with self._lock:
             self._segments[seg_id] = seg
-            for desc in self._index_descs.values():
-                self._schedule_build(seg, desc)
+            descs = list(self._index_descs.values()) if _schedule_builds else []
+        for desc in descs:
+            self._schedule_build(seg, desc)
         for tname, tdef in list(self._text_indexes.items()):
             tdef.on_new_segment(seg)
         GLOBAL_COUNTERS.bump("InsertedSegments")
@@ -204,7 +205,7 @@ class Table:
                 IndexStatus.ERROR,
             ):
                 return
-            slot.status = IndexStatus.BUILDING
+            slot.status = IndexStatus.BUILDING  # serving instance (if any) stays live
         self.event_log.record(
             self.name, desc.name, desc.column, EventType.BUILD_START,
             segment_id=seg.segment_id,
@@ -293,8 +294,10 @@ class Table:
                 slot = self._slots.get((segment_id, desc.name))
                 if slot is None:
                     continue
-                if slot.status == IndexStatus.LOADED and slot.instance:
-                    if self._index_cache is not None:
+                if slot.instance is not None:
+                    # LOADED, or a decoupled instance serving while the
+                    # real rebuild is PENDING/BUILDING
+                    if slot.status == IndexStatus.LOADED and self._index_cache is not None:
                         self._index_cache.get((self.name, desc.name, segment_id))
                     return slot.instance
                 if slot.status == IndexStatus.BUILT and slot.path:
@@ -403,7 +406,10 @@ class Table:
                 ):
                     idir = os.path.join(segdir, f"index_{name}")
                     if inst is not None:
-                        persistence.save_index(inst, idir)
+                        try:
+                            persistence.save_index(inst, idir)
+                        except NotImplementedError:
+                            continue  # transient (decoupled) — rebuilt on load
                         with self._lock:
                             slot.path = idir
         with open(os.path.join(root, "indexes.json"), "w") as f:
@@ -605,12 +611,11 @@ class Table:
 
     def merge(self, segment_ids: Optional[List[int]] = None) -> Optional[int]:
         """Merge segments into one, dropping deleted rows (background merge
-        analogue, SURVEY.md §3.4). Indexes for the merged segment are
-        rescheduled; with enable_decouple_vector_index the merged segment
-        would keep old index segments searchable via row-id maps — the
-        TPU rebuild is fast enough that we currently rebuild eagerly and
-        keep the *source segments* searchable until the new build finishes,
-        which preserves the same no-downtime property with less machinery.
+        analogue, SURVEY.md §3.4). With enable_decouple_vector_index and
+        built source indexes, the merged segment is served through a
+        DecoupledIndex (source indexes + row-id maps — the row_ids_map
+        mechanism of MergeTask.cpp:319-405) until its own index rebuild
+        completes in the background.
         """
         with self._lock:
             ids = segment_ids or sorted(self._segments)
@@ -620,8 +625,15 @@ class Table:
         cols: Dict[str, List[np.ndarray]] = {c: [] for c in self.schema.columns}
         import jax.numpy as jnp
 
+        row_maps: List[np.ndarray] = []  # old capacity -> new row id
+        offset = 0
         for seg in sources:
             alive = ~seg.deleted_host()[: seg.n_rows]
+            rmap = np.full(seg.capacity, -1, np.int32)
+            n_alive = int(alive.sum())
+            rmap[: seg.n_rows][alive] = offset + np.arange(n_alive, dtype=np.int32)
+            offset += n_alive
+            row_maps.append(rmap)
             for cname, ctype in self.schema.columns.items():
                 if cname in seg.vectors:
                     data = np.asarray(
@@ -635,17 +647,60 @@ class Table:
                 else:
                     cols[cname].append(seg.scalar(cname)[: seg.n_rows][alive])
         merged = {c: np.concatenate(v, axis=0) for c, v in cols.items()}
-        if len(next(iter(merged.values()))) == 0:
+        n_merged = len(next(iter(merged.values())))
+        if n_merged == 0:
             with self._lock:
                 for i in ids:
                     self._segments.pop(i, None)
                     for key in [k for k in self._slots if k[0] == i]:
                         del self._slots[key]
             return None
-        new_id = self.insert(merged)
-        # Drop sources only after the new segment exists (and its index
-        # builds are scheduled); searches in between see both generations
-        # but the merged rows replace the originals atomically below.
+        new_id = self.insert(merged, _schedule_builds=False)
+        new_seg = self._segments[new_id]
+
+        # Decoupled serving: if every source has a live index for a
+        # description, the merged segment searches through them with row-id
+        # translation until its own build lands.
+        from ..index.decoupled import DecoupledIndex
+
+        decouple = self.settings.table.enable_decouple_vector_index
+        with self._lock:
+            descs = list(self._index_descs.values())
+        for desc in descs:
+            subs = []
+            with self._lock:
+                for src in sources:
+                    slot = self._slots.get((src.segment_id, desc.name))
+                    if slot is not None and slot.instance is not None:
+                        subs.append(slot.instance)
+            key = (new_id, desc.name)
+            small = n_merged < self.settings.table.min_rows_to_build_vector_index
+            if decouple and not small and len(subs) == len(sources):
+                inst = DecoupledIndex(
+                    subs,
+                    [jnp.asarray(m) for m in row_maps],
+                    metric=desc.metric,
+                    dim=desc.dim,
+                    n_rows=n_merged,
+                )
+                with self._lock:
+                    self._slots[key] = IndexSlot(
+                        IndexStatus.PENDING, instance=inst
+                    )
+                slow = (
+                    n_merged
+                    > self.settings.table.max_rows_for_slow_mode_single_vector_index_build
+                )
+                job = lambda d=desc: self._build_one(new_seg, d)
+                if self._scheduler is not None:
+                    self._scheduler.submit(job, slow=slow)
+                else:
+                    job()
+                GLOBAL_COUNTERS.bump("DecoupledMerges")
+            else:
+                self._schedule_build(new_seg, desc)
+        # Drop sources only after the new segment exists; searches in
+        # between see both generations but never double rows.
         with self._lock:
             for i in ids:
                 self._segments.pop(i, None)
