@@ -184,6 +184,24 @@ class Database:
                         t._schedule_build(seg, desc)
         return t
 
+    def create_sharded_table(
+        self,
+        name: str,
+        schema: Schema,
+        *,
+        n_shards: int,
+        settings: Optional[Settings] = None,
+        shard_key: Optional[str] = None,
+    ):
+        """Distributed-engine analogue: a logical table over n shards with
+        initiator-side fusion (see parallel/sharded_table.py)."""
+        from ..parallel.sharded_table import ShardedTable
+
+        return ShardedTable(
+            self, name, schema, n_shards=n_shards, settings=settings,
+            shard_key=shard_key,
+        )
+
     def table(self, name: str) -> Table:
         with self._lock:
             if name not in self._tables:
@@ -217,11 +235,63 @@ class Database:
             return rows
         if which == "vector_index_event_log":
             return self.event_log.rows()
+        if which in ("span_log", "opentelemetry_span_log"):
+            from ..service.tracing import GLOBAL_SPAN_LOG
+
+            return GLOBAL_SPAN_LOG.rows()
         if which == "profile_events":
             return [
                 {"event": k, "value": v} for k, v in sorted(self.counters.snapshot().items())
             ]
         raise SchemaError(f"unknown system table: {which}")
+
+    # ------------------------------------------------------ table functions
+    def full_text_search(
+        self,
+        table: str,
+        index_name: str,
+        query: str,
+        *,
+        k: Optional[int] = None,
+        columns: Optional[List[str]] = None,
+        with_score: bool = True,
+        operator: str = "OR",
+    ) -> List[dict]:
+        """full_text_search(db_table, index, query) table function
+        (StorageFullTextSearch, default limit 10000 —
+        TableFunctionFullTextSearch.cpp)."""
+        t = self.table(table)
+        res = t.text_search(index_name, query, k or 10_000, operator=operator)
+        cols = columns or list(t.schema.scalar_columns())
+        gathered = t.gather(res, cols)
+        out = []
+        for j in range(res.k):
+            if not res.valid[0, j]:
+                continue
+            row = {c: gathered[c][0, j] for c in cols}
+            if with_score:
+                row["bm25_score"] = float(res.scores[0, j])
+            out.append(row)
+        return out
+
+    def fts_index_stats(self, table: str, column_or_index: str, query: str = "") -> dict:
+        """ftsIndex(db, table, col, query) analogue: table-level BM25 corpus
+        statistics (total docs/tokens, per-query-term doc freq) — the
+        payload a distributed initiator aggregates
+        (TableFunctionFtsIndex.cpp:112-116)."""
+        from ..search.text_executor import TextSearchExecutor
+
+        t = self.table(table)
+        tdef = TextSearchExecutor(t)._resolve(column_or_index)
+        seg_ids = [s.segment_id for s in t.live_segments()]
+        stats = tdef.merged_stats(seg_ids)
+        terms = tdef.analyzer.tokenize(query) if query else []
+        return {
+            "total_docs": stats.total_docs,
+            "total_tokens": stats.total_tokens,
+            "avg_doc_len": stats.avg_doc_len,
+            "doc_freq": {tm: stats.doc_freq.get(tm, 0) for tm in terms},
+        }
 
     # ----------------------------------------------------------------- sql
     def sql(self, statement: str):

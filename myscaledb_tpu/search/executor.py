@@ -35,6 +35,7 @@ from ..index.flat import FlatIndex
 from ..metrics import Metric, score_to_distance
 from ..ops.topk import NEG_INF
 from ..service.event_log import GLOBAL_COUNTERS
+from ..service.tracing import span
 from .filters import Expr
 
 
@@ -237,6 +238,15 @@ class VectorSearchExecutor:
         metric: Optional[Metric] = None,
         settings: Optional[Settings] = None,
         two_stage: Optional[bool] = None,
+    ) -> SearchResult:
+        with span("vector_search", table=self.table.name, column=column):
+            return self._run_traced(
+                column, query, k, filter=filter, params=params, metric=metric,
+                settings=settings, two_stage=two_stage,
+            )
+
+    def _run_traced(
+        self, column, query, k, *, filter, params, metric, settings, two_stage
     ) -> SearchResult:
         t = self.table
         st = settings or t.settings

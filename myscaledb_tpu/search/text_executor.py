@@ -80,6 +80,56 @@ class TextIndexDefinition:
             return sum(s.memory_bytes for s in self._stores.values())
 
 
+class _TokenFilter(Expr):
+    """hasToken predicate: index-accelerated when the segment has an fts
+    store (term bitmap, the ffi_query_term_bitmap role), tokenize-scan
+    fallback otherwise."""
+
+    def __init__(self, table, column: str, token: str):
+        self._table = table
+        self.column = column
+        self.token = token
+
+    def _tdef(self):
+        for d in self._table._text_indexes.values():
+            if self.column in d.columns:
+                return d
+        return None
+
+    def evaluate(self, segment) -> np.ndarray:
+        tdef = self._tdef()
+        if tdef is not None:
+            store = tdef.store(segment.segment_id)
+            if store is not None:
+                toks = tdef.analyzer.tokenize(self.token)
+                if not toks:
+                    return np.zeros(segment.n_rows, bool)
+                out = store.term_bitmap(toks[0])
+                for tk in toks[1:]:
+                    out &= store.term_bitmap(tk)
+                GLOBAL_COUNTERS.bump("FTSAcceleratedFilters")
+                return out
+        # fallback: tokenize-and-scan the column
+        an = Analyzer()
+        want = set(an.tokenize(self.token))
+        col = segment.scalar(self.column)[: segment.n_rows]
+        return np.fromiter(
+            (want <= set(an.tokenize(str(v))) for v in col),
+            dtype=bool,
+            count=segment.n_rows,
+        )
+
+    def columns(self):
+        return {self.column}
+
+    def __repr__(self):
+        return f"hasToken({self.column}, {self.token!r})"
+
+
+def fts_token_filter(table, column: str, token: str) -> Expr:
+    return _TokenFilter(table, column, token)
+
+
 class TextSearchExecutor:
     def __init__(self, table):
         self.table = table
@@ -105,9 +155,13 @@ class TextSearchExecutor:
         *,
         filter: Optional[Expr] = None,
         operator: str = "OR",
-        extra_stats: Optional[BM25Stats] = None,
+        stats_override: Optional[BM25Stats] = None,
     ) -> SearchResult:
-        """textsearch() analogue: BM25 top-k, scores descending."""
+        """textsearch() analogue: BM25 top-k, scores descending.
+
+        stats_override: cluster-wide statistics injected by a distributed
+        initiator (the _fts_statistic_info scalar analogue) — replaces the
+        local table stats so scores are comparable across shards."""
         t = self.table
         st = t.settings
         k = int(k if k is not None else st.query.default_topk)
@@ -122,11 +176,11 @@ class TextSearchExecutor:
         GLOBAL_COUNTERS.bump("TextSearchQueries")
         segments = t.live_segments()
         seg_ids = [s.segment_id for s in segments]
-        stats = tdef.merged_stats(seg_ids)
-        if extra_stats is not None:
-            # cluster-wide statistics injected by a distributed initiator
-            # (the _fts_statistic_info scalar analogue)
-            stats = BM25Stats.merge([stats, extra_stats])
+        stats = (
+            stats_override
+            if stats_override is not None
+            else tdef.merged_stats(seg_ids)
+        )
 
         per: List = []
         for seg in segments:

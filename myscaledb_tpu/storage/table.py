@@ -211,17 +211,21 @@ class Table:
             segment_id=seg.segment_id,
         )
         t0 = time.time()
+        from ..service.tracing import span as _span
         try:
             impl = registry.implementation(desc.kind)
             payload = seg.vector(desc.column)
-            instance = impl.build(
-                payload,
-                seg.n_rows,
-                metric=desc.metric,
-                dim=desc.dim,
-                params=desc.params,
-                settings=self.settings,
-            )
+            with _span("index_build", table=self.name, index=desc.name,
+                       kind=desc.kind.value, segment=seg.segment_id,
+                       rows=seg.n_rows):
+                instance = impl.build(
+                    payload,
+                    seg.n_rows,
+                    metric=desc.metric,
+                    dim=desc.dim,
+                    params=desc.params,
+                    settings=self.settings,
+                )
             elapsed = time.time() - t0
             with self._lock:
                 slot = self._slots.get(key)
@@ -493,6 +497,15 @@ class Table:
             self.name, name, ",".join(tdef.columns), EventType.DEFINITION_DROPPED
         )
 
+    def has_token(self, column: str, token: str) -> Expr:
+        """hasToken(col, 'tok') predicate, accelerated by the fts index
+        when one covers the column (enable_fts_index_for_string_functions,
+        Settings.h:121; MergeTreeConditionTantivy semantics). Falls back to
+        tokenize-and-scan when no index exists."""
+        from ..search.text_executor import fts_token_filter
+
+        return fts_token_filter(self, column, token)
+
     def text_search(
         self,
         column_or_index: str,
@@ -501,12 +514,14 @@ class Table:
         *,
         filter: Optional[Expr] = None,
         operator: str = "OR",
+        stats_override=None,
     ):
         """textsearch()(col, 'query') analogue: BM25 top-k, descending."""
         from ..search.text_executor import TextSearchExecutor
 
         return TextSearchExecutor(self).run(
-            column_or_index, query, k, filter=filter, operator=operator
+            column_or_index, query, k, filter=filter, operator=operator,
+            stats_override=stats_override,
         )
 
     def hybrid_search(
