@@ -44,9 +44,16 @@ class Database:
         *,
         path: Optional[str] = None,
         event_log_path=None,
+        replica_id: Optional[int] = None,
+        n_replicas: int = 1,
     ):
         self.settings = settings or Settings()
         self.path = path
+        self.replica = None
+        if replica_id is not None and n_replicas > 1:
+            from ..service.replication import ReplicaContext
+
+            self.replica = ReplicaContext(replica_id, n_replicas)
         self.event_log = EventLog(path=event_log_path)
         self._tables: Dict[str, Table] = {}
         self._lock = threading.RLock()
@@ -93,6 +100,7 @@ class Database:
                 scheduler=self.scheduler,
                 index_cache=self.index_cache,
                 storage_dir=os.path.join(self.path, name) if self.path else None,
+                replica=self.replica,
             )
             self._tables[name] = t
             return t

@@ -83,6 +83,10 @@ class TableSettings:
     # (MergeTreeSettings.h:185).
     max_rows_for_slow_mode_single_vector_index_build: int = 1_000_000
 
+    # One replica builds each (segment, index); others fetch the built
+    # files from the shared store (MergeTreeSettings.h:189).
+    build_vector_index_on_random_single_replica: bool = False
+
     # Keep old per-source index segments alive after a merge until the new
     # index is rebuilt, with row-id remapping (decoupled parts,
     # MergeTreeSettings.h:179; MergeTask.cpp:319-405).

@@ -62,11 +62,13 @@ class Table:
         scheduler=None,
         index_cache=None,
         storage_dir: Optional[str] = None,
+        replica=None,
     ):
         self.name = name
         self.schema = schema
         self.settings = settings or Settings()
         self.storage_dir = storage_dir
+        self.replica = replica
         self.event_log = event_log or EventLog()
         self._scheduler = scheduler
         self._index_cache = index_cache
@@ -190,7 +192,15 @@ class Table:
             seg.n_rows
             > self.settings.table.max_rows_for_slow_mode_single_vector_index_build
         )
-        job = lambda: self._build_one(seg, desc)
+        if (
+            self.replica is not None
+            and self.settings.table.build_vector_index_on_random_single_replica
+            and self.storage_dir
+            and not self.replica.i_build(self.name, seg.segment_id, desc.name)
+        ):
+            job = lambda: self._fetch_replica_index(seg, desc)
+        else:
+            job = lambda: self._build_one(seg, desc)
         if self._scheduler is not None:
             self._scheduler.submit(job, slow=slow)
         else:
@@ -241,6 +251,12 @@ class Table:
                     instance,
                     instance.memory_bytes,
                 )
+            if (
+                self.replica is not None
+                and self.settings.table.build_vector_index_on_random_single_replica
+                and self.storage_dir
+            ):
+                self._publish_index(seg.segment_id, desc.name, instance)
             self.event_log.record(
                 self.name, desc.name, desc.column, EventType.BUILD_SUCCEED,
                 segment_id=seg.segment_id, elapsed_s=elapsed,
@@ -272,6 +288,65 @@ class Table:
                 self._scheduler.submit(lambda: self._build_one(seg, desc))
             else:
                 self._build_one(seg, desc)
+
+    def _publish_index(self, segment_id: int, index_name: str, instance) -> None:
+        """Builder replica: write the index to the shared store right away
+        so peers can fetch (the DataPartsExchange upload side)."""
+        from ..service.replication import index_dir
+        from .persistence import save_index
+
+        try:
+            path = index_dir(self.storage_dir, segment_id, index_name)
+            save_index(instance, path)
+            with self._lock:
+                slot = self._slots.get((segment_id, index_name))
+                if slot is not None:
+                    slot.path = path
+        except NotImplementedError:
+            pass  # transient index kinds are not publishable
+
+    def _fetch_replica_index(self, seg, desc) -> None:
+        """Non-builder replica: wait for the builder's files and load them
+        (DataPartsExchange download side; timeout -> build locally)."""
+        from ..service.replication import wait_for_peer_index
+        from .persistence import load_index
+
+        key = (seg.segment_id, desc.name)
+        path = wait_for_peer_index(
+            self.storage_dir, seg.segment_id, desc.name, self.replica
+        )
+        if path is None:
+            GLOBAL_COUNTERS.bump("ReplicatedPartVectorIndexFailedFetches")
+            self._build_one(seg, desc)  # reference fallback: rebuild locally
+            return
+        try:
+            inst = load_index(path)
+            if inst is None:  # payload-backed kind: rebuild is the load
+                self._build_one(seg, desc)
+                return
+            with self._lock:
+                slot = self._slots.get(key)
+                if slot is None:
+                    return
+                slot.instance = inst
+                slot.status = IndexStatus.LOADED
+                slot.path = path
+            if self._index_cache is not None:
+                self._index_cache.put(
+                    (self.name, desc.name, seg.segment_id), inst, inst.memory_bytes
+                )
+            GLOBAL_COUNTERS.bump("ReplicatedPartVectorIndexFetches")
+            self.event_log.record(
+                self.name, desc.name, desc.column, EventType.LOAD_SUCCEED,
+                segment_id=seg.segment_id,
+            )
+        except Exception as e:  # noqa: BLE001
+            GLOBAL_COUNTERS.bump("ReplicatedPartVectorIndexFailedFetches")
+            with self._lock:
+                slot = self._slots.get(key)
+                if slot is not None:
+                    slot.error = f"fetch: {type(e).__name__}: {e}"
+            self._build_one(seg, desc)
 
     def wait_index_built(self, timeout: float = 300.0) -> bool:
         """Block until no PENDING/BUILDING slots remain (the test helper's
