@@ -79,6 +79,49 @@ def _scan_rep(payload, n_rows: int, metric: Metric) -> jax.Array:
     return data
 
 
+def balanced_kmeans(
+    rep: jax.Array,
+    rep_h: np.ndarray,
+    n_rows: int,
+    c: int,
+    *,
+    rounds: int = 3,
+    seed: int = 0,
+):
+    """K-means whose heavy clusters are recursively split: rows of every
+    oversized cluster are re-clustered together and those clusters'
+    centroids replaced by the sub-centroids. Bounds the size histogram's
+    tail, which directly bounds bucket padding AND per-probe scan work
+    (the CPU reference tolerates ragged lists; a static layout cannot).
+    Returns (centroids f32[C', D], assign int32[n]) — C' may exceed c.
+    """
+    cents = kmeans.kmeans_fit(
+        kmeans.training_sample(rep, n_rows, c, seed=seed),
+        n_clusters=c,
+        n_iters=10,
+        seed=seed,
+    )
+    assign = np.asarray(kmeans.assign_chunked(rep, cents))
+    cents_h = np.asarray(cents)
+    for r in range(rounds):
+        c_cur = cents_h.shape[0]
+        sizes = np.bincount(assign, minlength=c_cur)
+        limit = max(64, int(math.ceil(1.4 * n_rows / c_cur)))
+        big = sizes > limit
+        if not big.any():
+            break
+        big_rows = np.nonzero(big[assign])[0]
+        k2 = max(2, int(math.ceil(len(big_rows) / (0.8 * limit))))
+        sub = jnp.asarray(rep_h[big_rows])
+        sub_sample = kmeans.training_sample(sub, len(big_rows), k2, seed=seed + r + 1)
+        sub_cents = kmeans.kmeans_fit(
+            sub_sample, n_clusters=min(k2, len(big_rows)), n_iters=8, seed=seed + r + 1
+        )
+        cents_h = np.concatenate([cents_h[~big], np.asarray(sub_cents)], axis=0)
+        assign = np.asarray(kmeans.assign_chunked(rep, jnp.asarray(cents_h)))
+    return jnp.asarray(cents_h), assign
+
+
 @register_index_pytree
 class IVFIndex(VectorIndex):
     """Shared IVF machinery; `codec` selects the bucket payload:
@@ -139,15 +182,14 @@ class IVFIndex(VectorIndex):
         dpad = payload.data.shape[1]
 
         rep = _scan_rep(payload, n_rows, metric)  # f32[n, dpad] device
-        sample = kmeans.training_sample(rep, n_rows, c, seed=0)
-        cents = kmeans.kmeans_fit(sample, n_clusters=c, n_iters=10, seed=0)
-        assign = np.asarray(kmeans.assign_chunked(rep, cents))  # [n] host
+        rep_h = np.asarray(rep, dtype=np.float32)
+        cents, assign = balanced_kmeans(rep, rep_h, n_rows, c, seed=0)
+        c = int(cents.shape[0])  # splitting may grow the centroid count
 
         # Host-side bucket packing (build path; one device pull + one push).
         sizes = np.bincount(assign, minlength=c)
         cap = _choose_bucket_cap(sizes, n_rows)
         order = np.argsort(assign, kind="stable")
-        rep_h = np.asarray(rep, dtype=np.float32)
 
         bucket_rows = np.full((c, cap), -1, np.int32)
         overflow: list = []
@@ -350,9 +392,9 @@ class IVFIndex(VectorIndex):
                     valid, jnp.take(mask, jnp.maximum(rows, 0))
                 )
             scores = jnp.where(valid, scores, NEG_INF)
-            sv, sp = topk_scores(
-                scores, kk, approx=self.approx, recall_target=self.recall_target
-            )
+            # exact per-bucket top-k: on TPU it measured both FASTER and
+            # higher-recall than approx_max_k at bucket widths (~1-4k)
+            sv, sp = topk_scores(scores, kk, approx=False)
             sr = jnp.take_along_axis(rows, jnp.maximum(sp, 0), axis=-1)
             sr = jnp.where(sp >= 0, sr, -1)
             mv = jnp.concatenate([bv, sv], axis=-1)

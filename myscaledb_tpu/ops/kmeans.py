@@ -72,10 +72,27 @@ def lloyd_stats(
 def lloyd_update(
     centroids: jax.Array, sums: jax.Array, counts: jax.Array
 ) -> jax.Array:
-    """M step: mean of assigned rows; empty clusters keep their centroid."""
+    """M step: mean of assigned rows. Empty clusters are reseeded by
+    splitting the largest clusters (perturbed copies of their centroids,
+    FAISS split_clusters-style) — this keeps the cluster-size histogram
+    tight, which directly bounds the IVF bucket padding."""
+    c, d = centroids.shape
     safe = jnp.maximum(counts, 1.0)[:, None]
-    new = sums / safe
-    return jnp.where(counts[:, None] > 0, new, centroids)
+    new = jnp.where(counts[:, None] > 0, sums / safe, centroids)
+    empty = counts <= 0
+    # rank of each empty slot among empties -> round-robin over the
+    # largest clusters
+    order = jnp.argsort(-counts)  # big clusters first
+    n_targets = max(1, min(32, c))
+    empty_rank = jnp.cumsum(empty.astype(jnp.int32)) - 1
+    target = order[jnp.clip(empty_rank % n_targets, 0, c - 1)]
+    donor = new[target]  # [C, D] (only rows where empty matter)
+    # deterministic small perturbation, different per slot
+    slot = jnp.arange(c, dtype=jnp.float32)[:, None]
+    jitter = 1e-3 * jnp.sin(slot * (jnp.arange(d, dtype=jnp.float32)[None, :] + 1.0))
+    scale = jnp.maximum(jnp.abs(donor), 1e-3)
+    reseed = donor + jitter * scale
+    return jnp.where(empty[:, None], reseed, new)
 
 
 @functools.partial(jax.jit, static_argnames=("n_clusters", "n_iters"))
