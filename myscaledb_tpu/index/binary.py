@@ -27,8 +27,27 @@ from ..ops import kmeans
 from ..ops._pallas import round_up
 from ..ops.topk import NEG_INF, topk_scores
 from .base import IndexKind, ParamsKey, VectorIndex, register_index_pytree
-from .ivf import DEFAULT_NPROBE, _choose_bucket_cap, default_ncentroids
+from .ivf import DEFAULT_NPROBE, default_ncentroids
 from .registry import register
+
+
+def _choose_bucket_cap(sizes: np.ndarray, n_rows: int) -> int:
+    """Smallest bucket capacity with <=2% of rows spilling to overflow,
+    capped at 4x the mean (binary indexes keep the padded-bucket layout —
+    binary payloads are small enough that padding is cheap)."""
+    import math as _math
+
+    from ..ops._pallas import round_up as _round_up
+
+    mean = max(1.0, n_rows / max(len(sizes), 1))
+    hi = int(_round_up(max(32, int(_math.ceil(4.0 * mean))), 8))
+    lo = int(_round_up(max(32, int(_math.ceil(1.0 * mean))), 8))
+    cap = hi
+    for cand in range(lo, hi + 1, 8):
+        if np.maximum(sizes - cand, 0).sum() <= 0.02 * n_rows:
+            cap = cand
+            break
+    return int(cap)
 
 
 @register(IndexKind.BINARYFLAT)

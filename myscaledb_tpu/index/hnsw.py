@@ -235,7 +235,7 @@ class _HNSWBase(VectorIndex):
                         free[v] -= 1
 
         # 4) entry points = IVF centroid representatives
-        entry_rows = np.asarray(ivf.bucket_rows[:, 0])
+        entry_rows = np.asarray(ivf.cluster_heads())
 
         # payload codec for scoring
         codec_a = codec_b = None

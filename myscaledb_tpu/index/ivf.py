@@ -1,31 +1,33 @@
-"""IVF indexes: k-means coarse quantizer + bucketed posting lists, with
-raw (IVFFLAT), int8 (IVFSQ), and product-quantized (IVFPQ) payloads, plus
-the two-stage MSTG-style index (quantized first pass + exact re-rank).
+"""IVF indexes: k-means coarse quantizer over a cluster-major window
+layout, with raw (IVFFLAT), int8 (IVFSQ) and product-quantized (IVFPQ)
+payloads, plus the two-stage MSTG-style index (quantized first pass +
+exact re-rank).
 
 TPU re-design of the reference's IVF*/MSTG family (search-index library,
-SURVEY.md §2.3). The CPU layout (ragged posting lists, per-list scan)
-becomes a static bucketed layout:
+SURVEY.md §2.3). The CPU layout (ragged posting lists, per-list pointer
+chasing) becomes:
 
-  * centroids f32[C, D]: trained by ops/kmeans (MXU Lloyd's);
-  * bucket payload [C, B, ...]: every cluster padded/clipped to a fixed
-    bucket capacity B (≈1.2x mean cluster size). Static shapes; memory
-    overhead is the padding.
-  * rows that overflow their bucket spill to a small "overflow" region
-    scanned on every query — clipping never loses rows, it only moves
-    them to the always-scanned path (recall can only go up).
+  * centroids f32[C, D] from balanced k-means (oversized clusters are
+    recursively split — a static layout cannot tolerate ragged tails);
+  * ONE cluster-major permutation of the payload, `perm_data[N', D']`,
+    with per-cluster row offsets `cluster_start[C+1]`. Zero padding
+    beyond rounding N to the 512-row window size;
+  * search reads fixed 512-row WINDOWS: each query turns its top-nprobe
+    clusters into a per-query window list (rounded out to window
+    boundaries — boundary rows of neighboring clusters are merely extra
+    true candidates), padded/truncated to a static budget W. A lax.scan
+    gathers one window per query per step, decodes the codec inline,
+    scores on the MXU, and folds into a running top-k. Work per query is
+    EXACTLY the probed rows (±511), independent of cluster skew.
 
-Search: top-nprobe centroids per query on the MXU, then a lax.scan over
-probe slots — each step gathers one bucket per query, decodes it (codec
-fused into the scan), scores on the MXU, and folds into a running top-k.
 The pre-filter/delete bitmap is applied inside the scan by row-id lookup
-(the DenseBitmap-into-search contract, VIWithDataPart.cpp:930).
+(the DenseBitmap-into-search contract, VIWithDataPart.cpp:930). Cosine is
+normalize-then-IP (as the reference: VIWithDataPart.h:349).
 
-Cosine is normalize-then-IP (as the reference does, VIWithDataPart.h:349).
-
-MSTG here = IVF over SQ8-compressed buckets + exact re-rank of the top
-candidates against the raw segment payload (the two-stage semantics of
-§3.5: search(first_stage_only) + computeTopDistanceSubset). `disk_mode`
-is accepted for DDL parity; payloads are HBM-resident either way.
+MSTG here = IVF over SQ8-compressed windows + exact re-rank of the top
+candidates against the raw segment payload (two-stage semantics of §3.5:
+search(first_stage_only) + computeTopDistanceSubset). `disk_mode` is
+accepted for DDL parity; payloads are HBM-resident either way.
 """
 
 from __future__ import annotations
@@ -39,13 +41,14 @@ import numpy as np
 
 from ..errors import IndexParameterError
 from ..metrics import Metric
-from ..ops import bruteforce, distance, kmeans, quantize
+from ..ops import distance, kmeans, quantize
 from ..ops._pallas import round_up
-from ..ops.topk import NEG_INF, topk_scores
+from ..ops.topk import NEG_INF, dedup_rows
 from .base import IndexKind, ParamsKey, VectorIndex, register_index_pytree
 from .registry import register
 
 DEFAULT_NPROBE = 16
+WINDOW = 512  # rows per scan window
 
 
 def default_ncentroids(n_rows: int) -> int:
@@ -53,22 +56,6 @@ def default_ncentroids(n_rows: int) -> int:
     c = int(4 * math.sqrt(max(n_rows, 1)))
     c = 1 << max(4, int(round(math.log2(max(c, 16)))))
     return int(min(c, max(16, n_rows // 8), 65_536))
-
-
-def _choose_bucket_cap(sizes: np.ndarray, n_rows: int) -> int:
-    """Smallest bucket capacity with <=2% of rows spilling to overflow,
-    capped at 4x the mean so a single runaway cluster cannot blow up
-    memory. Padding waste is bounded by the size histogram itself."""
-    mean = max(1.0, n_rows / max(len(sizes), 1))
-    hi = int(round_up(max(32, int(math.ceil(4.0 * mean))), 8))
-    lo = int(round_up(max(32, int(math.ceil(1.0 * mean))), 8))
-    cap = hi
-    for cand in range(lo, hi + 1, 8):
-        spill = np.maximum(sizes - cand, 0).sum()
-        if spill <= 0.02 * n_rows:
-            cap = cand
-            break
-    return int(cap)
 
 
 def _scan_rep(payload, n_rows: int, metric: Metric) -> jax.Array:
@@ -91,10 +78,8 @@ def balanced_kmeans(
     """K-means whose heavy clusters are recursively split: rows of every
     oversized cluster are re-clustered together and those clusters'
     centroids replaced by the sub-centroids. Bounds the size histogram's
-    tail, which directly bounds bucket padding AND per-probe scan work
-    (the CPU reference tolerates ragged lists; a static layout cannot).
-    Returns (centroids f32[C', D], assign int32[n]) — C' may exceed c.
-    """
+    tail, which bounds per-probe scan work. Returns (centroids f32[C', D],
+    assign int32[n]) — C' may exceed c."""
     cents = kmeans.kmeans_fit(
         kmeans.training_sample(rep, n_rows, c, seed=seed),
         n_clusters=c,
@@ -124,18 +109,16 @@ def balanced_kmeans(
 
 @register_index_pytree
 class IVFIndex(VectorIndex):
-    """Shared IVF machinery; `codec` selects the bucket payload:
+    """Shared IVF machinery; `codec` selects the payload encoding:
     'raw' -> IVFFLAT, 'sq8' -> IVFSQ, 'pq' -> IVFPQ."""
 
     _array_fields = (
         "centroids",
         "csq",
-        "bucket_data",
-        "bucket_rows",
-        "bucket_aux",
-        "over_data",
-        "over_rows",
-        "over_aux",
+        "perm_data",  # [N', D'|M] cluster-major payload (codec-encoded)
+        "perm_rows",  # int32[N'] original row ids (-1 pad)
+        "perm_aux",  # f32[N'] decoded |x|^2 (inf on padding)
+        "cluster_start",  # int32[C+1] row offsets into perm_*
         "codec_a",  # sq8: lo[D'] / pq: codebooks[M, K, ds]
         "codec_b",  # sq8: scale[D'] / pq: None
         "raw_data",  # two-stage only: reference to the segment payload
@@ -146,10 +129,8 @@ class IVFIndex(VectorIndex):
         "dim",
         "n_rows",
         "n_clusters",
-        "bucket_cap",
-        "n_overflow",
-        "approx",
-        "recall_target",
+        "n_windows",
+        "wpp",  # typical windows per probed cluster (sizes the W budget)
         "codec",
         "two_stage",
         "rerank_multiple",
@@ -184,44 +165,25 @@ class IVFIndex(VectorIndex):
         rep = _scan_rep(payload, n_rows, metric)  # f32[n, dpad] device
         rep_h = np.asarray(rep, dtype=np.float32)
         cents, assign = balanced_kmeans(rep, rep_h, n_rows, c, seed=0)
-        c = int(cents.shape[0])  # splitting may grow the centroid count
+        c = int(cents.shape[0])
 
-        # Host-side bucket packing (build path; one device pull + one push).
+        # cluster-major permutation (host; one device push at the end)
         sizes = np.bincount(assign, minlength=c)
-        cap = _choose_bucket_cap(sizes, n_rows)
-        order = np.argsort(assign, kind="stable")
-
-        bucket_rows = np.full((c, cap), -1, np.int32)
-        overflow: list = []
+        order = np.argsort(assign, kind="stable").astype(np.int32)
         starts = np.zeros(c + 1, np.int64)
         np.cumsum(sizes, out=starts[1:])
-        for ci in range(c):
-            rows = order[starts[ci] : starts[ci + 1]]
-            take = min(len(rows), cap)
-            bucket_rows[ci, :take] = rows[:take]
-            if len(rows) > take:
-                overflow.extend(rows[take:].tolist())
-        over = np.asarray(overflow, dtype=np.int64)
-        n_over = len(over)
-        opad = round_up(max(n_over, 8), 8)
-        over_rows = np.full(opad, -1, np.int32)
-        if n_over:
-            over_rows[:n_over] = over
+        npad = round_up(max(n_rows, WINDOW), WINDOW)
+        perm_rows = np.full(npad, -1, np.int32)
+        perm_rows[:n_rows] = order
 
-        # ---- codec: encode payloads + exact-w.r.t.-codes sqnorms --------
-        flat_rows = bucket_rows.reshape(-1)
-        safe = np.maximum(flat_rows, 0)
+        # codec: encode payload + exact-w.r.t.-codes sqnorms
         codec_a = codec_b = None
         if codec == "raw":
             enc = rep_h
             dec_sq = (rep_h.astype(np.float64) ** 2).sum(1).astype(np.float32)
-            bucket_data = jnp.asarray(
-                enc[safe].reshape(c, cap, dpad), dtype=storage_dtype
-            )
-            over_data_np = np.zeros((opad, dpad), np.float32)
-            if n_over:
-                over_data_np[:n_over] = enc[over]
-            over_data = jnp.asarray(over_data_np, dtype=storage_dtype)
+            pdata = np.zeros((npad, dpad), np.float32)
+            pdata[:n_rows] = enc[order]
+            perm_data = jnp.asarray(pdata, dtype=storage_dtype)
         elif codec == "sq8":
             p = quantize.sq8_train(rep_h)
             enc = quantize.sq8_encode(rep_h, p)
@@ -230,11 +192,9 @@ class IVFIndex(VectorIndex):
             dec_sq = quantize.decoded_sqnorm(
                 lambda cb: quantize.sq8_decode_dev(cb, codec_a, codec_b), enc
             )
-            bucket_data = jnp.asarray(enc[safe].reshape(c, cap, dpad))
-            over_data_np = np.zeros((opad, dpad), np.uint8)
-            if n_over:
-                over_data_np[:n_over] = enc[over]
-            over_data = jnp.asarray(over_data_np)
+            pdata = np.zeros((npad, dpad), np.uint8)
+            pdata[:n_rows] = enc[order]
+            perm_data = jnp.asarray(pdata)
         elif codec == "pq":
             m = int(params.get("M", 32))
             if dim % m:
@@ -246,32 +206,24 @@ class IVFIndex(VectorIndex):
             dec_sq = quantize.decoded_sqnorm(
                 lambda cb: quantize.pq_decode_dev(cb, codec_a), enc
             )
-            bucket_data = jnp.asarray(enc[safe].reshape(c, cap, m))
-            over_data_np = np.zeros((opad, m), np.uint8)
-            if n_over:
-                over_data_np[:n_over] = enc[over]
-            over_data = jnp.asarray(over_data_np)
+            pdata = np.zeros((npad, m), np.uint8)
+            pdata[:n_rows] = enc[order]
+            perm_data = jnp.asarray(pdata)
         else:  # pragma: no cover
             raise IndexParameterError(f"unknown codec {codec}")
 
-        bucket_aux = dec_sq[safe].reshape(c, cap)
-        bucket_aux[bucket_rows < 0] = np.float32(np.inf)  # L2 score -> -inf
-        over_aux = np.full(opad, np.inf, np.float32)
-        if n_over:
-            over_aux[:n_over] = dec_sq[over]
+        paux = np.full(npad, np.inf, np.float32)
+        paux[:n_rows] = dec_sq[order]
 
         csq = np.asarray(jnp.sum(cents * cents, axis=1))
-        approx = bool(settings is None or settings.query.use_approx_topk)
-        rt = settings.query.approx_topk_recall_target if settings else 0.99
+        wpp = int(math.ceil((n_rows / max(c, 1)) / WINDOW)) + 1
         return cls(
-            centroids=jnp.asarray(cents),
+            centroids=cents,
             csq=jnp.asarray(csq),
-            bucket_data=bucket_data,
-            bucket_rows=jnp.asarray(bucket_rows),
-            bucket_aux=jnp.asarray(bucket_aux),
-            over_data=over_data,
-            over_rows=jnp.asarray(over_rows),
-            over_aux=jnp.asarray(over_aux),
+            perm_data=perm_data,
+            perm_rows=jnp.asarray(perm_rows),
+            perm_aux=jnp.asarray(paux),
+            cluster_start=jnp.asarray(starts.astype(np.int32)),
             codec_a=codec_a,
             codec_b=codec_b,
             raw_data=payload.data if two_stage else None,
@@ -280,24 +232,30 @@ class IVFIndex(VectorIndex):
             dim=dim,
             n_rows=n_rows,
             n_clusters=c,
-            bucket_cap=cap,
-            n_overflow=n_over,
-            approx=approx,
-            recall_target=rt,
+            n_windows=npad // WINDOW,
+            wpp=wpp,
             codec=codec,
             two_stage=two_stage,
             rerank_multiple=4,
         )
 
+    def cluster_heads(self) -> jax.Array:
+        """Representative row of each cluster (entry points for graph
+        indexes): the first row in its window range, -1 for empty."""
+        starts = self.cluster_start[:-1]
+        sizes = self.cluster_start[1:] - starts
+        heads = jnp.take(self.perm_rows, jnp.minimum(starts, self.perm_rows.shape[0] - 1))
+        return jnp.where(sizes > 0, heads, -1)
+
     # ------------------------------------------------------------- score
     def _q_parts(self, q: jax.Array) -> jax.Array:
         """Query in matmul form: [P, Q, D'] hi/lo bf16 halves (or f32)."""
-        if self.codec == "raw" and self.bucket_data.dtype != jnp.bfloat16:
+        if self.codec == "raw" and self.perm_data.dtype != jnp.bfloat16:
             return q.astype(jnp.float32)[None]
         return distance.split_query_bf16(q)
 
     def _decode(self, gathered: jax.Array) -> jax.Array:
-        """Gathered bucket payload -> bf16 rows for the MXU."""
+        """Gathered payload -> bf16 rows for the MXU."""
         if self.codec == "raw":
             return gathered
         if self.codec == "sq8":
@@ -374,33 +332,73 @@ class IVFIndex(VectorIndex):
             cs = 2.0 * cs - self.csq[None, :]
         _, probe = jax.lax.top_k(cs, nprobe)  # [Q, P]
 
+        # probed clusters -> per-query window list. A window can be listed
+        # by several adjacent probed clusters; Σ windows <= n_windows +
+        # nprobe, so this budget guarantees full coverage (the wpp-based
+        # term keeps it small in the common case; truncation drops windows
+        # of the least-promising probes only).
+        w_budget = int(
+            min(self.n_windows + nprobe, nprobe * self.wpp + 4)
+        )
+        starts = jnp.take(self.cluster_start, probe)  # [Q, P]
+        ends = jnp.take(self.cluster_start, probe + 1)
+        ws = starts // WINDOW
+        wcnt = jnp.where(ends > starts, -((-ends) // WINDOW) - ws, 0)
+        cum = jnp.cumsum(wcnt, axis=1)  # [Q, P]
+        j = jnp.arange(w_budget, dtype=jnp.int32)[None, :]  # [1, W]
+        # p_idx[q, j] = which probe the j-th window belongs to
+        p_idx = jnp.sum(
+            (cum[:, None, :] <= j[:, :, None]).astype(jnp.int32), axis=2
+        )  # [Q, W]
+        valid_w = p_idx < nprobe
+        p_clip = jnp.minimum(p_idx, nprobe - 1)
+        prev = jnp.where(
+            p_idx > 0,
+            jnp.take_along_axis(cum, jnp.maximum(p_clip - 1, 0), axis=1),
+            0,
+        )
+        wbase = jnp.take_along_axis(ws, p_clip, axis=1)
+        widx = jnp.where(valid_w, wbase + (j - prev), 0)  # [Q, W]
+        # per-query window DEDUP (order is irrelevant to the running merge):
+        # duplicated windows would both waste scan steps and flood the
+        # running top-k with duplicate rows, evicting distinct candidates
+        dead = jnp.int32(self.n_windows + 1)
+        keyw = jnp.sort(jnp.where(valid_w, widx, dead), axis=1)
+        dup = jnp.concatenate(
+            [jnp.zeros_like(keyw[:, :1], bool), keyw[:, 1:] == keyw[:, :-1]],
+            axis=1,
+        )
+        valid_w = jnp.logical_and(keyw < dead, ~dup)
+        widx = jnp.where(valid_w, keyw, 0)
+
         q_parts = self._q_parts(q)
-        kk = min(k, self.bucket_cap)  # per-step cut; final pads below
+        kk = min(k, self.n_rows)
+        pdw = self.perm_data.reshape(self.n_windows, WINDOW, -1)
+        prw = self.perm_rows.reshape(self.n_windows, WINDOW)
+        paw = self.perm_aux.reshape(self.n_windows, WINDOW)
 
         def step(carry, s):
             bv, br = carry
-            cl = probe[:, s]  # [Q]
-            xb = self._decode(jnp.take(self.bucket_data, cl, axis=0))
-            rows = jnp.take(self.bucket_rows, cl, axis=0)  # [Q, B]
+            w = widx[:, s]  # [Q]
+            live = valid_w[:, s]  # [Q]
+            xb = self._decode(jnp.take(pdw, w, axis=0))  # [Q, WIN, D']
+            rows = jnp.take(prw, w, axis=0)  # [Q, WIN]
+            rows = jnp.where(live[:, None], rows, -1)
             scores = self._dot(q_parts, xb)
             if self.metric == Metric.L2:
-                aux = jnp.take(self.bucket_aux, cl, axis=0)
-                scores = 2.0 * scores - aux
+                scores = 2.0 * scores - jnp.take(paw, w, axis=0)
             valid = rows >= 0
             if mask is not None:
                 valid = jnp.logical_and(
                     valid, jnp.take(mask, jnp.maximum(rows, 0))
                 )
             scores = jnp.where(valid, scores, NEG_INF)
-            # exact per-bucket top-k: on TPU it measured both FASTER and
-            # higher-recall than approx_max_k at bucket widths (~1-4k)
-            sv, sp = topk_scores(scores, kk, approx=False)
+            ksel = min(kk, WINDOW)
+            sv, sp = jax.lax.top_k(scores, ksel)
             sr = jnp.take_along_axis(rows, jnp.maximum(sp, 0), axis=-1)
             sr = jnp.where(sp >= 0, sr, -1)
-            mv = jnp.concatenate([bv, sv], axis=-1)
-            mr = jnp.concatenate([br, sr], axis=-1)
-            nv, npos = jax.lax.top_k(mv, kk)
-            nr = jnp.take_along_axis(mr, npos, axis=-1)
+            nv, npos = jax.lax.top_k(jnp.concatenate([bv, sv], -1), kk)
+            nr = jnp.take_along_axis(jnp.concatenate([br, sr], -1), npos, -1)
             return (nv, nr), None
 
         init = (
@@ -408,47 +406,20 @@ class IVFIndex(VectorIndex):
             jnp.full((nq, kk), -1, jnp.int32),
         )
         (bv, br), _ = jax.lax.scan(
-            step, init, jnp.arange(nprobe, dtype=jnp.int32)
+            step, init, jnp.arange(w_budget, dtype=jnp.int32)
         )
 
-        if self.n_overflow > 0:
-            bv, br = self._merge_overflow(q, q_parts, bv, br, kk, mask)
-
+        # boundary windows shared by adjacent probed clusters can score a
+        # row twice — dedup before the final cut
+        bv, br, _ = dedup_rows(bv, br)
+        bv, pos = jax.lax.top_k(bv, kk)
+        br = jnp.take_along_axis(br, pos, axis=-1)
         br = jnp.where(jnp.isfinite(bv), br, -1)
         if kk < k:
             pad = ((0, 0), (0, k - kk))
             bv = jnp.pad(bv, pad, constant_values=NEG_INF)
             br = jnp.pad(br, pad, constant_values=-1)
         return bv, br
-
-    def _merge_overflow(self, q, q_parts, bv, br, kk, mask):
-        """Exact scan of the spill region, merged into the running top-k."""
-        dec = self._decode(self.over_data[None])[0]  # [O, D']
-        d = dec.shape[-1]
-        s = jnp.zeros((q.shape[0], dec.shape[0]), jnp.float32)
-        for p in range(q_parts.shape[0]):
-            s = s + jax.lax.dot_general(
-                q_parts[p][:, :d],
-                dec,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        if self.metric == Metric.L2:
-            s = 2.0 * s - self.over_aux[None, :]
-        valid = self.over_rows[None, :] >= 0
-        if mask is not None:
-            om = jnp.take(mask, jnp.maximum(self.over_rows, 0))
-            valid = jnp.logical_and(valid, om[None, :])
-        s = jnp.where(valid, s, NEG_INF)
-        ov, op = topk_scores(s, kk, approx=False)
-        orr = jnp.where(
-            op >= 0, jnp.take(self.over_rows, jnp.maximum(op, 0)), -1
-        )
-        mv = jnp.concatenate([bv, ov], axis=-1)
-        mr = jnp.concatenate([br, orr], axis=-1)
-        nv, pos = jax.lax.top_k(mv, kk)
-        nr = jnp.take_along_axis(mr, pos, axis=-1)
-        return nv, nr
 
     # ---------------------------------------------------------- two-stage
     def supports_two_stage(self) -> bool:
@@ -511,14 +482,12 @@ class IVFIndex(VectorIndex):
                 "dim": self.dim,
                 "n_rows": self.n_rows,
                 "n_clusters": self.n_clusters,
-                "bucket_cap": self.bucket_cap,
-                "n_overflow": self.n_overflow,
-                "approx": self.approx,
-                "recall_target": self.recall_target,
+                "n_windows": self.n_windows,
+                "wpp": self.wpp,
                 "codec": self.codec,
                 "two_stage": self.two_stage,
                 "rerank_multiple": self.rerank_multiple,
-                "storage_dtype": str(self.bucket_data.dtype),
+                "storage_dtype": str(self.perm_data.dtype),
             },
             "arrays": arrays,
         }
@@ -536,7 +505,7 @@ class IVFIndex(VectorIndex):
             v = a.get(f)
             if v is None:
                 kw[f] = None
-            elif f in ("bucket_data", "over_data") and dt is not None and m["codec"] == "raw":
+            elif f == "perm_data" and dt is not None and m["codec"] == "raw":
                 kw[f] = jnp.asarray(v, dtype=dt)
             else:
                 kw[f] = jnp.asarray(v)
@@ -545,10 +514,8 @@ class IVFIndex(VectorIndex):
             dim=m["dim"],
             n_rows=m["n_rows"],
             n_clusters=m["n_clusters"],
-            bucket_cap=m["bucket_cap"],
-            n_overflow=m["n_overflow"],
-            approx=m["approx"],
-            recall_target=m["recall_target"],
+            n_windows=m["n_windows"],
+            wpp=m["wpp"],
             codec=m["codec"],
             two_stage=m["two_stage"],
             rerank_multiple=m["rerank_multiple"],

@@ -65,6 +65,38 @@ def merge_topk(
     return mvals, midx
 
 
+def dedup_rows(values: jax.Array, rows: jax.Array, extra=None):
+    """Kill duplicate row ids along the last axis, keeping one copy per
+    row (the `extra`-flagged copy when given — e.g. beam-search 'expanded'
+    flags). Padding (-1) sorts last. Row ids must be < 2^30."""
+    pad_key = jnp.int32(2**31 - 1)
+    if extra is not None:
+        key = jnp.where(
+            rows >= 0,
+            rows.astype(jnp.int32) * 2 + (1 - extra.astype(jnp.int32)),
+            pad_key,
+        )
+    else:
+        key = jnp.where(rows >= 0, rows.astype(jnp.int32), pad_key)
+    order = jnp.argsort(key, axis=-1, stable=True)
+    v_s = jnp.take_along_axis(values, order, axis=-1)
+    r_s = jnp.take_along_axis(rows, order, axis=-1)
+    dup = jnp.concatenate(
+        [
+            jnp.zeros_like(r_s[..., :1], bool),
+            jnp.logical_and(r_s[..., 1:] == r_s[..., :-1], r_s[..., 1:] >= 0),
+        ],
+        axis=-1,
+    )
+    v_s = jnp.where(dup, NEG_INF, v_s)
+    r_s = jnp.where(dup, -1, r_s)
+    if extra is not None:
+        e_s = jnp.take_along_axis(extra, order, axis=-1)
+        e_s = jnp.where(dup, False, e_s)
+        return v_s, r_s, e_s
+    return v_s, r_s, None
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def merge_topk_lists(vals: jax.Array, idx: jax.Array, k: int):
     """Collapse a stacked [..., L, k'] set of top-k lists to one [..., k].
