@@ -198,15 +198,17 @@ class _HNSWBase(VectorIndex):
         ck = min(2 * m + 1, n_rows)
         nprobe = max(4, min(16, ivf.n_clusters))
         cand = np.full((n_rows, ck), -1, np.int32)
-        bs = 2048
+        bs = 4096
         for i in range(0, n_rows, bs):
             qs = jnp.asarray(rep_h[i : i + bs])
             _, r = ivf.search(qs, ck + 1, params={"nprobe": nprobe})
             r = np.asarray(r)
-            # drop self-matches
-            for j in range(r.shape[0]):
-                row = r[j][r[j] != (i + j)][:ck]
-                cand[i + j, : len(row)] = row
+            # drop self-matches (vectorized: push self to the end, slice off)
+            selfid = np.arange(i, i + r.shape[0], dtype=r.dtype)[:, None]
+            keys = np.where(r == selfid, np.iinfo(np.int32).max, 0)
+            order = np.argsort(keys, axis=1, kind="stable")
+            r = np.take_along_axis(r, order, axis=1)[:, :ck]
+            cand[i : i + r.shape[0]] = r
 
         # 2) batched robust prune on device
         neighbors = np.full((n_rows, m), -1, np.int32)
@@ -221,18 +223,29 @@ class _HNSWBase(VectorIndex):
             nb = prune(rep_dev[i : i + rows.shape[0]], cvecs, rows)
             neighbors[i : i + rows.shape[0]] = np.asarray(nb)
 
-        # 3) reverse edges into free slots (host sweep)
-        free = (neighbors < 0).sum(axis=1)
-        for u in range(n_rows):
-            for v in neighbors[u]:
-                if v < 0:
-                    break
-                if free[v] > 0:
-                    slot = m - free[v]
-                    # avoid dup edge
-                    if u not in neighbors[v, :slot]:
-                        neighbors[v, slot] = u
-                        free[v] -= 1
+        # 3) reverse edges into free slots (vectorized host pass): sort all
+        # (v, u) reverse edges by target, then scatter each target's first
+        # free_v of them into its free slots
+        src = np.repeat(np.arange(n_rows, dtype=np.int32), m)
+        dst = neighbors.reshape(-1)
+        ok = dst >= 0
+        src, dst = src[ok], dst[ok]
+        order = np.argsort(dst, kind="stable")
+        src, dst = src[order], dst[order]
+        # rank of each reverse edge within its target group
+        grp_start = np.searchsorted(dst, np.arange(n_rows))
+        rank = np.arange(len(dst)) - grp_start[dst]
+        deg = (neighbors >= 0).sum(axis=1)
+        free = m - deg
+        slot = deg[dst] + rank
+        keep = slot < m
+        # duplicate-edge check: u already in v's forward list
+        fwd = neighbors[dst[keep]]
+        dup = (fwd == src[keep, None]).any(axis=1)
+        tgt = dst[keep][~dup]
+        who = src[keep][~dup]
+        where = slot[keep][~dup]
+        neighbors[tgt, where] = who
 
         # 4) entry points = IVF centroid representatives
         entry_rows = np.asarray(ivf.cluster_heads())

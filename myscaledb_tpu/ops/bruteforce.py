@@ -99,6 +99,24 @@ def scan_topk_t(
     if mask is not None:
         valid = jnp.logical_and(valid, mask)
 
+    # Fused Pallas scan+top-k (no score-matrix round trip) — TPU only,
+    # small k, aligned shapes.
+    from . import fused_scan
+    from ._pallas import use_interpret
+
+    if (
+        not use_interpret()
+        and k <= fused_scan.FUSED_MAX_K
+        and n % fused_scan.ROW_TILE == 0
+        and queries.shape[0] <= fused_scan.Q_TILE_MAX
+        and d % 128 == 0
+    ):
+        aux_in = aux if aux is not None else jnp.zeros((n,), jnp.float32)
+        vals, idx = fused_scan.fused_scan_topk(
+            queries, base, aux_in, valid.astype(jnp.uint8), k=k, metric=metric
+        )
+        return vals[:nq], idx[:nq]
+
     chunk = _choose_chunk(n, chunk_rows)
     if chunk >= n:
         s = _chunk_scores(queries, base, aux, metric)
