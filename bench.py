@@ -104,12 +104,16 @@ def main():
     # --- exact ground truth + brute-force QPS (settings without index) ---
     st_bf = ms.Settings()
     st_bf.query.use_approx_topk = False
-    gt = np.concatenate(
+    gt_dist = np.concatenate(
         [
-            table.search("vec", qb, k=K, settings=st_bf, metric="L2").rows
+            table.search("vec", qb, k=K, settings=st_bf, metric="L2").distances
             for qb in batches
         ]
     )
+    # k-th exact distance per query; a result counts as a hit when its true
+    # distance is within epsilon of it (tie-tolerant recall — blob corpora
+    # and bf16 payloads produce exact ties that id-matching miscounts)
+    gt_kth = gt_dist[:, K - 1]
     _progress("ground truth done")
     bf_qps = measure_qps(
         lambda qb: table.search("vec", qb, k=K, settings=st_bf, metric="L2"),
@@ -131,10 +135,9 @@ def main():
     def recall_at(nprobe):
         hits = 0
         for bi, qb in enumerate(batches):
-            rows = table.search("vec", qb, k=K, params={"nprobe": nprobe}).rows
-            for j in range(rows.shape[0]):
-                gtr = gt[bi * BATCH + j]
-                hits += len(set(rows[j].tolist()) & set(gtr.tolist()))
+            d = table.search("vec", qb, k=K, params={"nprobe": nprobe}).distances
+            kth = gt_kth[bi * BATCH : bi * BATCH + d.shape[0], None]
+            hits += int((d <= kth * (1 + 1e-4) + 1e-3).sum())
         return hits / (NQ * K)
 
     op_nprobe, op_recall = None, 0.0

@@ -46,7 +46,7 @@ from ..errors import IndexParameterError
 from ..metrics import Metric
 from ..ops import distance, kmeans, quantize
 from ..ops._pallas import round_up
-from ..ops.topk import NEG_INF
+from ..ops.topk import NEG_INF, dedup_rows
 from .base import IndexKind, ParamsKey, VectorIndex, register_index_pytree
 from .ivf import IVFFlatIndex, _scan_rep, default_ncentroids
 from .registry import register
@@ -104,40 +104,6 @@ def _prune_chunk(
         jnp.where(kept, cand_rows, -1), order, axis=1
     )
     return rows_sorted[:, :m]
-
-
-def _dedup_by_row(values: jax.Array, rows: jax.Array, extra: Optional[jax.Array]):
-    """Kill duplicate row ids, keeping one copy per row. When `extra`
-    (the 'expanded' flag) is given, the expanded copy is the one kept, so
-    a node never gets re-expanded after merging. Padding (-1 rows) sorts
-    to the end. Row ids must be < 2^30 (int32 sort keys)."""
-    pad_key = jnp.int32(2**31 - 1)
-    if extra is not None:
-        # row*2 + (1 - expanded): expanded copy sorts first within a row
-        key = jnp.where(
-            rows >= 0,
-            rows.astype(jnp.int32) * 2 + (1 - extra.astype(jnp.int32)),
-            pad_key,
-        )
-    else:
-        key = jnp.where(rows >= 0, rows.astype(jnp.int32), pad_key)
-    order = jnp.argsort(key, axis=1, stable=True)
-    v_s = jnp.take_along_axis(values, order, axis=1)
-    r_s = jnp.take_along_axis(rows, order, axis=1)
-    dup = jnp.concatenate(
-        [
-            jnp.zeros_like(r_s[:, :1], bool),
-            jnp.logical_and(r_s[:, 1:] == r_s[:, :-1], r_s[:, 1:] >= 0),
-        ],
-        axis=1,
-    )
-    v_s = jnp.where(dup, NEG_INF, v_s)
-    r_s = jnp.where(dup, -1, r_s)
-    if extra is not None:
-        e_s = jnp.take_along_axis(extra, order, axis=1)
-        e_s = jnp.where(dup, False, e_s)
-        return v_s, r_s, e_s
-    return v_s, r_s, None
 
 
 class _HNSWBase(VectorIndex):
@@ -377,7 +343,7 @@ class _HNSWBase(VectorIndex):
         fv = jnp.pad(escores, ((0, 0), (0, pad)), constant_values=NEG_INF)[:, :ef]
         fr = jnp.pad(erows, ((0, 0), (0, pad)), constant_values=-1)[:, :ef]
         fe = jnp.zeros((nq, ef), bool)
-        iv, ir, _ = _dedup_by_row(res_mask(erows, escores), erows, None)
+        iv, ir, _ = dedup_rows(res_mask(erows, escores), erows, None)
         rv, pos = jax.lax.top_k(
             jnp.pad(iv, ((0, 0), (0, max(0, k - iv.shape[1]))), constant_values=NEG_INF),
             k,
@@ -408,14 +374,14 @@ class _HNSWBase(VectorIndex):
             # slots fill with copies of the best row)
             cv = jnp.concatenate([rv, res_mask(nbrs, ns)], axis=1)
             cr = jnp.concatenate([rr, nbrs], axis=1)
-            cv, cr, _ = _dedup_by_row(cv, cr, None)
+            cv, cr, _ = dedup_rows(cv, cr, None)
             rv2, pos2 = jax.lax.top_k(cv, k)
             rr2 = jnp.take_along_axis(cr, pos2, axis=1)
             # frontier merge with by-id dedup
             av = jnp.concatenate([fv, ns], axis=1)
             ar = jnp.concatenate([fr, nbrs], axis=1)
             ae = jnp.concatenate([fe2, jnp.zeros_like(ns, bool)], axis=1)
-            av, ar, ae = _dedup_by_row(av, ar, ae)
+            av, ar, ae = dedup_rows(av, ar, ae)
             nv, npos = jax.lax.top_k(av, ef)
             nr = jnp.take_along_axis(ar, npos, axis=1)
             ne = jnp.take_along_axis(ae, npos, axis=1)
@@ -425,7 +391,7 @@ class _HNSWBase(VectorIndex):
             0, iters, body, (fv, fr, fe, rv, rr)
         )
         # final result dedup (duplicates can enter across iterations)
-        rv, rr, _ = _dedup_by_row(rv, rr, None)
+        rv, rr, _ = dedup_rows(rv, rr, None)
         rv, pos = jax.lax.top_k(rv, k)
         rr = jnp.take_along_axis(rr, pos, axis=1)
         rr = jnp.where(jnp.isfinite(rv), rr, -1)

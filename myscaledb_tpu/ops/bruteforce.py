@@ -105,7 +105,8 @@ def scan_topk_t(
     from ._pallas import use_interpret
 
     if (
-        not use_interpret()
+        fused_scan.ENABLED
+        and not use_interpret()
         and k <= fused_scan.FUSED_MAX_K
         and n % fused_scan.ROW_TILE == 0
         and queries.shape[0] <= fused_scan.Q_TILE_MAX

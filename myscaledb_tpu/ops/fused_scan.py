@@ -24,6 +24,10 @@ from jax.experimental.pallas import tpu as pltpu
 from ..metrics import Metric
 from ._pallas import use_interpret
 
+# Off by default: at batch>=100 the VPU top-k extraction costs more than
+# the chunked path's score-matrix round trip (measured on v5e). Kept for
+# small-batch/latency tuning in later rounds.
+ENABLED = False
 FUSED_MAX_K = 32
 ROW_TILE = 1024
 Q_TILE_MAX = 128
@@ -31,16 +35,21 @@ NEG = -3.4e38  # large-negative instead of -inf (NaN-safe diffs)
 BIG_IDX = 2**31 - 1
 
 
-def _extract_topk(s, col, k):
-    """Top-k of s[Qt, T] by k max+mask passes -> (vals [Qt, k], idx [Qt, k])."""
-    vs, is_ = [], []
+def _extract_topk(s, col, payload, k):
+    """Top-k of s[Qt, T] by k max+mask passes, carrying `payload` (e.g.
+    global row ids) for each selected position. Gather-free (Mosaic has no
+    general in-kernel gather): the selected position's payload is read with
+    a masked min over the row. Returns (vals [Qt, k], payload [Qt, k])."""
+    vs, ps = [], []
     for _ in range(k):
         m = jnp.max(s, axis=1)  # [Qt]
-        am = jnp.min(jnp.where(s >= m[:, None], col, BIG_IDX), axis=1)
+        pos = jnp.min(jnp.where(s >= m[:, None], col, BIG_IDX), axis=1)
+        sel = col == pos[:, None]
+        pay = jnp.min(jnp.where(sel, payload, BIG_IDX), axis=1)
         vs.append(m)
-        is_.append(am)
-        s = jnp.where(col == am[:, None], NEG, s)
-    return jnp.stack(vs, axis=1), jnp.stack(is_, axis=1)
+        ps.append(pay)
+        s = jnp.where(sel, NEG, s)
+    return jnp.stack(vs, axis=1), jnp.stack(ps, axis=1)
 
 
 def _kernel(k, metric, split, q_ref, x_ref, aux_ref, mask_ref,
@@ -74,18 +83,14 @@ def _kernel(k, metric, split, q_ref, x_ref, aux_ref, mask_ref,
     s = jnp.where(mask_ref[:] != 0, s, NEG)
 
     qt, t = s.shape
-    col = (
-        jax.lax.broadcasted_iota(jnp.int32, (qt, t), 1)
-        + nj * t
-    )
-    tv, ti = _extract_topk(s, col, k)
+    col = jax.lax.broadcasted_iota(jnp.int32, (qt, t), 1)
+    tv, ti = _extract_topk(s, col, col + nj * t, k)
 
     # merge carry [Qt, k] with tile top-k [Qt, k]
     mv = jnp.concatenate([bv[...], tv], axis=1)
     mi = jnp.concatenate([bi[...], ti], axis=1)
     col2 = jax.lax.broadcasted_iota(jnp.int32, mv.shape, 1)
-    nv, nidxpos = _extract_topk(mv, col2, k)
-    ni = jnp.take_along_axis(mi, nidxpos, axis=1)
+    nv, ni = _extract_topk(mv, col2, mi, k)
     bv[...] = nv
     bi[...] = jnp.where(nv > NEG, ni, -1)
 
