@@ -159,6 +159,13 @@ class Delete:
 
 
 @dataclasses.dataclass
+class Update:
+    table: str
+    assignments: Dict[str, Any]
+    where: Any
+
+
+@dataclasses.dataclass
 class DropTable:
     table: str
     if_exists: bool = False
@@ -422,6 +429,16 @@ class Parser:
             )
         if self.accept_kw("drop", "vector", "index"):
             return DropVectorIndex(table, self.expect_name())
+        if self.accept_kw("update"):
+            assigns: Dict[str, Any] = {}
+            while True:
+                col = self.expect_name()
+                self.expect_op("=")
+                assigns[col] = self.literal()
+                if not self.accept_op(","):
+                    break
+            self.expect_kw("where")
+            return Update(table, assigns, self.where_expr())
         if self.accept_kw("add", "index"):
             name = self.expect_name()
             cols_l = []

@@ -100,6 +100,7 @@ class SQLRunner:
             P.DropVectorIndex: self._drop_vindex,
             P.AddFtsIndex: self._add_fts,
             P.Insert: self._insert,
+            P.Update: self._update,
             P.Delete: self._delete,
             P.DropTable: self._drop_table,
             P.Select: self._select,
@@ -168,6 +169,10 @@ class SQLRunner:
                 conv[c] = np.asarray(vals)
         t.insert(conv)
         return []
+
+    def _update(self, st: P.Update):
+        n = self.db.table(st.table).update(_to_filter(st.where), st.assignments)
+        return [{"updated": n}]
 
     def _delete(self, st: P.Delete):
         n = self.db.table(st.table).delete(_to_filter(st.where))

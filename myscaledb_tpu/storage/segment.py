@@ -135,7 +135,17 @@ class Segment:
                 dpad = _pad_dim(ctype.dim)
                 buf = np.zeros((capacity, dpad), dtype=np.float32)
                 buf[:n_rows, : ctype.dim] = v
-                sq = np.sum(buf.astype(np.float64) ** 2, axis=1).astype(np.float32)
+                # norms are computed from the QUANTIZED payload (what scans
+                # actually score against) so scores/distances are exact
+                # w.r.t. stored data and consistent across scan and index
+                # paths (|x|^2 vs |x_bf16|^2 differ by O(1) at SIFT scale)
+                if storage_dtype == jnp.bfloat16:
+                    import ml_dtypes
+
+                    stored = buf.astype(ml_dtypes.bfloat16).astype(np.float32)
+                else:
+                    stored = buf
+                sq = np.sum(stored.astype(np.float64) ** 2, axis=1).astype(np.float32)
                 nrm = np.sqrt(sq)
                 inv = np.where(nrm > 0, 1.0 / np.where(nrm > 0, nrm, 1.0), 0.0).astype(
                     np.float32

@@ -109,6 +109,43 @@ class Table:
         GLOBAL_COUNTERS.bump("InsertedRows", seg.n_rows)
         return seg_id
 
+    def update(self, filter: Expr, assignments: Dict[str, Any]) -> int:
+        """Mutation (ALTER TABLE ... UPDATE col = v WHERE ...). Scalar
+        columns mutate in place; vector indexes are untouched — exactly the
+        reference's rule that mutations not rewriting the vector column
+        inherit the index (MutateTask.cpp:840-842, :1395-1415). Rewriting a
+        vector column is delete+insert territory and is rejected."""
+        from .schema import is_vector_type
+
+        for cname in assignments:
+            ctype = self.schema.require(cname)
+            if is_vector_type(ctype):
+                raise SchemaError(
+                    f"cannot UPDATE vector column {cname!r}; delete and "
+                    "re-insert the rows (index inheritance only covers "
+                    "mutations that keep the vector column intact)"
+                )
+        n = 0
+        for seg in self.live_segments():
+            m = filter.evaluate(seg) & ~seg.deleted_host()[: seg.n_rows]
+            rows = np.nonzero(m)[0]
+            if not len(rows):
+                continue
+            for cname, value in assignments.items():
+                col = seg.scalar(cname)
+                if callable(value):
+                    col[rows] = value(col[rows])
+                else:
+                    col[rows] = value
+            # fts indexes over mutated columns are rebuilt for the segment
+            # (the reference rewrites skip indexes for mutated columns)
+            for tdef in self._text_indexes.values():
+                if any(c in tdef.columns for c in assignments):
+                    tdef.on_new_segment(seg)
+            n += len(rows)
+        GLOBAL_COUNTERS.bump("MutatedRows", n)
+        return n
+
     def delete(self, filter: Expr) -> int:
         """Lightweight DELETE: set delete-bitmap bits on matching rows."""
         n = 0

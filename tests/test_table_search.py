@@ -19,7 +19,11 @@ def make_table(db, n=3000, d=64, seed=7, segments=2):
             "vec": ms.FloatVector(d),
         }
     )
-    t = db.create_table("docs", schema)
+    # f32 storage: these tests compare exact rankings against an f32 numpy
+    # oracle (bf16 payloads rank by quantized values — near-ties differ)
+    st = ms.Settings()
+    st.table.storage_dtype = "float32"
+    t = db.create_table("docs", schema, settings=st)
     all_vecs, all_ids = [], []
     per = n // segments
     for s in range(segments):
