@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from ..metrics import Metric
 from ..ops import bruteforce, distance
+from ..ops._pallas import exact_precision
 from .base import IndexKind, ParamsKey, VectorIndex, register_index_pytree
 from .registry import register
 
@@ -96,7 +97,7 @@ class FlatIndex(VectorIndex):
         """Exact scores for candidate rows (two-stage re-rank helper)."""
         rows = jnp.take(self.data, jnp.maximum(row_ids, 0), axis=0).astype(jnp.float32)
         q = distance.normalize_queries(queries.astype(jnp.float32), self.metric)
-        s = jnp.einsum("qd,qkd->qk", q, rows)
+        s = jnp.einsum("qd,qkd->qk", q, rows, precision=exact_precision())
         if self.metric == Metric.L2:
             sq = jnp.sum(rows * rows, axis=-1)
             s = 2.0 * s - sq

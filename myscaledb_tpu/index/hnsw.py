@@ -45,7 +45,7 @@ import numpy as np
 from ..errors import IndexParameterError
 from ..metrics import Metric
 from ..ops import distance, kmeans, quantize
-from ..ops._pallas import round_up
+from ..ops._pallas import exact_precision, round_up
 from ..ops.topk import NEG_INF, dedup_rows
 from .base import IndexKind, ParamsKey, VectorIndex, register_index_pytree
 from .ivf import IVFFlatIndex, _scan_rep, default_ncentroids
@@ -283,8 +283,10 @@ class _HNSWBase(VectorIndex):
         return g
 
     def _score_rows(self, q_parts, rows: jax.Array) -> jax.Array:
-        """scores f32[Q, R] for per-query row sets rows[Q, R]."""
-        vecs = self._decode_rows(rows)  # [Q, R, D']
+        """scores f32[Q, R] for per-query row sets rows[Q, R]. Gathered-row
+        scoring is f32/HIGHEST: the bf16 hi/lo split is unsafe inside XLA
+        fusions here (see ivf.IVFIndex._decode)."""
+        vecs = self._decode_rows(rows).astype(jnp.float32)  # [Q, R, D']
         d = vecs.shape[-1]
         s = jnp.zeros(rows.shape, jnp.float32)
         for p in range(q_parts.shape[0]):
@@ -293,15 +295,14 @@ class _HNSWBase(VectorIndex):
                 vecs,
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
+                precision=exact_precision(),
             )[:, 0, :]
         if self.metric == Metric.L2:
             s = 2.0 * s - jnp.take(self.aux, jnp.maximum(rows, 0))
         return jnp.where(rows >= 0, s, NEG_INF)
 
     def _q_parts(self, q: jax.Array) -> jax.Array:
-        if self.codec == "raw" and self.data.dtype != jnp.bfloat16:
-            return q.astype(jnp.float32)[None]
-        return distance.split_query_bf16(q)
+        return q.astype(jnp.float32)[None]
 
     # ------------------------------------------------------------- search
     def search_t(

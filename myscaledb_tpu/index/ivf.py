@@ -42,7 +42,7 @@ import numpy as np
 from ..errors import IndexParameterError
 from ..metrics import Metric
 from ..ops import distance, kmeans, quantize
-from ..ops._pallas import round_up
+from ..ops._pallas import exact_precision, round_up
 from ..ops.topk import NEG_INF, dedup_rows
 from .base import IndexKind, ParamsKey, VectorIndex, register_index_pytree
 from .registry import register
@@ -249,18 +249,21 @@ class IVFIndex(VectorIndex):
 
     # ------------------------------------------------------------- score
     def _q_parts(self, q: jax.Array) -> jax.Array:
-        """Query in matmul form: [P, Q, D'] hi/lo bf16 halves (or f32)."""
-        if self.codec == "raw" and self.perm_data.dtype != jnp.bfloat16:
-            return q.astype(jnp.float32)[None]
-        return distance.split_query_bf16(q)
+        """Query in matmul form (f32; gathered-row scoring upcasts)."""
+        return q.astype(jnp.float32)[None]
 
     def _decode(self, gathered: jax.Array) -> jax.Array:
-        """Gathered payload -> bf16 rows for the MXU."""
+        """Gathered payload -> f32 rows for scoring. Gathered-row paths are
+        bandwidth/gather-bound, so f32 math costs nothing extra — and the
+        bf16 hi/lo-split trick measured UNSAFE here: XLA can refold the
+        split inside this fusion, dropping the low half and biasing every
+        score by ~q_lo·x (seen as a per-query-constant distance error at
+        1M scale on TPU)."""
         if self.codec == "raw":
-            return gathered
+            return gathered.astype(jnp.float32)
         if self.codec == "sq8":
-            return quantize.sq8_decode_dev(gathered, self.codec_a, self.codec_b)
-        return quantize.pq_decode_dev(gathered, self.codec_a)
+            return quantize.sq8_decode_dev(gathered, self.codec_a, self.codec_b).astype(jnp.float32)
+        return quantize.pq_decode_dev(gathered, self.codec_a).astype(jnp.float32)
 
     def _dot(self, q_parts: jax.Array, rows_mat: jax.Array) -> jax.Array:
         """[P, Q, D'] x [Q, B, D'] -> f32[Q, B] (batched over queries)."""
@@ -272,6 +275,7 @@ class IVFIndex(VectorIndex):
                 rows_mat,
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
+                precision=exact_precision(),
             )[:, 0, :]
         return out
 
@@ -377,23 +381,34 @@ class IVFIndex(VectorIndex):
         prw = self.perm_rows.reshape(self.n_windows, WINDOW)
         paw = self.perm_aux.reshape(self.n_windows, WINDOW)
 
+        # group G windows per scan step: fewer, larger device ops (the
+        # sequential lax.scan step count is a latency term)
+        group = max(1, min(4, w_budget))
+        w_pad = -(-w_budget // group) * group
+        if w_pad != w_budget:
+            widx = jnp.pad(widx, ((0, 0), (0, w_pad - w_budget)))
+            valid_w = jnp.pad(valid_w, ((0, 0), (0, w_pad - w_budget)))
+        n_steps = w_pad // group
+
         def step(carry, s):
             bv, br = carry
-            w = widx[:, s]  # [Q]
-            live = valid_w[:, s]  # [Q]
-            xb = self._decode(jnp.take(pdw, w, axis=0))  # [Q, WIN, D']
-            rows = jnp.take(prw, w, axis=0)  # [Q, WIN]
-            rows = jnp.where(live[:, None], rows, -1)
+            sl = jax.lax.dynamic_slice_in_dim(widx, s * group, group, axis=1)
+            live = jax.lax.dynamic_slice_in_dim(valid_w, s * group, group, axis=1)
+            xb = self._decode(jnp.take(pdw, sl, axis=0))  # [Q, G, WIN, D']
+            xb = xb.reshape(nq, group * WINDOW, xb.shape[-1])
+            rows = jnp.take(prw, sl, axis=0)  # [Q, G, WIN]
+            rows = jnp.where(live[..., None], rows, -1).reshape(nq, -1)
             scores = self._dot(q_parts, xb)
             if self.metric == Metric.L2:
-                scores = 2.0 * scores - jnp.take(paw, w, axis=0)
+                aux = jnp.take(paw, sl, axis=0).reshape(nq, -1)
+                scores = 2.0 * scores - aux
             valid = rows >= 0
             if mask is not None:
                 valid = jnp.logical_and(
                     valid, jnp.take(mask, jnp.maximum(rows, 0))
                 )
             scores = jnp.where(valid, scores, NEG_INF)
-            ksel = min(kk, WINDOW)
+            ksel = min(kk, group * WINDOW)
             sv, sp = jax.lax.top_k(scores, ksel)
             sr = jnp.take_along_axis(rows, jnp.maximum(sp, 0), axis=-1)
             sr = jnp.where(sp >= 0, sr, -1)
@@ -406,7 +421,7 @@ class IVFIndex(VectorIndex):
             jnp.full((nq, kk), -1, jnp.int32),
         )
         (bv, br), _ = jax.lax.scan(
-            step, init, jnp.arange(w_budget, dtype=jnp.int32)
+            step, init, jnp.arange(n_steps, dtype=jnp.int32)
         )
 
         # boundary windows shared by adjacent probed clusters can score a
@@ -443,7 +458,7 @@ class IVFIndex(VectorIndex):
             self.raw_data, jnp.maximum(row_ids, 0), axis=0
         ).astype(jnp.float32)
         q = distance.normalize_queries(queries.astype(jnp.float32), self.metric)
-        s = jnp.einsum("qd,qkd->qk", q, rows)
+        s = jnp.einsum("qd,qkd->qk", q, rows, precision=exact_precision())
         if self.metric == Metric.L2:
             aux = jnp.take(self.raw_aux, jnp.maximum(row_ids, 0))
             s = 2.0 * s - aux

@@ -21,6 +21,17 @@ def use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+@functools.cache
+def exact_precision():
+    """Precision for f32 dots that must be numerically exact. On TPU the
+    DEFAULT f32 matmul is one-pass bf16 (O(1) absolute error at SIFT
+    score scale) -> HIGHEST. On CPU f32 is already exact and HIGHEST
+    forces a painfully slow non-BLAS path -> default."""
+    import jax as _jax
+
+    return _jax.lax.Precision.HIGHEST if _jax.default_backend() == "tpu" else None
+
+
 def round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 

@@ -32,7 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..metrics import Metric
-from ._pallas import cdiv, round_up, use_interpret
+from ._pallas import cdiv, exact_precision, round_up, use_interpret
 
 # Default tile sizes. N tile of 512 keeps the base block (512 x 1024 bf16 =
 # 1 MiB) comfortably in VMEM even for GIST-sized dims.
@@ -171,6 +171,7 @@ def scores_ref(
         queries.astype(jnp.float32),
         base.T.astype(jnp.float32),
         preferred_element_type=jnp.float32,
+        precision=exact_precision(),
     )
     if metric == Metric.L2:
         if aux is None:
