@@ -156,6 +156,85 @@ def main():
         batches,
         BATCH,
     )
+    _progress(f"ivf qps={ivf_qps:.0f}")
+
+    # --- config 4: filtered ANN (1% selectivity pre-filter, exact scan) ---
+    from myscaledb_tpu import F
+
+    flt = F("id") < N // 100  # 1% of rows survive the pre-filter
+    fres = table.search("vec", batches[0], k=K, settings=st_bf, filter=flt)
+    assert int(fres.rows.max()) < N // 100  # pre-filter semantics hold
+    filtered_qps = measure_qps(
+        lambda qb: table.search("vec", qb, k=K, settings=st_bf, filter=flt),
+        batches[:3],
+        BATCH,
+        rounds=3,
+    )
+    _progress(f"filtered qps={filtered_qps:.0f}")
+
+    # --- config 3: HNSW cosine on a GIST-like 960-d corpus (200k) ---
+    N2, D2 = 200_000, 960
+    corpus2 = make_corpus(N2, D2, seed=7)
+    t2 = db.create_table(
+        "bench_gist", ms.Schema({"id": ms.UInt64(), "vec": ms.FloatVector(D2)}),
+        settings=st,
+    )
+    t2.insert({"id": np.arange(N2, dtype=np.uint64), "vec": corpus2})
+    q2 = (corpus2[rng.choice(N2, 200, replace=False)]
+          + 0.1 * rng.standard_normal((200, D2))).astype(np.float32)
+    b2 = [jnp.asarray(q2[:100]), jnp.asarray(q2[100:])]
+    gt2 = np.concatenate(
+        [t2.search("vec", qb, k=K, settings=st_bf, metric="Cosine").distances for qb in b2]
+    )
+    t3 = time.time()
+    t2.add_vector_index("h", "vec", type="HNSWFLAT", m=32, ef_c=100, metric_type="Cosine")
+    t2.wait_index_built(timeout=3600)
+    hnsw_build_s = time.time() - t3
+    hnsw_recall = hnsw_qps = 0.0
+    hnsw_ef = None
+    for ef in (50, 100, 200, 400):
+        d2s = np.concatenate(
+            [t2.search("vec", qb, k=K, params={"ef_s": ef}).distances for qb in b2]
+        )
+        r = float((d2s <= gt2[:, K - 1 : K] * (1 + 1e-4) + 1e-4).mean())
+        _progress(f"hnsw ef_s={ef} recall={r:.4f}")
+        if r >= 0.95:
+            hnsw_ef, hnsw_recall = ef, r
+            break
+    if hnsw_ef is None:
+        hnsw_ef, hnsw_recall = 400, r
+    hnsw_qps = measure_qps(
+        lambda qb: t2.search("vec", qb, k=K, params={"ef_s": hnsw_ef}), b2, 100,
+        rounds=10,
+    )
+    _progress(f"hnsw qps={hnsw_qps:.0f} (ef_s={hnsw_ef})")
+
+    # --- config 5: hybrid BM25+RRF on 100k docs ---
+    N3 = 100_000
+    words = [f"term{i}" for i in range(5000)]
+    rng3 = np.random.default_rng(3)
+    docs = np.array(
+        [" ".join(rng3.choice(words, 12)) for _ in range(N3)], dtype=object
+    )
+    t4 = db.create_table(
+        "bench_hybrid",
+        ms.Schema({"id": ms.UInt64(), "body": ms.String(), "vec": ms.FloatVector(D)}),
+        settings=st,
+    )
+    t4.add_fts_index("ft", "body")
+    t4.insert(
+        {"id": np.arange(N3, dtype=np.uint64), "body": docs, "vec": corpus[:N3]}
+    )
+    hq = corpus[rng3.choice(N3, 64)] + 0.3 * rng3.standard_normal((64, D)).astype(np.float32)
+    hq = hq.astype(np.float32)
+    texts = [" ".join(rng3.choice(words, 3)) for _ in range(64)]
+    t5 = time.time()
+    reps = 3
+    for _ in range(reps):
+        for i in range(64):
+            t4.hybrid_search("vec", "body", hq[i], texts[i], k=K, fusion_type="rrf")
+    hybrid_qps = 64 * reps / (time.time() - t5)
+    _progress(f"hybrid qps={hybrid_qps:.0f}")
     db.close()
 
     extra = {
@@ -163,6 +242,12 @@ def main():
         "ivf_nprobe": op_nprobe,
         "ivf_recall_at_10": round(op_recall, 4),
         "ivf_build_s": round(build_s, 1),
+        "filtered_exact_qps_1pct": round(filtered_qps),
+        "hnsw_cosine_960d_qps": round(hnsw_qps),
+        "hnsw_recall_at_10": round(hnsw_recall, 4),
+        "hnsw_ef_s": hnsw_ef,
+        "hnsw_build_s_200k_960d": round(hnsw_build_s, 1),
+        "hybrid_bm25_rrf_qps": round(hybrid_qps),
         "ingest_s": round(ingest_s, 1),
         "n": N,
         "dim": D,
