@@ -173,7 +173,7 @@ def main():
     _progress(f"filtered qps={filtered_qps:.0f}")
 
     # --- config 3: HNSW cosine on a GIST-like 960-d corpus (200k) ---
-    N2, D2 = 200_000, 960
+    N2, D2 = 100_000, 960  # keep total bench under ~25 min
     corpus2 = make_corpus(N2, D2, seed=7)
     t2 = db.create_table(
         "bench_gist", ms.Schema({"id": ms.UInt64(), "vec": ms.FloatVector(D2)}),
@@ -246,7 +246,7 @@ def main():
         "hnsw_cosine_960d_qps": round(hnsw_qps),
         "hnsw_recall_at_10": round(hnsw_recall, 4),
         "hnsw_ef_s": hnsw_ef,
-        "hnsw_build_s_200k_960d": round(hnsw_build_s, 1),
+        "hnsw_build_s_100k_960d": round(hnsw_build_s, 1),
         "hybrid_bm25_rrf_qps": round(hybrid_qps),
         "ingest_s": round(ingest_s, 1),
         "n": N,

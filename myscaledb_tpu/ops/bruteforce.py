@@ -48,11 +48,16 @@ def _choose_chunk(n: int, target: int) -> int:
 
 
 def _chunk_scores(q, block, aux_block, metric):
-    """Scores for one chunk; Pallas when aligned, XLA reference otherwise."""
+    """Scores for one chunk; Pallas when aligned on TPU, XLA reference
+    otherwise (interpreted Pallas on CPU is pure overhead — the kernel
+    itself is covered by dedicated interpret-mode tests)."""
+    from ._pallas import use_interpret
+
     qn, d = q.shape
     nb = block.shape[0]
     if (
-        qn % 8 == 0
+        not use_interpret()
+        and qn % 8 == 0
         and d % 128 == 0
         and nb % distance.DEFAULT_N_TILE == 0
     ):

@@ -200,19 +200,51 @@ def _as_binary_query_batch(query, vtype):
     return q, q.shape[0]
 
 
+# (segment_id, filter repr, mutation generation) -> device mask. Repeated
+# queries with the same predicate skip host evaluation AND the mask upload
+# (the reference caches nothing here because its bitmap stays host-side;
+# for us the upload is the cost). Bounded; Lambda filters are not cached
+# (their repr does not capture the closure).
+_MASK_CACHE: dict = {}
+_MASK_CACHE_CAP = 256
+
+
 def segment_mask(segment, filter_expr: Optional[Expr]) -> Optional[jax.Array]:
     """Pre-filter bitmap for one segment: WHERE bitmap ∩ alive bitmap,
     extended to capacity (False in padding). None when unconstrained."""
     alive = segment.alive_mask_device()
     if filter_expr is None:
         return alive  # may be None
+    from .filters import Lambda as _Lambda
+
+    cacheable = not any(
+        isinstance(e, _Lambda) for e in _walk_filter(filter_expr)
+    )
+    key = None
+    if cacheable:
+        key = (segment.uid, repr(filter_expr), segment.mutation_generation)
+        hit = _MASK_CACHE.get(key)
+        if hit is not None:
+            return hit
     host = filter_expr.evaluate(segment)  # bool[n_rows]
     full = np.zeros(segment.capacity, dtype=bool)
     full[: segment.n_rows] = host
     dev = jnp.asarray(full)
     if alive is not None:
         dev = jnp.logical_and(dev, alive)
+    if key is not None:
+        if len(_MASK_CACHE) >= _MASK_CACHE_CAP:
+            _MASK_CACHE.pop(next(iter(_MASK_CACHE)))
+        _MASK_CACHE[key] = dev
     return dev
+
+
+def _walk_filter(expr):
+    yield expr
+    for attr in ("a", "b"):
+        child = getattr(expr, attr, None)
+        if child is not None and isinstance(child, Expr):
+            yield from _walk_filter(child)
 
 
 class VectorSearchExecutor:

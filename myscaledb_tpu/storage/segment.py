@@ -64,6 +64,9 @@ class VectorPayload:
         return total
 
 
+_SEGMENT_UID = __import__("itertools").count()
+
+
 class Segment:
     """One immutable slab of rows. Mutable state is limited to the delete
     bitmap (lightweight DELETE) and index attachment, both lock-guarded."""
@@ -91,6 +94,10 @@ class Segment:
         self._deleted_host = np.zeros(capacity, dtype=bool)
         self._deleted_dev: Optional[jnp.ndarray] = None
         self._has_deletes = False
+        # bumped on every delete; filter-mask caches key on it
+        self.mutation_generation = 0
+        # process-unique id (segment_ids restart per table)
+        self.uid = next(_SEGMENT_UID)
 
     # ---------------------------------------------------------------- build
     @classmethod
@@ -196,6 +203,7 @@ class Segment:
             before = int(self._deleted_host.sum())
             self._deleted_host[row_ids] = True
             self._deleted_dev = None
+            self.mutation_generation += 1
             after = int(self._deleted_host.sum())
             self._has_deletes = after > 0
             return after - before

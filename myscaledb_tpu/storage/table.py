@@ -137,6 +137,7 @@ class Table:
                     col[rows] = value(col[rows])
                 else:
                     col[rows] = value
+            seg.mutation_generation += 1
             # fts indexes over mutated columns are rebuilt for the segment
             # (the reference rewrites skip indexes for mutated columns)
             for tdef in self._text_indexes.values():
