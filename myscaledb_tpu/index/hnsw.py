@@ -151,6 +151,8 @@ class _HNSWBase(VectorIndex):
                 sqnorm=jnp.sum(rep * rep, axis=1),
                 invnorm=jnp.ones((n_rows,), jnp.float32),
             )
+        # throwaway index: one balancing round is enough for candidate
+        # generation quality, and halves build time at high dims
         ivf = IVFFlatIndex._build_common(
             ivf_payload,
             n_rows,
@@ -160,6 +162,7 @@ class _HNSWBase(VectorIndex):
             settings=settings,
             codec="raw",
             two_stage=False,
+            balance_rounds=1,
         )
         ck = min(2 * m + 1, n_rows)
         nprobe = max(4, min(16, ivf.n_clusters))

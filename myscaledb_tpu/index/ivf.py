@@ -154,6 +154,7 @@ class IVFIndex(VectorIndex):
         settings,
         codec: str,
         two_stage: bool,
+        balance_rounds: int = 3,
     ) -> "IVFIndex":
         if metric not in (Metric.L2, Metric.IP, Metric.COSINE):
             raise IndexParameterError(f"IVF does not support metric {metric}")
@@ -164,7 +165,7 @@ class IVFIndex(VectorIndex):
 
         rep = _scan_rep(payload, n_rows, metric)  # f32[n, dpad] device
         rep_h = np.asarray(rep, dtype=np.float32)
-        cents, assign = balanced_kmeans(rep, rep_h, n_rows, c, seed=0)
+        cents, assign = balanced_kmeans(rep, rep_h, n_rows, c, seed=0, rounds=balance_rounds)
         c = int(cents.shape[0])
 
         # cluster-major permutation (host; one device push at the end)
