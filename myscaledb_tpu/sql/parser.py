@@ -166,6 +166,12 @@ class Update:
 
 
 @dataclasses.dataclass
+class OptimizeTable:
+    table: str
+    final: bool = False
+
+
+@dataclasses.dataclass
 class DropTable:
     table: str
     if_exists: bool = False
@@ -303,6 +309,11 @@ class Parser:
             return self.delete()
         if kw == "drop":
             return self.drop_table()
+        if kw == "optimize":
+            self.expect_kw("optimize", "table")
+            table = self.table_name()
+            final = self.accept_kw("final")
+            return OptimizeTable(table, final)
         self.error(f"unsupported statement {kw.upper()}")
 
     # ------------------------------------------------------------- DDL

@@ -103,6 +103,7 @@ class SQLRunner:
             P.Update: self._update,
             P.Delete: self._delete,
             P.DropTable: self._drop_table,
+            P.OptimizeTable: self._optimize,
             P.Select: self._select,
         }.get(type(stmt))
         if handler is None:  # pragma: no cover
@@ -177,6 +178,12 @@ class SQLRunner:
     def _delete(self, st: P.Delete):
         n = self.db.table(st.table).delete(_to_filter(st.where))
         return [{"deleted": n}]
+
+    def _optimize(self, st: P.OptimizeTable):
+        """OPTIMIZE TABLE: merge all segments into one (background-merge
+        trigger; FINAL is implied — deleted rows are dropped)."""
+        new_id = self.db.table(st.table).merge()
+        return [{"merged_segment": new_id}]
 
     def _drop_table(self, st: P.DropTable):
         if st.if_exists and st.table not in self.db.tables():

@@ -158,3 +158,19 @@ def test_parse_errors(db):
         db.sql("CREATE TABLE t (v Array(Float32))")  # missing constraint
     with pytest.raises(ms.SQLError):
         db.sql("SELECT id FROM")
+
+
+def test_optimize_table(sdb):
+    sdb.sql("DELETE FROM docs WHERE id = 0")
+    assert len(sdb.table("docs").live_segments()) == 1
+    # add a second segment then merge via OPTIMIZE
+    sdb.sql("INSERT INTO docs (id, body, price, vec) VALUES "
+            "(100, 'extra doc', 1.0, [9.0,9,9,9,9,9,9,9])")
+    assert len(sdb.table("docs").live_segments()) == 2
+    out = sdb.sql("OPTIMIZE TABLE docs FINAL")
+    assert out[0]["merged_segment"] is not None
+    assert len(sdb.table("docs").live_segments()) == 1
+    assert sdb.sql("SELECT count() FROM docs")[0]["count()"] == 8  # 9 - 1 deleted
+    rows = sdb.sql("SELECT id, distance(vec, [9.0,9,9,9,9,9,9,9]) AS d "
+                   "FROM docs ORDER BY d LIMIT 1")
+    assert rows[0]["id"] == 100
