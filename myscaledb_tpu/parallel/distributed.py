@@ -161,6 +161,153 @@ def sharded_kmeans_fit(
     return cents
 
 
+# ------------------------------------------------------ sharded IVF search
+def distributed_ivf_topk(
+    mesh: Mesh,
+    queries: jax.Array,  # [Q, D] sharded on "query"
+    centroids: jax.Array,  # [S, C, D] sharded on "data" (per-shard quantizer)
+    csq: jax.Array,  # [S, C]
+    perm_data: jax.Array,  # [S, NP, D] cluster-major rows per shard
+    perm_aux: jax.Array,  # [S, NP] |x|^2 (inf pad)
+    perm_rows: jax.Array,  # [S, NP] local row ids (-1 pad)
+    cluster_start: jax.Array,  # [S, C+1]
+    *,
+    k: int,
+    nprobe: int,
+    bucket_pad: int,
+    rows_per_shard: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """IVF search where every chip holds its own per-shard index (the
+    per-part index model: each part/shard searched independently,
+    MergeTreeVSManager::vectorScan), merged over ICI. L2 metric; row ids
+    returned are global (local + shard offset)."""
+
+    def local(q, cents, cq, pdata, paux, prows, cstart):
+        cents, cq = cents[0], cq[0]
+        pdata, paux, prows, cstart = pdata[0], paux[0], prows[0], cstart[0]
+        my = jax.lax.axis_index("data")
+        nq = q.shape[0]
+        qs = q.astype(jnp.float32)
+        cs = 2.0 * jnp.dot(qs, cents.T, preferred_element_type=jnp.float32) - cq[None, :]
+        _, probe = jax.lax.top_k(cs, min(nprobe, cents.shape[0]))  # [Q, P]
+        starts = jnp.take(cstart, probe)
+        sizes = jnp.take(cstart, probe + 1) - starts
+        offs = jnp.arange(bucket_pad, dtype=jnp.int32)
+        idx = starts[..., None] + offs[None, None, :]  # [Q, P, B]
+        valid = offs[None, None, :] < sizes[..., None]
+        idx = jnp.where(valid, idx, 0).reshape(nq, -1)
+        rows_mat = jnp.take(pdata, idx, axis=0).astype(jnp.float32)  # [Q, PB, D]
+        scores = 2.0 * jnp.einsum(
+            "qd,qbd->qb", qs, rows_mat, preferred_element_type=jnp.float32
+        ) - jnp.take(paux, idx)
+        rows = jnp.take(prows, idx)
+        ok = jnp.logical_and(valid.reshape(nq, -1), rows >= 0)
+        scores = jnp.where(ok, scores, NEG_INF)
+        kk = min(k, scores.shape[-1])
+        v, pos = jax.lax.top_k(scores, kk)
+        r = jnp.take_along_axis(rows, pos, axis=-1)
+        r = jnp.where(jnp.isfinite(v), r + my * rows_per_shard, -1)
+        if kk < k:
+            v = jnp.pad(v, ((0, 0), (0, k - kk)), constant_values=NEG_INF)
+            r = jnp.pad(r, ((0, 0), (0, k - kk)), constant_values=-1)
+        gv = jax.lax.all_gather(v, "data")  # [S, Q, k]
+        gr = jax.lax.all_gather(r, "data")
+        gv = jnp.transpose(gv, (1, 0, 2)).reshape(nq, -1)
+        gr = jnp.transpose(gr, (1, 0, 2)).reshape(nq, -1)
+        mv, mpos = jax.lax.top_k(gv, k)
+        mr = jnp.take_along_axis(gr, mpos, axis=-1)
+        mr = jnp.where(jnp.isfinite(mv), mr, -1)
+        return mv, mr
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P("query", None),
+            P("data", None, None),
+            P("data", None),
+            P("data", None, None),
+            P("data", None),
+            P("data", None),
+            P("data", None),
+        ),
+        out_specs=(P("query", None), P("query", None)),
+        check_vma=False,
+    )
+    return fn(queries, centroids, csq, perm_data, perm_aux, perm_rows, cluster_start)
+
+
+# ------------------------------------------------------- sharded BM25 leg
+def distributed_bm25_topk(
+    mesh: Mesh,
+    starts: jax.Array,  # int32[S, T] per-shard posting range starts
+    lengths: jax.Array,  # int32[S, T]
+    idfs: jax.Array,  # f32[T] GLOBAL idf (cluster-merged stats)
+    avg_len: jax.Array,  # f32 scalar (global)
+    postings_rows: jax.Array,  # int32[S, NNZ]
+    postings_tf: jax.Array,  # f32[S, NNZ]
+    doc_len: jax.Array,  # f32[S, CAP]
+    *,
+    k: int,
+    budget: int,
+    rows_per_shard: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> Tuple[jax.Array, jax.Array]:
+    """One text query against per-shard inverted indexes with GLOBAL corpus
+    statistics (the _fts_statistic_info contract: idf/avg_len computed from
+    cluster-wide stats so shard scores are comparable), merged over ICI."""
+
+    def local(st, ln, idf, al, prow, ptf, dl):
+        st, ln, prow, ptf, dl = st[0], ln[0], prow[0], ptf[0], dl[0]
+        my = jax.lax.axis_index("data")
+        cap = dl.shape[0]
+        n_terms = st.shape[0]
+        scores = jnp.zeros((cap,), jnp.float32)
+
+        def body(t, acc):
+            rows = jax.lax.dynamic_slice(prow, (st[t],), (budget,))
+            tf = jax.lax.dynamic_slice(ptf, (st[t],), (budget,))
+            valid = jnp.arange(budget, dtype=jnp.int32) < ln[t]
+            rows = jnp.where(valid, rows, cap)
+            dlen = jnp.take(dl, jnp.minimum(rows, cap - 1))
+            denom = tf + k1 * (1.0 - b + b * dlen / al)
+            contrib = idf[t] * tf * (k1 + 1.0) / jnp.maximum(denom, 1e-9)
+            return acc.at[rows].add(jnp.where(valid, contrib, 0.0), mode="drop")
+
+        scores = jax.lax.fori_loop(0, n_terms, body, scores)
+        scores = jnp.where(scores > 0, scores, NEG_INF)
+        kk = min(k, cap)
+        v, r = jax.lax.top_k(scores, kk)
+        r = jnp.where(jnp.isfinite(v), r + my * rows_per_shard, -1)
+        if kk < k:
+            v = jnp.pad(v, (0, k - kk), constant_values=NEG_INF)
+            r = jnp.pad(r, (0, k - kk), constant_values=-1)
+        gv = jax.lax.all_gather(v, "data").reshape(-1)
+        gr = jax.lax.all_gather(r, "data").reshape(-1)
+        mv, pos = jax.lax.top_k(gv, k)
+        mr = jnp.take(gr, pos)
+        mr = jnp.where(jnp.isfinite(mv), mr, -1)
+        return mv[None, :], mr[None, :]
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P("data", None),
+            P("data", None),
+            P(None),
+            P(),
+            P("data", None),
+            P("data", None),
+            P("data", None),
+        ),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )
+    return fn(starts, lengths, idfs, avg_len, postings_rows, postings_tf, doc_len)
+
+
 # ----------------------------------------------------------- fused step
 def make_train_and_search_step(mesh: Mesh, *, k: int, metric: Metric, rows_per_shard: int):
     """One jitted 'full step' over the mesh: a Lloyd's training iteration
@@ -180,5 +327,70 @@ def make_train_and_search_step(mesh: Mesh, *, k: int, metric: Metric, rows_per_s
             rows_per_shard=rows_per_shard,
         )
         return vals, rows, new_cents
+
+    return jax.jit(step)
+
+
+def make_full_step(
+    mesh: Mesh,
+    *,
+    k: int,
+    metric: Metric,
+    rows_per_shard: int,
+    nprobe: int,
+    bucket_pad: int,
+    bm25_budget: int,
+):
+    """The driver's multi-chip dry-run program: ONE jitted step covering the
+    engine's whole distributed surface —
+
+      1. a sharded k-means training iteration (index build; ICI psum),
+      2. exact scan over the row-sharded corpus with ICI top-k merge,
+      3. per-shard IVF index search merged over ICI (per-part index model),
+      4. a BM25 text leg with global statistics merged over ICI,
+      5. hybrid RRF fusion of the IVF + text legs on device
+         (StorageDistributed.cpp:1058-1285 initiator fusion, device-side).
+
+    Mirrors the real engine's sharding: corpus rows on the "data" axis,
+    request batch on the "query" axis.
+    """
+    from ..search.fusion import rrf_fuse_t
+
+    def step(
+        queries,
+        data,
+        aux,
+        centroids,
+        ivf_cents,
+        ivf_csq,
+        ivf_pdata,
+        ivf_paux,
+        ivf_prows,
+        ivf_cstart,
+        t_starts,
+        t_lengths,
+        t_idfs,
+        t_avglen,
+        t_prow,
+        t_ptf,
+        t_dlen,
+    ):
+        new_cents = sharded_lloyd_step(mesh, data, centroids)
+        ev, er = distributed_scan_topk(
+            mesh, queries, data, aux, k=k, metric=metric,
+            rows_per_shard=rows_per_shard,
+        )
+        iv, ir = distributed_ivf_topk(
+            mesh, queries, ivf_cents, ivf_csq, ivf_pdata, ivf_paux,
+            ivf_prows, ivf_cstart, k=k, nprobe=nprobe,
+            bucket_pad=bucket_pad, rows_per_shard=rows_per_shard,
+        )
+        tv, tr = distributed_bm25_topk(
+            mesh, t_starts, t_lengths, t_idfs, t_avglen, t_prow, t_ptf,
+            t_dlen, k=k, budget=bm25_budget, rows_per_shard=rows_per_shard,
+        )
+        tr_b = jnp.broadcast_to(tr, (ir.shape[0], tr.shape[-1]))
+        fv, fr = rrf_fuse_t(ir, tr_b, k)
+        return ev, er, iv, ir, tv, tr, fv, fr, new_cents
 
     return jax.jit(step)

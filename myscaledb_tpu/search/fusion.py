@@ -17,9 +17,13 @@ from __future__ import annotations
 
 from typing import Dict, List, Sequence, Tuple
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 Key = Tuple[int, int]  # (segment_id, row_id)
+
+NEG_INF = float("-inf")
 
 
 def rank_fusion(
@@ -79,3 +83,95 @@ def relative_score_fusion(
             fused[key] = fused.get(key, 0.0) + w * float(s)
     ordered = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))
     return ordered[:k]
+
+
+# --------------------------------------------------------------- on-device
+# Batched, jittable fusion over encoded hit ids. A hit id is an int64
+# packing (segment, row); -1 marks an invalid slot. These replace the
+# host dict-based fusion on the hot hybrid path (the FusionSortingStep /
+# hybridSearch fusion, on device instead of on the initiator's CPU).
+
+
+def _dedup_sum(ids: jax.Array, contrib: jax.Array) -> jax.Array:
+    """Sum `contrib` over equal ids; only the FIRST occurrence of each id
+    keeps the total, the rest get -inf. ids int[Q, M], contrib f32[Q, M]."""
+    m = ids.shape[-1]
+    eq = jnp.logical_and(
+        ids[:, :, None] == ids[:, None, :], ids[:, None, :] >= 0
+    )
+    tot = jnp.einsum("qmn,qn->qm", eq.astype(jnp.float32), contrib)
+    first = jnp.argmax(eq, axis=-1) == jnp.arange(m, dtype=jnp.int32)[None, :]
+    keep = jnp.logical_and(first, ids >= 0)
+    return jnp.where(keep, tot, NEG_INF)
+
+
+def rrf_fuse_t(
+    ids_a: jax.Array,
+    ids_b: jax.Array,
+    k: int,
+    *,
+    fusion_k: int = 60,
+) -> Tuple[jax.Array, jax.Array]:
+    """RRF on device: ids_[ab] int[Q, k'] ranked lists (position = rank-1,
+    -1 = empty). Returns (scores f32[Q, k], ids int[Q, k])."""
+    ka, kb = ids_a.shape[-1], ids_b.shape[-1]
+    ra = 1.0 / (fusion_k + jnp.arange(1, ka + 1, dtype=jnp.float32))
+    rb = 1.0 / (fusion_k + jnp.arange(1, kb + 1, dtype=jnp.float32))
+    contrib = jnp.concatenate(
+        [
+            jnp.where(ids_a >= 0, ra[None, :], 0.0),
+            jnp.where(ids_b >= 0, rb[None, :], 0.0),
+        ],
+        axis=-1,
+    )
+    ids = jnp.concatenate([ids_a, ids_b], axis=-1)
+    tot = _dedup_sum(ids, contrib)
+    kk = min(k, tot.shape[-1])
+    vals, pos = jax.lax.top_k(tot, kk)
+    out = jnp.take_along_axis(ids, pos, axis=-1)
+    out = jnp.where(jnp.isfinite(vals), out, -1)
+    if kk < k:
+        vals = jnp.pad(vals, ((0, 0), (0, k - kk)), constant_values=NEG_INF)
+        out = jnp.pad(out, ((0, 0), (0, k - kk)), constant_values=-1)
+    return vals, out
+
+
+def _minmax_norm_t(scores: jax.Array, valid: jax.Array, ascending_better: bool):
+    """Device min-max over valid entries per row; 1 = best, invalid -> 0."""
+    big = jnp.float32(3.4e38)
+    lo = jnp.min(jnp.where(valid, scores, big), axis=-1, keepdims=True)
+    hi = jnp.max(jnp.where(valid, scores, -big), axis=-1, keepdims=True)
+    span = hi - lo
+    norm = jnp.where(span > 1e-12, (scores - lo) / jnp.where(span > 0, span, 1.0), 1.0)
+    if ascending_better:
+        norm = 1.0 - norm
+    return jnp.where(valid, norm, 0.0)
+
+
+def rsf_fuse_t(
+    ids_v: jax.Array,
+    scores_v: jax.Array,
+    ids_t: jax.Array,
+    scores_t: jax.Array,
+    k: int,
+    *,
+    fusion_weight: float = 0.5,
+    vec_ascending_better: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """RSF on device (HybridSearchUtils.cpp:212-313): per-leg min-max
+    normalize (direction-aware for the vector leg), fused = w·text +
+    (1-w)·vec over the union. scores_v is the user-visible distance."""
+    w = float(fusion_weight)
+    nv = _minmax_norm_t(scores_v, ids_v >= 0, vec_ascending_better) * (1.0 - w)
+    nt = _minmax_norm_t(scores_t, ids_t >= 0, False) * w
+    ids = jnp.concatenate([ids_v, ids_t], axis=-1)
+    contrib = jnp.concatenate([nv, nt], axis=-1)
+    tot = _dedup_sum(ids, contrib)
+    kk = min(k, tot.shape[-1])
+    vals, pos = jax.lax.top_k(tot, kk)
+    out = jnp.take_along_axis(ids, pos, axis=-1)
+    out = jnp.where(jnp.isfinite(vals), out, -1)
+    if kk < k:
+        vals = jnp.pad(vals, ((0, 0), (0, k - kk)), constant_values=NEG_INF)
+        out = jnp.pad(out, ((0, 0), (0, k - kk)), constant_values=-1)
+    return vals, out
