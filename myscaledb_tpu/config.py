@@ -43,9 +43,11 @@ class QuerySettings:
     default_topk: int = 30
 
     # Use TPU hardware approximate top-k (jax.lax.approx_max_k) inside
-    # scans. Exact lax.top_k is used when False. recall_target applies to
-    # the approx path only.
-    use_approx_topk: bool = True
+    # scans — OPT-IN: the default brute-force/FLAT path must be exact
+    # ground truth (the reference's FAISS knn is exact), and measured on
+    # v5e exact lax.top_k is no slower at kilowide rows anyway.
+    # recall_target applies to the approx path only.
+    use_approx_topk: bool = False
     approx_topk_recall_target: float = 0.99
 
     # Two-stage search (approximate first pass + exact re-rank). The
@@ -55,6 +57,9 @@ class QuerySettings:
     two_stage_num_reorder_multiple: int = 4  # candidates = k * this
 
     # Index build chunking (Settings.h:117-119: train 100MiB / add 10MiB).
+    # train: bounds the k-means training sample (ops/kmeans.training_sample).
+    # add: N/A by design (adds are single fused device programs over the
+    # HBM-resident payload); retained for settings parity.
     max_build_index_train_block_bytes: int = 100 * 1024 * 1024
     max_build_index_add_block_bytes: int = 10 * 1024 * 1024
 
@@ -72,8 +77,10 @@ class TableSettings:
     float_vector_search_metric_type: str = "L2"
     binary_vector_search_metric_type: str = "Hamming"
 
-    # Enforce the CHECK length(vector)=D constraint on insert
-    # (MergeTreeSettings.h:186).
+    # CHECK length(vector)=D at insert (MergeTreeSettings.h:186). Always
+    # enforced here BY DESIGN: segment payloads are fixed-shape device
+    # buffers, so a wrong-length vector cannot be stored. Retained for
+    # DDL/settings parity; toggling it has no effect.
     enforce_fixed_vector_length_constraint: bool = True
 
     # Validate index parameters at DDL time (MergeTreeSettings.h:187).
@@ -118,6 +125,9 @@ class ServerSettings:
     background_slow_mode_vector_pool_size: int = 1
 
     # Primary-key cache (Server.cpp:1601-1610; MergeTreeSettings.h:178).
+    # Satisfied BY DESIGN: scalar/PK columns are host-RAM-resident numpy
+    # arrays, so top-k row lookup never touches disk. Retained for
+    # settings parity; toggling has no effect.
     enable_primary_key_cache: bool = True
     primary_key_cache_size: int = 256 * 1024 * 1024
 

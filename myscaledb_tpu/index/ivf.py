@@ -74,6 +74,7 @@ def balanced_kmeans(
     *,
     rounds: int = 3,
     seed: int = 0,
+    max_train_rows: Optional[int] = None,
 ):
     """K-means whose heavy clusters are recursively split: rows of every
     oversized cluster are re-clustered together and those clusters'
@@ -81,7 +82,7 @@ def balanced_kmeans(
     tail, which bounds per-probe scan work. Returns (centroids f32[C', D],
     assign int32[n]) — C' may exceed c."""
     cents = kmeans.kmeans_fit(
-        kmeans.training_sample(rep, n_rows, c, seed=seed),
+        kmeans.training_sample(rep, n_rows, c, seed=seed, max_rows=max_train_rows),
         n_clusters=c,
         n_iters=10,
         seed=seed,
@@ -165,7 +166,15 @@ class IVFIndex(VectorIndex):
 
         rep = _scan_rep(payload, n_rows, metric)  # f32[n, dpad] device
         rep_h = np.asarray(rep, dtype=np.float32)
-        cents, assign = balanced_kmeans(rep, rep_h, n_rows, c, seed=0, rounds=balance_rounds)
+        max_train = None
+        if settings is not None:
+            max_train = max(
+                settings.query.max_build_index_train_block_bytes // (dpad * 4), c
+            )
+        cents, assign = balanced_kmeans(
+            rep, rep_h, n_rows, c, seed=0, rounds=balance_rounds,
+            max_train_rows=max_train,
+        )
         c = int(cents.shape[0])
 
         # cluster-major permutation (host; one device push at the end)

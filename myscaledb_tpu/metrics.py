@@ -82,6 +82,16 @@ def direction(metric: Metric) -> str:
     return "asc"
 
 
+def score_ascending_better(metric: Metric) -> bool:
+    """Direction of the INTERNAL max-better score under the reference's
+    RSF normalization contract (computeNormalizedScore normalizes the
+    user-visible distance with direction(metric)). Since score→distance is
+    affine per metric, that is equivalent to normalizing internal scores
+    with: ascending_better = (direction == 'asc') XOR (the affine map is
+    decreasing) — which is False for every metric except Cosine."""
+    return metric == Metric.COSINE
+
+
 def score_to_distance(metric: Metric, score):
     """Convert internal max-is-better score to the user-visible distance."""
     if metric == Metric.IP:

@@ -126,11 +126,15 @@ def training_sample(
     *,
     sample_per_centroid: int = 128,
     seed: int = 0,
+    max_rows: Optional[int] = None,
 ) -> jax.Array:
     """Bounded training subset (valid rows only). Host-free: index select on
     device. Matches the reference's bounded train blocks
-    (max_build_index_train_block_size, Settings.h:117)."""
+    (max_build_index_train_block_size, Settings.h:117); `max_rows` is the
+    byte-budget bound derived from max_build_index_train_block_bytes."""
     target = min(n_valid, max(n_clusters * sample_per_centroid, n_clusters))
+    if max_rows is not None:
+        target = max(min(target, max_rows), min(n_valid, n_clusters))
     key = jax.random.PRNGKey(seed)
     idx = jax.random.randint(key, (target,), 0, n_valid)
     return jnp.take(data, idx, axis=0).astype(jnp.float32)

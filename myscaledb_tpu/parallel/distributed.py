@@ -390,7 +390,12 @@ def make_full_step(
             t_dlen, k=k, budget=bm25_budget, rows_per_shard=rows_per_shard,
         )
         tr_b = jnp.broadcast_to(tr, (ir.shape[0], tr.shape[-1]))
-        fv, fr = rrf_fuse_t(ir, tr_b, k)
+        # one global tag space (rows are already global): tag 0 when valid
+        fv, _ftag, fr = rrf_fuse_t(
+            jnp.where(ir >= 0, 0, -1), ir,
+            jnp.where(tr_b >= 0, 0, -1), tr_b,
+            k,
+        )
         return ev, er, iv, ir, tv, tr, fv, fr, new_cents
 
     return jax.jit(step)

@@ -31,6 +31,27 @@ from ..storage.schema import Schema
 from ..text.inverted import BM25Stats
 
 
+def _stable_shard(key: np.ndarray, n_shards: int) -> np.ndarray:
+    """Deterministic shard of each key — stable across processes and
+    restarts (the reference uses sipHash in the sharding expression;
+    Python's builtin hash() is randomized per process for strings).
+    Integers use a splitmix64 mix; other values hash their UTF-8 repr
+    via blake2b."""
+    if np.issubdtype(key.dtype, np.integer):
+        x = key.astype(np.uint64)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
+        return (x % np.uint64(n_shards)).astype(np.int64)
+    import hashlib
+
+    out = np.empty(len(key), np.int64)
+    for i, v in enumerate(key):
+        h = hashlib.blake2b(str(v).encode("utf-8"), digest_size=8).digest()
+        out[i] = int.from_bytes(h, "little") % n_shards
+    return out
+
+
 @dataclasses.dataclass
 class ShardedResult:
     """Global top-k across shards: (shard, segment, row, score)."""
@@ -89,11 +110,7 @@ class ShardedTable:
             self._rr += 1
             return [self.shards[sid].insert(columns)]
         key = np.asarray(columns[self.shard_key])
-        hashes = np.asarray(
-            [hash(x.item() if hasattr(x, "item") else x) for x in key],
-            dtype=np.int64,
-        )
-        which = np.abs(hashes) % self.n_shards
+        which = _stable_shard(key, self.n_shards)
         out = []
         for s in range(self.n_shards):
             sel = which == s

@@ -118,6 +118,31 @@ class SearchResult:
         return np.where(self.valid, d, np.inf).astype(np.float32)
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def merge_tagged_topk(vals_t, rows_t, k):
+    """Global top-k across per-segment (vals, rows) lists: one tiny device
+    program (the k-way merge, getTotalTopSearchResultImpl analogue).
+    Returns (vals f32[Q,k], tag int32[Q,k] — position in the tuple, rows)."""
+    vals = jnp.concatenate(vals_t, axis=-1)
+    rows = jnp.concatenate(rows_t, axis=-1)
+    tag = jnp.concatenate(
+        [jnp.full(v.shape, i, jnp.int32) for i, v in enumerate(vals_t)], axis=-1
+    )
+    kk = min(k, vals.shape[-1])
+    mv, pos = jax.lax.top_k(vals, kk)
+    mr = jnp.take_along_axis(rows, pos, axis=-1)
+    mt = jnp.take_along_axis(tag, pos, axis=-1)
+    bad = jnp.logical_or(~jnp.isfinite(mv), mr < 0)
+    mt = jnp.where(bad, -1, mt)
+    mr = jnp.where(bad, -1, mr)
+    if kk < k:
+        pad = ((0, 0), (0, k - kk))
+        mv = jnp.pad(mv, pad, constant_values=NEG_INF)
+        mt = jnp.pad(mt, pad, constant_values=-1)
+        mr = jnp.pad(mr, pad, constant_values=-1)
+    return mv, mt, mr
+
+
 @functools.partial(jax.jit, static_argnames=("k", "pkey"))
 def _fused_multi_search(queries, searchers, masks, k, pkey):
     """One device program: every segment's top-k + the global merge.
@@ -338,7 +363,14 @@ class VectorSearchExecutor:
         seg_ids: List[int] = []
         first_stage: List[Tuple[int, Any, Optional[jax.Array]]] = []
         for seg in segments:
-            mask = segment_mask(seg, filter)
+            fexpr = filter
+            if filter is not None and st.query.optimize_prefilter_in_search:
+                fold = filter.const_fold(seg)
+                if fold is False:
+                    continue  # provably no row passes: skip the segment
+                if fold is True:
+                    fexpr = None  # provably all pass: alive mask only
+            mask = segment_mask(seg, fexpr)
             idx = t.loaded_index(seg.segment_id, column, metric)
             if use_two_stage and idx is not None and idx.supports_two_stage():
                 first_stage.append((seg.segment_id, idx, mask))
@@ -381,6 +413,10 @@ class VectorSearchExecutor:
             return self._two_stage_run(
                 first_stage, searchers, masks, seg_ids, qdev, nq, qsq, k, metric, st, params
             )
+        if not searchers:  # every segment const-folded away
+            if isinstance(qsq, jax.Array):
+                qsq = np.asarray(qsq)
+            return SearchResult.empty(metric, nq, k, qsq)
 
         pkey = params_key(params)
         mv, mt, mr = _fused_multi_search(

@@ -27,11 +27,28 @@ import numpy as np
 from ..errors import SchemaError
 
 
+def _numeric_minmax(segment, column):
+    """(min, max) of a numeric scalar column over the segment's rows, or
+    None for string/missing columns. Cached on the segment per mutation
+    generation (the minmax-index analogue used by canSkipPrewhereForPart)."""
+    try:
+        return segment.scalar_minmax(column)
+    except Exception:  # noqa: BLE001 — missing column/odd dtype: no fold
+        return None
+
+
 class Expr:
     """Boolean filter expression over scalar columns."""
 
     def evaluate(self, segment) -> np.ndarray:  # -> bool[n_rows]
         raise NotImplementedError
+
+    def const_fold(self, segment):
+        """Try to prove the predicate TRUE or FALSE for the WHOLE segment
+        from per-segment column min/max stats (the canSkipPrewhereForPart
+        fast path, MergeTreeSelectWithHybridSearchProcessor.cpp:224-290,
+        gated by optimize_prefilter_in_search). Returns True/False/None."""
+        return None
 
     def columns(self) -> set:
         raise NotImplementedError
@@ -53,6 +70,14 @@ class And(Expr):
     def evaluate(self, segment):
         return self.a.evaluate(segment) & self.b.evaluate(segment)
 
+    def const_fold(self, segment):
+        fa, fb = self.a.const_fold(segment), self.b.const_fold(segment)
+        if fa is False or fb is False:
+            return False
+        if fa is True and fb is True:
+            return True
+        return None
+
     def columns(self):
         return self.a.columns() | self.b.columns()
 
@@ -67,6 +92,14 @@ class Or(Expr):
     def evaluate(self, segment):
         return self.a.evaluate(segment) | self.b.evaluate(segment)
 
+    def const_fold(self, segment):
+        fa, fb = self.a.const_fold(segment), self.b.const_fold(segment)
+        if fa is True or fb is True:
+            return True
+        if fa is False and fb is False:
+            return False
+        return None
+
     def columns(self):
         return self.a.columns() | self.b.columns()
 
@@ -80,6 +113,10 @@ class Not(Expr):
 
     def evaluate(self, segment):
         return ~self.a.evaluate(segment)
+
+    def const_fold(self, segment):
+        f = self.a.const_fold(segment)
+        return None if f is None else (not f)
 
     def columns(self):
         return self.a.columns()
@@ -97,6 +134,9 @@ class Literal(Expr):
 
     def evaluate(self, segment):
         return np.full(segment.n_rows, self.value, dtype=bool)
+
+    def const_fold(self, segment):
+        return self.value
 
     def columns(self):
         return set()
@@ -133,6 +173,29 @@ class Compare(Expr):
             raise SchemaError(f"op {self.op} not supported on string column")
         return self._OPS[self.op](col[: segment.n_rows], self.value)
 
+    def const_fold(self, segment):
+        mm = _numeric_minmax(segment, self.column)
+        if mm is None:
+            return None
+        lo, hi = mm
+        v = self.value
+        try:
+            if self.op == "<":
+                return True if hi < v else (False if lo >= v else None)
+            if self.op == "<=":
+                return True if hi <= v else (False if lo > v else None)
+            if self.op == ">":
+                return True if lo > v else (False if hi <= v else None)
+            if self.op == ">=":
+                return True if lo >= v else (False if hi < v else None)
+            if self.op == "==":
+                return True if lo == hi == v else (False if v < lo or v > hi else None)
+            if self.op == "!=":
+                return False if lo == hi == v else (True if v < lo or v > hi else None)
+        except TypeError:
+            return None
+        return None
+
     def columns(self):
         return {self.column}
 
@@ -152,6 +215,20 @@ class In(Expr):
         else:
             out = np.isin(col, np.asarray(self.values, dtype=col.dtype))
         return ~out if self.negate else out
+
+    def const_fold(self, segment):
+        if not self.values:
+            return self.negate  # IN () is always false, NOT IN () true
+        mm = _numeric_minmax(segment, self.column)
+        if mm is None:
+            return None
+        lo, hi = mm
+        try:
+            if all(v < lo or v > hi for v in self.values):
+                return self.negate  # no row can be IN
+        except TypeError:
+            return None
+        return None
 
     def columns(self):
         return {self.column}

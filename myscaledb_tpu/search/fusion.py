@@ -86,54 +86,71 @@ def relative_score_fusion(
 
 
 # --------------------------------------------------------------- on-device
-# Batched, jittable fusion over encoded hit ids. A hit id is an int64
-# packing (segment, row); -1 marks an invalid slot. These replace the
-# host dict-based fusion on the hot hybrid path (the FusionSortingStep /
-# hybridSearch fusion, on device instead of on the initiator's CPU).
+# Batched, jittable fusion over (segment-tag, row) hit pairs; tag/row = -1
+# marks an invalid slot. These replace the host dict-based fusion on the
+# hot hybrid path (the FusionSortingStep / hybridSearch fusion, on device
+# instead of on the initiator's CPU). Pairs instead of packed int64 ids:
+# jax defaults to 32-bit and (tag << 32 | row) would truncate.
 
 
-def _dedup_sum(ids: jax.Array, contrib: jax.Array) -> jax.Array:
-    """Sum `contrib` over equal ids; only the FIRST occurrence of each id
-    keeps the total, the rest get -inf. ids int[Q, M], contrib f32[Q, M]."""
-    m = ids.shape[-1]
+def _dedup_sum(tags: jax.Array, rows: jax.Array, contrib: jax.Array):
+    """Sum `contrib` over equal (tag, row) pairs; only the FIRST occurrence
+    keeps the total, the rest get -inf. Returns f32[Q, M]."""
+    m = tags.shape[-1]
+    valid = jnp.logical_and(tags >= 0, rows >= 0)
     eq = jnp.logical_and(
-        ids[:, :, None] == ids[:, None, :], ids[:, None, :] >= 0
+        jnp.logical_and(
+            tags[:, :, None] == tags[:, None, :],
+            rows[:, :, None] == rows[:, None, :],
+        ),
+        valid[:, None, :],
     )
     tot = jnp.einsum("qmn,qn->qm", eq.astype(jnp.float32), contrib)
     first = jnp.argmax(eq, axis=-1) == jnp.arange(m, dtype=jnp.int32)[None, :]
-    keep = jnp.logical_and(first, ids >= 0)
+    keep = jnp.logical_and(first, valid)
     return jnp.where(keep, tot, NEG_INF)
 
 
+def _cut(tags, rows, tot, k):
+    kk = min(k, tot.shape[-1])
+    vals, pos = jax.lax.top_k(tot, kk)
+    otag = jnp.take_along_axis(tags, pos, axis=-1)
+    orow = jnp.take_along_axis(rows, pos, axis=-1)
+    ok = jnp.isfinite(vals)
+    otag = jnp.where(ok, otag, -1)
+    orow = jnp.where(ok, orow, -1)
+    if kk < k:
+        pad = ((0, 0), (0, k - kk))
+        vals = jnp.pad(vals, pad, constant_values=NEG_INF)
+        otag = jnp.pad(otag, pad, constant_values=-1)
+        orow = jnp.pad(orow, pad, constant_values=-1)
+    return vals, otag, orow
+
+
 def rrf_fuse_t(
-    ids_a: jax.Array,
-    ids_b: jax.Array,
+    tags_a: jax.Array,
+    rows_a: jax.Array,
+    tags_b: jax.Array,
+    rows_b: jax.Array,
     k: int,
     *,
     fusion_k: int = 60,
-) -> Tuple[jax.Array, jax.Array]:
-    """RRF on device: ids_[ab] int[Q, k'] ranked lists (position = rank-1,
-    -1 = empty). Returns (scores f32[Q, k], ids int[Q, k])."""
-    ka, kb = ids_a.shape[-1], ids_b.shape[-1]
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """RRF on device over ranked (tag, row) lists [Q, k'] (position =
+    rank-1). Returns (scores f32[Q, k], tags, rows)."""
+    ka, kb = tags_a.shape[-1], tags_b.shape[-1]
     ra = 1.0 / (fusion_k + jnp.arange(1, ka + 1, dtype=jnp.float32))
     rb = 1.0 / (fusion_k + jnp.arange(1, kb + 1, dtype=jnp.float32))
+    va = jnp.logical_and(tags_a >= 0, rows_a >= 0)
+    vb = jnp.logical_and(tags_b >= 0, rows_b >= 0)
     contrib = jnp.concatenate(
-        [
-            jnp.where(ids_a >= 0, ra[None, :], 0.0),
-            jnp.where(ids_b >= 0, rb[None, :], 0.0),
-        ],
+        [jnp.where(va, ra[None, :], 0.0), jnp.where(vb, rb[None, :], 0.0)],
         axis=-1,
     )
-    ids = jnp.concatenate([ids_a, ids_b], axis=-1)
-    tot = _dedup_sum(ids, contrib)
-    kk = min(k, tot.shape[-1])
-    vals, pos = jax.lax.top_k(tot, kk)
-    out = jnp.take_along_axis(ids, pos, axis=-1)
-    out = jnp.where(jnp.isfinite(vals), out, -1)
-    if kk < k:
-        vals = jnp.pad(vals, ((0, 0), (0, k - kk)), constant_values=NEG_INF)
-        out = jnp.pad(out, ((0, 0), (0, k - kk)), constant_values=-1)
-    return vals, out
+    tags = jnp.concatenate([tags_a, tags_b], axis=-1)
+    rows = jnp.concatenate([rows_a, rows_b], axis=-1)
+    tot = _dedup_sum(tags, rows, contrib)
+    return _cut(tags, rows, tot, k)
 
 
 def _minmax_norm_t(scores: jax.Array, valid: jax.Array, ascending_better: bool):
@@ -142,36 +159,38 @@ def _minmax_norm_t(scores: jax.Array, valid: jax.Array, ascending_better: bool):
     lo = jnp.min(jnp.where(valid, scores, big), axis=-1, keepdims=True)
     hi = jnp.max(jnp.where(valid, scores, -big), axis=-1, keepdims=True)
     span = hi - lo
-    norm = jnp.where(span > 1e-12, (scores - lo) / jnp.where(span > 0, span, 1.0), 1.0)
+    norm = (scores - lo) / jnp.where(span > 0, span, 1.0)
     if ascending_better:
         norm = 1.0 - norm
+    # all-equal leg: every valid item is "best" (matches host fallback)
+    norm = jnp.where(span > 1e-12, norm, 1.0)
     return jnp.where(valid, norm, 0.0)
 
 
 def rsf_fuse_t(
-    ids_v: jax.Array,
+    tags_v: jax.Array,
+    rows_v: jax.Array,
     scores_v: jax.Array,
-    ids_t: jax.Array,
+    tags_t: jax.Array,
+    rows_t: jax.Array,
     scores_t: jax.Array,
     k: int,
     *,
     fusion_weight: float = 0.5,
-    vec_ascending_better: bool = True,
-) -> Tuple[jax.Array, jax.Array]:
+    vec_ascending_better: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """RSF on device (HybridSearchUtils.cpp:212-313): per-leg min-max
-    normalize (direction-aware for the vector leg), fused = w·text +
-    (1-w)·vec over the union. scores_v is the user-visible distance."""
+    normalize, fused = w·text + (1-w)·vec over the union. scores_v is the
+    INTERNAL max-better score; because score→distance is affine per
+    metric, normalizing it with metrics.score_ascending_better(metric)
+    equals the reference's direction-aware normalization of distances."""
     w = float(fusion_weight)
-    nv = _minmax_norm_t(scores_v, ids_v >= 0, vec_ascending_better) * (1.0 - w)
-    nt = _minmax_norm_t(scores_t, ids_t >= 0, False) * w
-    ids = jnp.concatenate([ids_v, ids_t], axis=-1)
+    valid_v = jnp.logical_and(tags_v >= 0, rows_v >= 0)
+    valid_t = jnp.logical_and(tags_t >= 0, rows_t >= 0)
+    nv = _minmax_norm_t(scores_v, valid_v, vec_ascending_better) * (1.0 - w)
+    nt = _minmax_norm_t(scores_t, valid_t, False) * w
+    tags = jnp.concatenate([tags_v, tags_t], axis=-1)
+    rows = jnp.concatenate([rows_v, rows_t], axis=-1)
     contrib = jnp.concatenate([nv, nt], axis=-1)
-    tot = _dedup_sum(ids, contrib)
-    kk = min(k, tot.shape[-1])
-    vals, pos = jax.lax.top_k(tot, kk)
-    out = jnp.take_along_axis(ids, pos, axis=-1)
-    out = jnp.where(jnp.isfinite(vals), out, -1)
-    if kk < k:
-        vals = jnp.pad(vals, ((0, 0), (0, k - kk)), constant_values=NEG_INF)
-        out = jnp.pad(out, ((0, 0), (0, k - kk)), constant_values=-1)
-    return vals, out
+    tot = _dedup_sum(tags, rows, contrib)
+    return _cut(tags, rows, tot, k)

@@ -19,9 +19,12 @@ skip index written during part writes (MergeTreeDataPartWriterOnDisk.cpp:
 
 from __future__ import annotations
 
+import functools
 import threading
 from typing import Any, Dict, List, Optional
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..errors import QueryShapeError, SchemaError
@@ -150,7 +153,7 @@ class TextSearchExecutor:
     def run(
         self,
         column_or_index: str,
-        query: str,
+        query,
         k: Optional[int],
         *,
         filter: Optional[Expr] = None,
@@ -159,11 +162,18 @@ class TextSearchExecutor:
     ) -> SearchResult:
         """textsearch() analogue: BM25 top-k, scores descending.
 
-        stats_override: cluster-wide statistics injected by a distributed
-        initiator (the _fts_statistic_info scalar analogue) — replaces the
-        local table stats so scores are comparable across shards."""
+        `query` may be one string or a list of strings (batched: one device
+        program per segment scores ALL queries — the multi-query serving
+        path). stats_override: cluster-wide statistics injected by a
+        distributed initiator (the _fts_statistic_info scalar analogue) —
+        replaces the local table stats so scores are comparable across
+        shards. The result is device-lazy like vector search."""
         t = self.table
         st = t.settings
+        queries = [query] if isinstance(query, str) else list(query)
+        nq = len(queries)
+        if nq == 0:
+            raise QueryShapeError("query batch is empty")
         k = int(k if k is not None else st.query.default_topk)
         if k <= 0:
             raise QueryShapeError("k must be positive")
@@ -173,7 +183,7 @@ class TextSearchExecutor:
                 f"{st.query.max_search_result_window}"
             )
         tdef = self._resolve(column_or_index)
-        GLOBAL_COUNTERS.bump("TextSearchQueries")
+        GLOBAL_COUNTERS.bump("TextSearchQueries", nq)
         segments = t.live_segments()
         seg_ids = [s.segment_id for s in segments]
         stats = (
@@ -182,42 +192,67 @@ class TextSearchExecutor:
             else tdef.merged_stats(seg_ids)
         )
 
-        per: List = []
+        vals_t: List = []
+        rows_t: List = []
+        tags: List[int] = []
         for seg in segments:
             store = tdef.store(seg.segment_id)
             if store is None:
                 continue
             mask = segment_mask(seg, filter)
-            vals, rows, _terms = store.bm25_topk(
-                query, k, stats=stats, operator=operator, mask=mask
+            vals, rows, _terms = store.bm25_topk_batch(
+                queries, k, stats=stats, operator=operator, mask=mask
             )
-            per.append((seg.segment_id, np.asarray(vals)[0], np.asarray(rows)[0]))
-        if not per:
-            return SearchResult.empty(Metric.IP, 1, k)
-        allv = np.concatenate([v for _, v, _ in per])
-        allr = np.concatenate([r for _, _, r in per])
-        alls = np.concatenate(
-            [np.full(len(v), sid, np.int64) for sid, v, _ in per]
-        )
-        order = np.argsort(-allv, kind="stable")[:k]
-        vals = allv[order]
-        segs = alls[order]
-        rows = allr[order]
-        bad = ~np.isfinite(vals) | (rows < 0)
-        segs = np.where(bad, -1, segs)
-        rows = np.where(bad, -1, rows)
-        if len(vals) < k:
-            pad = k - len(vals)
-            vals = np.pad(vals, (0, pad), constant_values=-np.inf)
-            segs = np.pad(segs, (0, pad), constant_values=-1)
-            rows = np.pad(rows, (0, pad), constant_values=-1)
+            vals_t.append(vals)
+            rows_t.append(rows)
+            tags.append(seg.segment_id)
+        if not vals_t:
+            return SearchResult.empty(Metric.IP, nq, k)
+        if len(vals_t) == 1:
+            mv, mr = vals_t[0], rows_t[0]
+            import jax.numpy as jnp
+
+            mt = jnp.where(mr >= 0, 0, -1)
+        else:
+            from .executor import merge_tagged_topk
+
+            mv, mt, mr = merge_tagged_topk(tuple(vals_t), tuple(rows_t), k)
         # BM25 score is bigger-better: expose via the IP (similarity) convention
         return SearchResult(
             Metric.IP,
-            host=(vals[None].astype(np.float32), segs[None], rows[None].astype(np.int32)),
-            nq=1,
+            device=(mv, mt, mr),
+            seg_ids=np.asarray(tags, dtype=np.int64),
+            nq=nq,
             k=k,
         )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "fusion_type", "fusion_k", "fusion_weight", "vec_asc"),
+)
+def _fuse_device(
+    vvals, vtags, vrows, vtag_map,
+    tvals, ttags, trows, ttag_map,
+    k, fusion_type, fusion_k, fusion_weight, vec_asc,
+):
+    """Device hybrid fusion: remap each leg's segment tags into a UNIFIED
+    tag space, fuse (RRF/RSF) over (tag, row) pairs."""
+    from .fusion import rrf_fuse_t, rsf_fuse_t
+
+    def remap(tags, rows, tag_map):
+        uni = jnp.where(tags >= 0, jnp.take(tag_map, jnp.maximum(tags, 0)), -1)
+        ok = jnp.logical_and(uni >= 0, rows >= 0)
+        return jnp.where(ok, uni, -1), jnp.where(ok, rows, -1)
+
+    vt, vr = remap(vtags, vrows, vtag_map)
+    tt, tr = remap(ttags, trows, ttag_map)
+    if fusion_type == "rrf":
+        return rrf_fuse_t(vt, vr, tt, tr, k, fusion_k=fusion_k)
+    return rsf_fuse_t(
+        vt, vr, vvals, tt, tr, tvals, k,
+        fusion_weight=fusion_weight, vec_ascending_better=vec_asc,
+    )
 
 
 class HybridSearchExecutor:
@@ -229,7 +264,7 @@ class HybridSearchExecutor:
         vector_column: str,
         text_column_or_index: str,
         vector_query,
-        text_query: str,
+        text_query,
         k: Optional[int],
         *,
         fusion_type: str = "rsf",
@@ -239,8 +274,13 @@ class HybridSearchExecutor:
         operator: str = "OR",
         params: Optional[Dict[str, Any]] = None,
     ) -> SearchResult:
-        """hybridsearch() analogue. Single query; returns fused scores
-        descending (ORDER BY score DESC per the reference contract)."""
+        """hybridsearch() analogue: both legs fetch k×multiple_base
+        candidates, fused ON DEVICE (RRF: Σ1/(k+rank); RSF: direction-aware
+        min-max, HybridSearchUtils.cpp:164,212-313), scores descending.
+
+        Batched: vector_query may be [Q, D] with text_query a matching list
+        of Q strings (or one string shared by all). The whole hybrid query
+        is device-lazy — no host sync until results are read."""
         t = self.table
         st = t.settings
         k = int(k if k is not None else st.query.default_topk)
@@ -248,60 +288,64 @@ class HybridSearchExecutor:
             k * st.query.hybrid_search_top_k_multiple_base,
             st.query.max_search_result_window,
         )
-        GLOBAL_COUNTERS.bump("HybridSearchQueries")
 
         vres = t.search(vector_column, vector_query, n_cand, filter=filter, params=params)
-        if vres.nq != 1:
-            raise QueryShapeError("hybrid search takes a single vector query")
+        nq = vres.nq
+        GLOBAL_COUNTERS.bump("HybridSearchQueries", nq)
+        tq = [text_query] * nq if isinstance(text_query, str) else list(text_query)
+        if len(tq) != nq:
+            raise QueryShapeError(
+                f"text_query batch ({len(tq)}) must match vector batch ({nq})"
+            )
         tres = TextSearchExecutor(t).run(
-            text_column_or_index, text_query, n_cand, filter=filter, operator=operator
+            text_column_or_index, tq, n_cand, filter=filter, operator=operator
         )
 
-        vvalid = vres.valid[0]
-        vkeys = [
-            (int(s), int(r))
-            for s, r in zip(vres.segments[0][vvalid], vres.rows[0][vvalid])
-        ]
-        vdists = vres.distances[0][vvalid]
-        tvalid = tres.valid[0]
-        tkeys = [
-            (int(s), int(r))
-            for s, r in zip(tres.segments[0][tvalid], tres.rows[0][tvalid])
-        ]
-        tscores = tres.scores[0][tvalid]
-
         ftype = fusion_type.lower()
-        if ftype == "rrf":
-            fused = rank_fusion(
-                [vkeys, tkeys],
-                k,
-                fusion_k=int(fusion_k or st.query.hybrid_search_fusion_k),
-            )
-        elif ftype == "rsf":
-            from ..metrics import direction
-
-            vec_asc = direction(vres.metric) == "asc"
-            fused = relative_score_fusion(
-                list(zip(vkeys, vdists.tolist())),
-                list(zip(tkeys, tscores.tolist())),
-                k,
-                fusion_weight=(
-                    st.query.hybrid_search_fusion_weight
-                    if fusion_weight is None
-                    else fusion_weight
-                ),
-                vec_ascending_better=vec_asc,
-            )
-        else:
+        if ftype not in ("rrf", "rsf"):
             raise QueryShapeError(f"fusion_type must be rrf or rsf, got {fusion_type!r}")
+        # unified segment-id table for both legs' tag spaces
+        v_ids = vres._seg_ids if vres._seg_ids is not None else np.zeros(0, np.int64)
+        t_ids = tres._seg_ids if tres._seg_ids is not None else np.zeros(0, np.int64)
+        uni = np.unique(np.concatenate([v_ids, t_ids]))
+        if len(uni) == 0:
+            uni = np.asarray([-1], np.int64)  # both legs empty: sentinel
+        vmap_tags = np.searchsorted(uni, v_ids).astype(np.int32)
+        tmap_tags = np.searchsorted(uni, t_ids).astype(np.int32)
+        if len(vmap_tags) == 0:
+            vmap_tags = np.asarray([-1], np.int32)
+        if len(tmap_tags) == 0:
+            tmap_tags = np.asarray([-1], np.int32)
 
-        vals = np.full(k, -np.inf, np.float32)
-        segs = np.full(k, -1, np.int64)
-        rows = np.full(k, -1, np.int32)
-        for i, ((sid, rid), score) in enumerate(fused):
-            vals[i] = score
-            segs[i] = sid
-            rows[i] = rid
+        def leg(res):
+            if res._device is not None:
+                v, tg, r = res._device
+                # vector results may be query-padded ([nq_pad, k]) — align
+                return v[:nq], tg[:nq], r[:nq]
+            # host result here means SearchResult.empty: all slots invalid
+            return (
+                jnp.full((nq, res.k), -np.inf, jnp.float32),
+                jnp.full((nq, res.k), -1, jnp.int32),
+                jnp.full((nq, res.k), -1, jnp.int32),
+            )
+
+        vvals, vtags, vrows = leg(vres)
+        tvals, ttags, trows = leg(tres)
+        from ..metrics import score_ascending_better
+
+        fv, ftag, frow = _fuse_device(
+            vvals, vtags, vrows, jnp.asarray(vmap_tags),
+            tvals, ttags, trows, jnp.asarray(tmap_tags),
+            k,
+            ftype,
+            int(fusion_k if fusion_k is not None else st.query.hybrid_search_fusion_k),
+            float(
+                st.query.hybrid_search_fusion_weight
+                if fusion_weight is None
+                else fusion_weight
+            ),
+            score_ascending_better(vres.metric),
+        )
         return SearchResult(
-            Metric.IP, host=(vals[None], segs[None], rows[None]), nq=1, k=k
+            Metric.IP, device=(fv, ftag, frow), seg_ids=uni, nq=nq, k=k
         )

@@ -96,6 +96,8 @@ class Segment:
         self._has_deletes = False
         # bumped on every delete; filter-mask caches key on it
         self.mutation_generation = 0
+        # per-column (min, max) stats for predicate const-folding
+        self._minmax_cache: Dict[str, tuple] = {}
         # process-unique id (segment_ids restart per table)
         self.uid = next(_SEGMENT_UID)
 
@@ -192,6 +194,24 @@ class Segment:
         if column not in self.scalars:
             raise SchemaError(f"segment has no scalar column {column}")
         return self.scalars[column]
+
+    def scalar_minmax(self, column: str):
+        """(min, max) over the segment's rows for a NUMERIC scalar column;
+        None for string columns. Cached per mutation generation (the
+        per-part minmax index the reference consults in
+        canSkipPrewhereForPart)."""
+        col = self.scalar(column)
+        if col.dtype == object:
+            return None
+        with self._lock:
+            hit = self._minmax_cache.get(column)
+            if hit is not None and hit[0] == self.mutation_generation:
+                return hit[1]
+        live = col[: self.n_rows]
+        mm = (live.min(), live.max()) if len(live) else None
+        with self._lock:
+            self._minmax_cache[column] = (self.mutation_generation, mm)
+        return mm
 
     # --------------------------------------------------------------- delete
     def delete_rows(self, row_ids: np.ndarray) -> int:

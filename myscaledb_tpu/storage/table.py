@@ -73,6 +73,10 @@ class Table:
         self._scheduler = scheduler
         self._index_cache = index_cache
         self._lock = threading.RLock()
+        # Serializes DML (DELETE/UPDATE) against the merge swap so a
+        # mutation landing mid-merge is re-applied to the merged segment
+        # instead of silently discarded (merge-epoch discipline).
+        self._dml_lock = threading.RLock()
         self._segments: Dict[int, Any] = {}
         self._next_segment_id = 0
         self._index_descs: Dict[str, IndexDescription] = {}
@@ -126,37 +130,39 @@ class Table:
                     "mutations that keep the vector column intact)"
                 )
         n = 0
-        for seg in self.live_segments():
-            m = filter.evaluate(seg) & ~seg.deleted_host()[: seg.n_rows]
-            rows = np.nonzero(m)[0]
-            if not len(rows):
-                continue
-            for cname, value in assignments.items():
-                col = seg.scalar(cname)
-                if callable(value):
-                    col[rows] = value(col[rows])
-                else:
-                    col[rows] = value
-            seg.mutation_generation += 1
-            # fts indexes over mutated columns are rebuilt for the segment
-            # (the reference rewrites skip indexes for mutated columns)
-            for tdef in self._text_indexes.values():
-                if any(c in tdef.columns for c in assignments):
-                    tdef.on_new_segment(seg)
-            n += len(rows)
+        with self._dml_lock:
+            for seg in self.live_segments():
+                m = filter.evaluate(seg) & ~seg.deleted_host()[: seg.n_rows]
+                rows = np.nonzero(m)[0]
+                if not len(rows):
+                    continue
+                for cname, value in assignments.items():
+                    col = seg.scalar(cname)
+                    if callable(value):
+                        col[rows] = value(col[rows])
+                    else:
+                        col[rows] = value
+                seg.mutation_generation += 1
+                # fts indexes over mutated columns are rebuilt for the segment
+                # (the reference rewrites skip indexes for mutated columns)
+                for tdef in self._text_indexes.values():
+                    if any(c in tdef.columns for c in assignments):
+                        tdef.on_new_segment(seg)
+                n += len(rows)
         GLOBAL_COUNTERS.bump("MutatedRows", n)
         return n
 
     def delete(self, filter: Expr) -> int:
         """Lightweight DELETE: set delete-bitmap bits on matching rows."""
         n = 0
-        for seg in self.live_segments():
-            mask = filter.evaluate(seg)
-            rows = np.nonzero(mask)[0]
-            if len(rows):
-                n += seg.delete_rows(rows)
-                for tdef in self._text_indexes.values():
-                    tdef.on_deletes(seg)
+        with self._dml_lock:
+            for seg in self.live_segments():
+                mask = filter.evaluate(seg)
+                rows = np.nonzero(mask)[0]
+                if len(rows):
+                    n += seg.delete_rows(rows)
+                    for tdef in self._text_indexes.values():
+                        tdef.on_deletes(seg)
         GLOBAL_COUNTERS.bump("DeletedRows", n)
         return n
 
@@ -753,10 +759,18 @@ class Table:
         cols: Dict[str, List[np.ndarray]] = {c: [] for c in self.schema.columns}
         import jax.numpy as jnp
 
+        from .segment import Segment
+
+        # Phase 1 (no DML lock — the copy is long): snapshot each source's
+        # alive bitmap + mutation generation and copy live rows.
         row_maps: List[np.ndarray] = []  # old capacity -> new row id
+        alive_snaps: List[np.ndarray] = []
+        gen_snaps: List[int] = []
         offset = 0
         for seg in sources:
-            alive = ~seg.deleted_host()[: seg.n_rows]
+            gen_snaps.append(seg.mutation_generation)
+            alive = ~seg.deleted_host()[: seg.n_rows].copy()
+            alive_snaps.append(alive)
             rmap = np.full(seg.capacity, -1, np.int32)
             n_alive = int(alive.sum())
             rmap[: seg.n_rows][alive] = offset + np.arange(n_alive, dtype=np.int32)
@@ -773,18 +787,34 @@ class Table:
                         data = data[:, : ctype.dim]
                     cols[cname].append(data[alive])
                 else:
-                    cols[cname].append(seg.scalar(cname)[: seg.n_rows][alive])
+                    cols[cname].append(seg.scalar(cname)[: seg.n_rows][alive].copy())
         merged = {c: np.concatenate(v, axis=0) for c, v in cols.items()}
         n_merged = len(next(iter(merged.values())))
         if n_merged == 0:
-            with self._lock:
+            with self._dml_lock, self._lock:
                 for i in ids:
                     self._segments.pop(i, None)
                     for key in [k for k in self._slots if k[0] == i]:
                         del self._slots[key]
             return None
-        new_id = self.insert(merged, _schedule_builds=False)
-        new_seg = self._segments[new_id]
+
+        # Build the merged segment UNPUBLISHED (searches never see both
+        # generations — no transient duplicates).
+        dtype = (
+            jnp.bfloat16
+            if self.settings.table.storage_dtype == "bfloat16"
+            else jnp.float32
+        )
+        with self._lock:
+            new_id = self._next_segment_id
+            self._next_segment_id += 1
+        new_seg = Segment.from_columns(
+            new_id,
+            self.schema,
+            merged,
+            alignment=self.settings.table.segment_row_alignment,
+            storage_dtype=dtype,
+        )
 
         # Decoupled serving: if every source has a live index for a
         # description, the merged segment searches through them with row-id
@@ -794,6 +824,8 @@ class Table:
         decouple = self.settings.table.enable_decouple_vector_index
         with self._lock:
             descs = list(self._index_descs.values())
+        decoupled_descs: List[Any] = []
+        plain_descs: List[Any] = []
         for desc in descs:
             subs = []
             with self._lock:
@@ -801,7 +833,6 @@ class Table:
                     slot = self._slots.get((src.segment_id, desc.name))
                     if slot is not None and slot.instance is not None:
                         subs.append(slot.instance)
-            key = (new_id, desc.name)
             small = n_merged < self.settings.table.min_rows_to_build_vector_index
             if decouple and not small and len(subs) == len(sources):
                 inst = DecoupledIndex(
@@ -812,28 +843,66 @@ class Table:
                     n_rows=n_merged,
                 )
                 with self._lock:
-                    self._slots[key] = IndexSlot(
+                    self._slots[(new_id, desc.name)] = IndexSlot(
                         IndexStatus.PENDING, instance=inst
                     )
-                slow = (
-                    n_merged
-                    > self.settings.table.max_rows_for_slow_mode_single_vector_index_build
-                )
-                job = lambda d=desc: self._build_one(new_seg, d)
-                if self._scheduler is not None:
-                    self._scheduler.submit(job, slow=slow)
-                else:
-                    job()
-                GLOBAL_COUNTERS.bump("DecoupledMerges")
+                decoupled_descs.append(desc)
             else:
-                self._schedule_build(new_seg, desc)
-        # Drop sources only after the new segment exists; searches in
-        # between see both generations but never double rows.
-        with self._lock:
-            for i in ids:
-                self._segments.pop(i, None)
-                for key in [k for k in self._slots if k[0] == i]:
-                    del self._slots[key]
+                plain_descs.append(desc)
+        # fts stores for the merged segment, built before publication so
+        # text search never sees a store-less segment
+        for tdef in self._text_indexes.values():
+            tdef.on_new_segment(new_seg)
+
+        # Phase 2 (DML lock held): re-apply anything that landed on the
+        # sources during the copy, then swap sources-for-merged atomically
+        # so live_segments() never contains both generations.
+        with self._dml_lock:
+            for seg, alive_snap, gen_snap, rmap in zip(
+                sources, alive_snaps, gen_snaps, row_maps
+            ):
+                if seg.mutation_generation == gen_snap:
+                    continue
+                # deletes since the snapshot -> delete the mapped rows
+                now_deleted = seg.deleted_host()[: seg.n_rows]
+                new_dead = now_deleted & alive_snap
+                if new_dead.any():
+                    mapped = rmap[: seg.n_rows][new_dead]
+                    new_seg.delete_rows(mapped[mapped >= 0])
+                # scalar UPDATEs since the snapshot -> re-copy scalars for
+                # rows that were alive at snapshot (vector columns cannot
+                # be UPDATEd, so the device payload is still correct)
+                snap_rows = np.nonzero(alive_snap)[0]
+                dst = rmap[: seg.n_rows][alive_snap]
+                for cname in new_seg.scalars:
+                    new_seg.scalar(cname)[dst] = seg.scalar(cname)[snap_rows]
+            # text columns may have been UPDATEd mid-copy: rebuild fts
+            if any(
+                s.mutation_generation != g for s, g in zip(sources, gen_snaps)
+            ):
+                for tdef in self._text_indexes.values():
+                    tdef.on_new_segment(new_seg)
+            with self._lock:
+                self._segments[new_id] = new_seg
+                for i in ids:
+                    self._segments.pop(i, None)
+                    for key in [k for k in self._slots if k[0] == i]:
+                        del self._slots[key]
+
+        # post-swap: schedule rebuilds and clean caches
+        for desc in decoupled_descs:
+            slow = (
+                n_merged
+                > self.settings.table.max_rows_for_slow_mode_single_vector_index_build
+            )
+            job = lambda d=desc: self._build_one(new_seg, d)
+            if self._scheduler is not None:
+                self._scheduler.submit(job, slow=slow)
+            else:
+                job()
+            GLOBAL_COUNTERS.bump("DecoupledMerges")
+        for desc in plain_descs:
+            self._schedule_build(new_seg, desc)
         for tdef in self._text_indexes.values():
             for i in ids:
                 tdef.on_segment_dropped(i)

@@ -73,54 +73,76 @@ def _round_pow2(x: int, lo: int = 128, hi: int = 1 << 20) -> int:
     return p
 
 
+# Posting-slice size per scan step. Terms with more postings are split
+# into ceil(df/BUDGET_CAP) chunks host-side (no silent truncation); the
+# fixed cap keeps the jit signature count O(1) instead of O(max_df).
+BUDGET_CAP = 8192
+
+
 @functools.partial(
-    jax.jit, static_argnames=("budget", "capacity", "require_all", "k", "approx")
+    jax.jit, static_argnames=("budget", "capacity", "k", "approx")
 )
-def _bm25_score_topk(
+def _bm25_score_topk_batch(
     postings_rows: jax.Array,  # int32[nnz_pad]
     postings_tf: jax.Array,  # f32[nnz_pad]
     doc_len: jax.Array,  # f32[capacity]
-    starts: jax.Array,  # int32[T] posting range starts
-    lengths: jax.Array,  # int32[T] posting range lengths
-    idfs: jax.Array,  # f32[T]
+    starts: jax.Array,  # int32[Q, T] posting CHUNK starts
+    lengths: jax.Array,  # int32[Q, T] chunk lengths (0 = inert pad)
+    idfs: jax.Array,  # f32[Q, T] idf of the chunk's term
+    n_required: jax.Array,  # int32[Q] min #matched terms (1=OR, n_terms=AND)
     avg_len: jax.Array,  # f32 scalar
     mask: Optional[jax.Array],  # bool[capacity] or None
     *,
     budget: int,
     capacity: int,
-    require_all: bool,
     k: int,
     approx: bool,
 ) -> Tuple[jax.Array, jax.Array]:
-    """One query: BM25 scatter-accumulate + top-k. T = #query terms."""
-    n_terms = starts.shape[0]
-    scores = jnp.zeros((capacity,), jnp.float32)
-    nmatch = jnp.zeros((capacity,), jnp.int32)
+    """Batched BM25: scatter-accumulate every query's term chunks into
+    dense per-row scores, then per-query top-k. A term's chunks partition
+    its posting rows, so the per-row matched-term count used for AND
+    semantics is unaffected by chunking."""
+    nq, nt = starts.shape
+    scores = jnp.zeros((nq, capacity), jnp.float32)
+    nmatch = jnp.zeros((nq, capacity), jnp.int32)
+    qidx = jnp.arange(nq, dtype=jnp.int32)[:, None]
+    offs = jnp.arange(budget, dtype=jnp.int32)
 
     def body(t, carry):
         scores, nmatch = carry
-        start = starts[t]
-        ln = lengths[t]
-        rows = jax.lax.dynamic_slice(postings_rows, (start,), (budget,))
-        tf = jax.lax.dynamic_slice(postings_tf, (start,), (budget,))
-        valid = jnp.arange(budget, dtype=jnp.int32) < ln
+        st = starts[:, t]  # [Q]
+        ln = lengths[:, t]
+        rows = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(postings_rows, (s,), (budget,))
+        )(st)
+        tf = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(postings_tf, (s,), (budget,))
+        )(st)
+        valid = offs[None, :] < ln[:, None]
         rows = jnp.where(valid, rows, capacity)  # OOB -> dropped
         dl = jnp.take(doc_len, jnp.minimum(rows, capacity - 1))
         denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avg_len)
-        contrib = idfs[t] * tf * (BM25_K1 + 1.0) / jnp.maximum(denom, 1e-9)
+        contrib = idfs[:, t][:, None] * tf * (BM25_K1 + 1.0) / jnp.maximum(denom, 1e-9)
         contrib = jnp.where(valid, contrib, 0.0)
-        scores = scores.at[rows].add(contrib, mode="drop")
-        nmatch = nmatch.at[rows].add(valid.astype(jnp.int32), mode="drop")
+        scores = scores.at[qidx, rows].add(contrib, mode="drop")
+        nmatch = nmatch.at[qidx, rows].add(valid.astype(jnp.int32), mode="drop")
         return scores, nmatch
 
-    scores, nmatch = jax.lax.fori_loop(0, n_terms, body, (scores, nmatch))
-    hit = nmatch >= (n_terms if require_all else 1)
+    scores, nmatch = jax.lax.fori_loop(0, nt, body, (scores, nmatch))
+    hit = nmatch >= n_required[:, None]
     if mask is not None:
-        hit = jnp.logical_and(hit, mask)
+        hit = jnp.logical_and(hit, mask[None, :])
     scores = jnp.where(hit, scores, NEG_INF)
-    vals, rows = topk_scores(scores[None, :], k, approx=approx)
+    vals, rows = topk_scores(scores, k, approx=approx)
     rows = jnp.where(jnp.isfinite(vals), rows, -1)
     return vals, rows
+
+
+def _pad_pow2(x: int, lo: int = 4) -> int:
+    p = lo
+    while p < x:
+        p <<= 1
+    return p
 
 
 class InvertedIndex:
@@ -292,6 +314,84 @@ class InvertedIndex:
         out[rows[rows < self.n_rows]] = True
         return out
 
+    @property
+    def scan_budget(self) -> int:
+        """Static posting-slice size for this store: pow2 of the largest
+        term's df, capped at BUDGET_CAP (bigger terms scan in chunks)."""
+        b = getattr(self, "_scan_budget", None)
+        if b is None:
+            max_df = 1
+            if len(self.term_offsets) > 1:
+                max_df = int(np.max(self.term_offsets[1:] - self.term_offsets[:-1]))
+            b = min(BUDGET_CAP, _round_pow2(max(max_df, 128)))
+            self._scan_budget = b
+        return b
+
+    def bm25_topk_batch(
+        self,
+        queries: Sequence[str],
+        k: int,
+        *,
+        stats: Optional[BM25Stats] = None,
+        operator: str = "OR",
+        mask: Optional[jax.Array] = None,
+        approx: bool = False,
+    ) -> Tuple[jax.Array, jax.Array, List[List[str]]]:
+        """Device BM25 top-k for a BATCH of query strings against this
+        segment, using table-level `stats` (falls back to segment-local).
+        One device program for the whole batch; terms whose posting lists
+        exceed the scan budget are split into chunks (never truncated)."""
+        stats = stats or self.stats
+        budget = self.scan_budget
+        require_all = operator.upper() == "AND"
+        all_terms: List[List[str]] = []
+        chunk_lists: List[List[Tuple[int, int, float]]] = []
+        for query in queries:
+            terms = self.analyzer.tokenize(query)
+            seen: set = set()
+            terms = [t for t in terms if not (t in seen or seen.add(t))]
+            all_terms.append(terms)
+            chunks: List[Tuple[int, int, float]] = []
+            for t in terms:
+                s, ln = self.term_range(t)
+                idf = stats.idf(t)
+                if ln == 0:
+                    continue  # absent here; still counts toward n_required
+                for off in range(0, ln, budget):
+                    chunks.append((s + off, min(budget, ln - off), idf))
+            chunk_lists.append(chunks)
+        nq = len(queries)
+        nt = _pad_pow2(max((len(c) for c in chunk_lists), default=1))
+        starts = np.zeros((nq, nt), np.int32)
+        lengths = np.zeros((nq, nt), np.int32)
+        idfs = np.zeros((nq, nt), np.float32)
+        n_req = np.ones(nq, np.int32)
+        for i, chunks in enumerate(chunk_lists):
+            for j, (s, ln, idf) in enumerate(chunks):
+                starts[i, j] = s
+                lengths[i, j] = ln
+                idfs[i, j] = idf
+            if require_all:
+                n_req[i] = max(len(all_terms[i]), 1)
+            if not all_terms[i]:
+                n_req[i] = nt + 1  # empty query matches nothing
+        vals, rows = _bm25_score_topk_batch(
+            self.postings_rows,
+            self.postings_tf,
+            self.doc_len,
+            jnp.asarray(starts),
+            jnp.asarray(lengths),
+            jnp.asarray(idfs),
+            jnp.asarray(n_req),
+            jnp.float32(stats.avg_doc_len),
+            mask,
+            budget=budget,
+            capacity=self.capacity,
+            k=k,
+            approx=approx,
+        )
+        return vals, rows, all_terms
+
     def bm25_topk(
         self,
         query: str,
@@ -302,41 +402,11 @@ class InvertedIndex:
         mask: Optional[jax.Array] = None,
         approx: bool = False,
     ) -> Tuple[jax.Array, jax.Array, List[str]]:
-        """Device BM25 top-k for one query string against this segment,
-        using table-level `stats` (falls back to segment-local)."""
-        stats = stats or self.stats
-        terms = self.analyzer.tokenize(query)
-        # dedupe, keep order
-        seen = set()
-        terms = [t for t in terms if not (t in seen or seen.add(t))]
-        if not terms:
-            v = jnp.full((1, k), NEG_INF)
-            return v, jnp.full((1, k), -1, jnp.int32), []
-        starts, lengths, idfs = [], [], []
-        maxlen = 1
-        for t in terms:
-            s, ln = self.term_range(t)
-            starts.append(s)
-            lengths.append(ln)
-            idfs.append(stats.idf(t))
-            maxlen = max(maxlen, ln)
-        budget = _round_pow2(maxlen)
-        vals, rows = _bm25_score_topk(
-            self.postings_rows,
-            self.postings_tf,
-            self.doc_len,
-            jnp.asarray(starts, jnp.int32),
-            jnp.asarray(lengths, jnp.int32),
-            jnp.asarray(idfs, jnp.float32),
-            jnp.float32(stats.avg_doc_len),
-            mask,
-            budget=budget,
-            capacity=self.capacity,
-            require_all=(operator.upper() == "AND"),
-            k=k,
-            approx=approx,
+        """Single-query convenience wrapper over bm25_topk_batch."""
+        vals, rows, terms = self.bm25_topk_batch(
+            [query], k, stats=stats, operator=operator, mask=mask, approx=approx
         )
-        return vals, rows, terms
+        return vals, rows, terms[0]
 
     @property
     def memory_bytes(self) -> int:
