@@ -152,9 +152,11 @@ def _fused_multi_search(queries, searchers, masks, k, pkey):
     Returns (vals f32[Q,k], seg_tag int32[Q,k] — position in `searchers`,
     rows int32[Q,k]).
     """
+    from .filters import as_mask_array
+
     vs, rs, tags = [], [], []
     for i, (s, m) in enumerate(zip(searchers, masks)):
-        v, r = s.search_t(queries, k, mask=m, params=pkey)
+        v, r = s.search_t(queries, k, mask=as_mask_array(m), params=pkey)
         vs.append(v)
         rs.append(r)
         tags.append(jnp.full(v.shape, i, jnp.int32))
@@ -236,10 +238,26 @@ _MASK_CACHE_CAP = 256
 
 def segment_mask(segment, filter_expr: Optional[Expr]) -> Optional[jax.Array]:
     """Pre-filter bitmap for one segment: WHERE bitmap ∩ alive bitmap,
-    extended to capacity (False in padding). None when unconstrained."""
+    extended to capacity (False in padding). None when unconstrained.
+
+    Numeric predicates LOWER TO THE DEVICE (DeviceMask): the bitmap is
+    computed inside the fused search program from mirrored scalar columns
+    — no host evaluation, no upload, and changing the comparison constant
+    reuses the compiled program. Strings/Lambda fall back to the host
+    numpy path (with the repeated-predicate mask cache)."""
     alive = segment.alive_mask_device()
     if filter_expr is None:
         return alive  # may be None
+    from .filters import DeviceMask
+
+    lowered = filter_expr.lower_t(segment)
+    if lowered is not None:
+        skel, leaves = lowered
+        has_alive = alive is not None
+        return DeviceMask(
+            ("root", segment.capacity, segment.n_rows, has_alive, skel),
+            ([alive] if has_alive else []) + leaves,
+        )
     from .filters import Lambda as _Lambda
 
     cacheable = not any(
@@ -438,7 +456,11 @@ class VectorSearchExecutor:
         """Two-stage (§3.5): approximate first pass on two-stage-capable
         indexes, global candidate cut, exact re-rank of survivors; plain
         segments searched normally and merged in."""
+        from .filters import as_mask_array
+
         pkey = params_key(params)
+        masks = [as_mask_array(m) for m in masks]
+        first_stage = [(s, i, as_mask_array(m)) for s, i, m in first_stage]
         per: List[Tuple[int, jax.Array, jax.Array]] = []
         cand: List[Tuple[int, Any, jax.Array, jax.Array]] = []
         for seg_id, idx, mask in first_stage:

@@ -20,11 +20,93 @@ Usage:
 from __future__ import annotations
 
 import re
-from typing import Any, Callable, Sequence
+from typing import Any, Callable, Optional, Sequence, Tuple
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..errors import SchemaError
+
+
+@jax.tree_util.register_pytree_node_class
+class DeviceMask:
+    """A predicate LOWERED TO THE DEVICE: the expression skeleton is the
+    pytree's static aux data (so it keys the jit cache) and the leaves are
+    device arrays — mirrored scalar columns plus the comparison constants.
+    The fused search program calls build() to produce the bool[capacity]
+    bitmap INSIDE the kernel program, completing performPrefilter
+    (MergeTreeSelectWithHybridSearchProcessor.cpp:938) without any host
+    evaluation or mask upload; changing a constant (id < 5 -> id < 9)
+    reuses the compiled program because constants are traced leaves."""
+
+    def __init__(self, skel, leaves):
+        self.skel = skel  # ("root", capacity, n_rows, has_alive, expr_skel|None)
+        self.leaves = list(leaves)
+
+    def tree_flatten(self):
+        return tuple(self.leaves), self.skel
+
+    @classmethod
+    def tree_unflatten(cls, skel, leaves):
+        return cls(skel, leaves)
+
+    _JOPS = {
+        "<": jnp.less,
+        "<=": jnp.less_equal,
+        ">": jnp.greater,
+        ">=": jnp.greater_equal,
+        "==": jnp.equal,
+        "!=": jnp.not_equal,
+    }
+
+    def build(self) -> jnp.ndarray:
+        """bool[capacity] mask (False beyond n_rows and on deleted rows)."""
+        _, capacity, n_rows, has_alive, expr_skel = self.skel
+        it = iter(self.leaves)
+        alive = next(it) if has_alive else None
+
+        def rec(s):
+            kind = s[0]
+            if kind == "and":
+                return jnp.logical_and(rec(s[1]), rec(s[2]))
+            if kind == "or":
+                return jnp.logical_or(rec(s[1]), rec(s[2]))
+            if kind == "not":
+                return jnp.logical_not(rec(s[1]))
+            if kind == "lit":
+                return jnp.full((capacity,), bool(s[1]))
+            if kind == "cmp":
+                col = next(it)
+                val = next(it)
+                return self._JOPS[s[1]](col, val)
+            if kind == "in":
+                col = next(it)
+                vals = next(it)
+                m = jnp.any(col[:, None] == vals[None, :], axis=1)
+                return jnp.logical_not(m) if s[1] else m
+            raise AssertionError(f"bad skel {s!r}")
+
+        out = rec(expr_skel) if expr_skel is not None else None
+        if alive is not None:
+            out = alive if out is None else jnp.logical_and(out, alive)
+        if out is None:
+            out = jnp.full((capacity,), True)
+        # padding rows are never valid (pad slots of the mirrored column
+        # hold 0 and could otherwise satisfy e.g. `id == 0`)
+        if expr_skel is not None and n_rows < capacity:
+            out = jnp.logical_and(
+                out, jnp.arange(capacity, dtype=jnp.int32) < n_rows
+            )
+        return out
+
+
+def as_mask_array(mask):
+    """Materialize a mask input (None | bool array | DeviceMask) to a
+    bool[capacity] device array (or None)."""
+    if mask is None or not isinstance(mask, DeviceMask):
+        return mask
+    return mask.build()
 
 
 def _numeric_minmax(segment, column):
@@ -35,6 +117,30 @@ def _numeric_minmax(segment, column):
         return segment.scalar_minmax(column)
     except Exception:  # noqa: BLE001 — missing column/odd dtype: no fold
         return None
+
+
+def _device_scalar(segment, column):
+    """Device mirror of a numeric scalar column, or None when the column
+    cannot be represented exactly on a 32-bit device (strings, Float64,
+    integers beyond int32 range)."""
+    try:
+        return segment.scalar_device(column)
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def _value_fits(segment, column, value) -> bool:
+    """The comparison constant must be exactly representable in the
+    mirrored column's device dtype, or device and host paths would
+    disagree at the boundary."""
+    col = segment.scalar(column)
+    if np.issubdtype(col.dtype, np.integer):
+        if isinstance(value, float) and not float(value).is_integer():
+            return False  # fractional compare vs int col: host semantics
+        v = int(value)
+        return -(2**31) <= v < 2**31
+    # float32 column
+    return float(np.float32(value)) == float(value)
 
 
 class Expr:
@@ -48,6 +154,11 @@ class Expr:
         from per-segment column min/max stats (the canSkipPrewhereForPart
         fast path, MergeTreeSelectWithHybridSearchProcessor.cpp:224-290,
         gated by optimize_prefilter_in_search). Returns True/False/None."""
+        return None
+
+    def lower_t(self, segment) -> Optional[Tuple[tuple, list]]:
+        """Lower to a device-evaluable (skeleton, leaves) pair, or None
+        when this node needs host evaluation (strings, Lambda, regex)."""
         return None
 
     def columns(self) -> set:
@@ -78,6 +189,12 @@ class And(Expr):
             return True
         return None
 
+    def lower_t(self, segment):
+        la, lb = self.a.lower_t(segment), self.b.lower_t(segment)
+        if la is None or lb is None:
+            return None
+        return ("and", la[0], lb[0]), la[1] + lb[1]
+
     def columns(self):
         return self.a.columns() | self.b.columns()
 
@@ -100,6 +217,12 @@ class Or(Expr):
             return False
         return None
 
+    def lower_t(self, segment):
+        la, lb = self.a.lower_t(segment), self.b.lower_t(segment)
+        if la is None or lb is None:
+            return None
+        return ("or", la[0], lb[0]), la[1] + lb[1]
+
     def columns(self):
         return self.a.columns() | self.b.columns()
 
@@ -117,6 +240,12 @@ class Not(Expr):
     def const_fold(self, segment):
         f = self.a.const_fold(segment)
         return None if f is None else (not f)
+
+    def lower_t(self, segment):
+        la = self.a.lower_t(segment)
+        if la is None:
+            return None
+        return ("not", la[0]), la[1]
 
     def columns(self):
         return self.a.columns()
@@ -137,6 +266,9 @@ class Literal(Expr):
 
     def const_fold(self, segment):
         return self.value
+
+    def lower_t(self, segment):
+        return ("lit", self.value), []
 
     def columns(self):
         return set()
@@ -196,6 +328,14 @@ class Compare(Expr):
             return None
         return None
 
+    def lower_t(self, segment):
+        col = _device_scalar(segment, self.column)
+        if col is None or not isinstance(self.value, (int, float, np.number)):
+            return None
+        if not _value_fits(segment, self.column, self.value):
+            return None
+        return ("cmp", self.op), [col, jnp.asarray(self.value, col.dtype)]
+
     def columns(self):
         return {self.column}
 
@@ -229,6 +369,18 @@ class In(Expr):
         except TypeError:
             return None
         return None
+
+    def lower_t(self, segment):
+        col = _device_scalar(segment, self.column)
+        if col is None or not self.values:
+            return None
+        for v in self.values:
+            if not isinstance(v, (int, float, np.number)):
+                return None
+            if not _value_fits(segment, self.column, v):
+                return None
+        vals = jnp.asarray(np.asarray(self.values), col.dtype)
+        return ("in", self.negate), [col, vals]
 
     def columns(self):
         return {self.column}

@@ -98,6 +98,8 @@ class Segment:
         self.mutation_generation = 0
         # per-column (min, max) stats for predicate const-folding
         self._minmax_cache: Dict[str, tuple] = {}
+        # device mirrors of numeric scalar columns (predicate lowering)
+        self._scalar_dev_cache: Dict[str, tuple] = {}
         # process-unique id (segment_ids restart per table)
         self.uid = next(_SEGMENT_UID)
 
@@ -212,6 +214,34 @@ class Segment:
         with self._lock:
             self._minmax_cache[column] = (self.mutation_generation, mm)
         return mm
+
+    def scalar_device(self, column: str):
+        """Device mirror of a NUMERIC scalar column, [capacity] (zero pad),
+        for predicate lowering into the fused search program. int columns
+        mirror as int32 (only when their values fit — jax is 32-bit here),
+        float32 as-is; strings/Float64/oversized ints return None (host
+        path). Cached per mutation generation."""
+        col = self.scalar(column)
+        if col.dtype == object or col.dtype == np.float64:
+            return None
+        with self._lock:
+            hit = self._scalar_dev_cache.get(column)
+            if hit is not None and hit[0] == self.mutation_generation:
+                return hit[1]
+        if np.issubdtype(col.dtype, np.integer):
+            mm = self.scalar_minmax(column)
+            dev = None
+            if mm is not None and int(mm[0]) >= -(2**31) and int(mm[1]) < 2**31:
+                buf = np.zeros(self.capacity, np.int32)
+                buf[: self.n_rows] = col[: self.n_rows].astype(np.int64)
+                dev = jnp.asarray(buf)
+        else:
+            buf = np.zeros(self.capacity, np.float32)
+            buf[: self.n_rows] = col[: self.n_rows]
+            dev = jnp.asarray(buf)
+        with self._lock:
+            self._scalar_dev_cache[column] = (self.mutation_generation, dev)
+        return dev
 
     # --------------------------------------------------------------- delete
     def delete_rows(self, row_ids: np.ndarray) -> int:

@@ -342,6 +342,9 @@ class InvertedIndex:
         One device program for the whole batch; terms whose posting lists
         exceed the scan budget are split into chunks (never truncated)."""
         stats = stats or self.stats
+        from ..search.filters import as_mask_array
+
+        mask = as_mask_array(mask)
         budget = self.scan_budget
         require_all = operator.upper() == "AND"
         all_terms: List[List[str]] = []

@@ -191,6 +191,69 @@ def test_const_fold_logic():
         db.close()
 
 
+# ------------------------------------------------- device-lowered filters
+def test_device_mask_lowering_matches_host():
+    from myscaledb_tpu.search.executor import segment_mask
+    from myscaledb_tpu.search.filters import DeviceMask, Lambda
+
+    db = ms.connect()
+    try:
+        t = db.create_table(
+            "t",
+            ms.Schema(
+                {
+                    "id": ms.UInt64(),
+                    "score": ms.Float32(),
+                    "tag": ms.String(),
+                    "vec": ms.FloatVector(16),
+                }
+            ),
+        )
+        n = 5000
+        rng = np.random.default_rng(2)
+        t.insert(
+            {
+                "id": np.arange(n, dtype=np.uint64),
+                "score": rng.random(n).astype(np.float32),
+                "tag": np.asarray([f"g{i % 3}" for i in range(n)], dtype=object),
+                "vec": rng.standard_normal((n, 16)).astype(np.float32),
+            }
+        )
+        seg = t.live_segments()[0]
+        t.delete(F("id") == 17)  # make the alive bitmap non-trivial
+        lowerable = [
+            (F("id") < 100) & (F("score") > 0.5),
+            F("id").isin([1, 5, 17, 4999]),
+            ~(F("id") >= 2500),
+            (F("score") <= 0.25) | (F("id") == 4000),
+            F("id").between(10, 20),
+        ]
+        for expr in lowerable:
+            m = segment_mask(seg, expr)
+            assert isinstance(m, DeviceMask), expr
+            got = np.asarray(m.build())[: seg.n_rows]
+            want = expr.evaluate(seg) & ~seg.deleted_host()[: seg.n_rows]
+            assert np.array_equal(got, want), expr
+        # string / lambda predicates fall back to the host path
+        for expr in [F("tag") == "g1", Lambda(["id"], lambda i: i % 2 == 0)]:
+            m = segment_mask(seg, expr)
+            assert not isinstance(m, DeviceMask)
+        # search results agree between lowered and host-evaluated paths
+        q = rng.standard_normal((4, 16)).astype(np.float32)
+        r_dev = t.search("vec", q, k=5, filter=F("id") < 1000)
+        r_host = t.search(
+            "vec", q, k=5, filter=Lambda(["id"], lambda i: i < 1000)
+        )
+        np.testing.assert_allclose(r_dev.scores, r_host.scores, rtol=1e-6)
+        # mutation invalidates the mirrored column
+        t.update(F("id") == 50, {"score": np.float32(0.99)})
+        r = t.search("vec", q[:1], k=n, filter=(F("score") > 0.98) & (F("id") < 100))
+        ids = t.gather(r, ["id"])["id"][0][r.valid[0]]
+        assert 50 in ids.tolist()
+    finally:
+        db.close()
+
+
 # --------------------------------------------------- merge vs concurrent DML
 def test_merge_preserves_concurrent_delete(monkeypatch):
     """A DELETE landing between the merge's row copy and the swap must
