@@ -73,6 +73,21 @@ class LRUCache:
             n += bool(self.force_expire(k))
         return n
 
+    def shrink_by(self, free_bytes: int) -> int:
+        """Evict LRU entries until at least `free_bytes` of weight is
+        released (or the cache is empty). Returns bytes freed — the
+        make-room-for-a-build path of the reference's memory governor."""
+        freed = 0
+        with self._lock:
+            while freed < free_bytes and self._items:
+                key, (value, weight) = self._items.popitem(last=False)
+                self._weight -= weight
+                freed += weight
+                self.evictions += 1
+                if self._on_evict:
+                    self._on_evict(key, value)
+        return freed
+
     def _evict_locked(self) -> None:
         while self._weight > self.capacity_bytes and len(self._items) > 1:
             key, (value, weight) = self._items.popitem(last=False)

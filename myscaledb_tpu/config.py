@@ -124,6 +124,14 @@ class ServerSettings:
     background_vector_pool_size: int = 1
     background_slow_mode_vector_pool_size: int = 1
 
+    # Build memory budget (VIBuildMemoryUsageHelper; Server.cpp:1326-1335):
+    # a build whose estimated device bytes exceed
+    # ratio × device-memory-capacity raises IndexBuildMemoryError; the
+    # retry path evicts index-cache entries first. build_memory_limit_bytes
+    # overrides the derived budget (None = use live device stats).
+    vector_index_build_size_ratio_of_memory: float = 0.4
+    build_memory_limit_bytes: Optional[int] = None
+
     # Primary-key cache (Server.cpp:1601-1610; MergeTreeSettings.h:178).
     # Satisfied BY DESIGN: scalar/PK columns are host-RAM-resident numpy
     # arrays, so top-k row lookup never touches disk. Retained for

@@ -47,6 +47,15 @@ class IndexBuildMemoryError(IndexBuildError):
     """
 
 
+class IndexBuildCanceledError(IndexBuildError):
+    """Build canceled mid-flight (DROP VECTOR INDEX during build).
+
+    Reference analogue: builds_blocker + per-part cancelBuild
+    (src/VectorIndex/Common/VIWithDataPart.h:183-185); surfaces as the
+    BUILD_CANCELED event.
+    """
+
+
 class IndexNotReadyError(MyScaleTPUError):
     """Search requested an index that is not BUILT/LOADED and brute force
     is disabled (enable_brute_force_vector_search=False on a large part).

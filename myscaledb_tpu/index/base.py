@@ -38,6 +38,16 @@ def params_key(params: Optional[Dict[str, Any]]) -> ParamsKey:
     return tuple(sorted((params or {}).items()))
 
 
+def check_cancel(cancel_cb) -> None:
+    """Raise IndexBuildCanceledError when the build's cancel callback
+    fires. Builders call this at chunk boundaries — the index->build(...,
+    cancel_cb) contract of the reference library (VIWithDataPart.h:338)."""
+    if cancel_cb is not None and cancel_cb():
+        from ..errors import IndexBuildCanceledError
+
+        raise IndexBuildCanceledError("index build canceled")
+
+
 def register_index_pytree(cls):
     """Register an index class as a JAX pytree so instances pass straight
     into jitted search plans: device arrays are children (no transfer —
@@ -156,6 +166,17 @@ class VectorIndex(abc.ABC):
     ) -> Tuple[jax.Array, jax.Array]:
         """Standalone (jitted) entry point for tests/tools."""
         return _jitted_index_search(self, queries, k, mask, params_key(params))
+
+    @classmethod
+    def estimate_build_bytes(cls, payload, n_rows: int, params=None) -> int:
+        """Conservative device-memory estimate for building this index
+        over `payload` — checked against the build budget BEFORE any
+        allocation (VIBuildMemoryUsageHelper::checkBuildMemory analogue).
+        Default: an f32 scan-representation copy plus ~index-sized output
+        and transient buffers (~2 payload copies)."""
+        dpad = payload.data.shape[1]
+        rep_f32 = 4 * n_rows * dpad
+        return rep_f32 + 2 * int(payload.nbytes)
 
     def supports_two_stage(self) -> bool:
         """Whether search(first_stage=True) returns approximate candidates

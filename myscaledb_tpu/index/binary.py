@@ -63,7 +63,7 @@ class BinaryFlatIndex(VectorIndex):
         self.n_rows = n_rows
 
     @classmethod
-    def build(cls, payload, n_rows, *, metric, dim, params=None, settings=None, progress_cb=None):
+    def build(cls, payload, n_rows, *, metric, dim, params=None, settings=None, progress_cb=None, cancel_cb=None):
         if metric not in (Metric.HAMMING, Metric.JACCARD):
             raise IndexParameterError(f"binary index does not support {metric}")
         return cls(payload.data, metric=metric, dim=dim, n_rows=n_rows)
@@ -106,7 +106,7 @@ class BinaryMSTGIndex(VectorIndex):
         assert not kw
 
     @classmethod
-    def build(cls, payload, n_rows, *, metric, dim, params=None, settings=None, progress_cb=None):
+    def build(cls, payload, n_rows, *, metric, dim, params=None, settings=None, progress_cb=None, cancel_cb=None):
         if metric not in (Metric.HAMMING, Metric.JACCARD):
             raise IndexParameterError(f"binary index does not support {metric}")
         params = dict(params or {})

@@ -58,6 +58,7 @@ class FlatIndex(VectorIndex):
         params: Optional[Dict[str, Any]] = None,
         settings=None,
         progress_cb=None,
+        cancel_cb=None,
     ) -> "FlatIndex":
         del params, progress_cb
         approx = bool(settings and settings.query.use_approx_topk)

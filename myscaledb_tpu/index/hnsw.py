@@ -47,7 +47,7 @@ from ..metrics import Metric
 from ..ops import distance, kmeans, quantize
 from ..ops._pallas import exact_precision, round_up
 from ..ops.topk import NEG_INF, dedup_rows
-from .base import IndexKind, ParamsKey, VectorIndex, register_index_pytree
+from .base import IndexKind, ParamsKey, VectorIndex, check_cancel, register_index_pytree
 from .ivf import IVFFlatIndex, _scan_rep, default_ncentroids
 from .registry import register
 
@@ -128,7 +128,8 @@ class _HNSWBase(VectorIndex):
     # ------------------------------------------------------------- build
     @classmethod
     def _build_common(
-        cls, payload, n_rows, *, metric, dim, params, settings, codec
+        cls, payload, n_rows, *, metric, dim, params, settings, codec,
+        cancel_cb=None,
     ) -> "_HNSWBase":
         if metric not in (Metric.L2, Metric.IP, Metric.COSINE):
             raise IndexParameterError(f"HNSW does not support metric {metric}")
@@ -163,12 +164,14 @@ class _HNSWBase(VectorIndex):
             codec="raw",
             two_stage=False,
             balance_rounds=1,
+            cancel_cb=cancel_cb,
         )
         ck = min(2 * m + 1, n_rows)
         nprobe = max(4, min(16, ivf.n_clusters))
         cand = np.full((n_rows, ck), -1, np.int32)
         bs = 4096
         for i in range(0, n_rows, bs):
+            check_cancel(cancel_cb)
             qs = jnp.asarray(rep_h[i : i + bs])
             _, r = ivf.search(qs, ck + 1, params={"nprobe": nprobe})
             r = np.asarray(r)
@@ -186,6 +189,7 @@ class _HNSWBase(VectorIndex):
         )
         rep_dev = jnp.asarray(rep_h)
         for i in range(0, n_rows, bs):
+            check_cancel(cancel_cb)
             rows = jnp.asarray(cand[i : i + bs])
             cvecs = jnp.take(rep_dev, jnp.maximum(rows, 0), axis=0)
             cvecs = jnp.where((rows >= 0)[..., None], cvecs, 0.0)
@@ -462,10 +466,10 @@ class _HNSWBase(VectorIndex):
 @register_index_pytree
 class HNSWFlatIndex(_HNSWBase):
     @classmethod
-    def build(cls, payload, n_rows, *, metric, dim, params=None, settings=None, progress_cb=None):
+    def build(cls, payload, n_rows, *, metric, dim, params=None, settings=None, progress_cb=None, cancel_cb=None):
         return cls._build_common(
             payload, n_rows, metric=metric, dim=dim, params=params,
-            settings=settings, codec="raw",
+            settings=settings, codec="raw", cancel_cb=cancel_cb,
         )
 
 
@@ -473,10 +477,10 @@ class HNSWFlatIndex(_HNSWBase):
 @register_index_pytree
 class HNSWSQIndex(_HNSWBase):
     @classmethod
-    def build(cls, payload, n_rows, *, metric, dim, params=None, settings=None, progress_cb=None):
+    def build(cls, payload, n_rows, *, metric, dim, params=None, settings=None, progress_cb=None, cancel_cb=None):
         return cls._build_common(
             payload, n_rows, metric=metric, dim=dim, params=params,
-            settings=settings, codec="sq8",
+            settings=settings, codec="sq8", cancel_cb=cancel_cb,
         )
 
 
@@ -484,8 +488,8 @@ class HNSWSQIndex(_HNSWBase):
 @register_index_pytree
 class HNSWPQIndex(_HNSWBase):
     @classmethod
-    def build(cls, payload, n_rows, *, metric, dim, params=None, settings=None, progress_cb=None):
+    def build(cls, payload, n_rows, *, metric, dim, params=None, settings=None, progress_cb=None, cancel_cb=None):
         return cls._build_common(
             payload, n_rows, metric=metric, dim=dim, params=params,
-            settings=settings, codec="pq",
+            settings=settings, codec="pq", cancel_cb=cancel_cb,
         )

@@ -44,7 +44,7 @@ from ..metrics import Metric
 from ..ops import distance, kmeans, quantize
 from ..ops._pallas import exact_precision, round_up
 from ..ops.topk import NEG_INF, dedup_rows
-from .base import IndexKind, ParamsKey, VectorIndex, register_index_pytree
+from .base import IndexKind, ParamsKey, VectorIndex, check_cancel, register_index_pytree
 from .registry import register
 
 DEFAULT_NPROBE = 16
@@ -75,6 +75,7 @@ def balanced_kmeans(
     rounds: int = 3,
     seed: int = 0,
     max_train_rows: Optional[int] = None,
+    cancel_cb=None,
 ):
     """K-means whose heavy clusters are recursively split: rows of every
     oversized cluster are re-clustered together and those clusters'
@@ -90,6 +91,7 @@ def balanced_kmeans(
     assign = np.asarray(kmeans.assign_chunked(rep, cents))
     cents_h = np.asarray(cents)
     for r in range(rounds):
+        check_cancel(cancel_cb)
         c_cur = cents_h.shape[0]
         sizes = np.bincount(assign, minlength=c_cur)
         limit = max(64, int(math.ceil(1.4 * n_rows / c_cur)))
@@ -156,6 +158,7 @@ class IVFIndex(VectorIndex):
         codec: str,
         two_stage: bool,
         balance_rounds: int = 3,
+        cancel_cb=None,
     ) -> "IVFIndex":
         if metric not in (Metric.L2, Metric.IP, Metric.COSINE):
             raise IndexParameterError(f"IVF does not support metric {metric}")
@@ -173,8 +176,9 @@ class IVFIndex(VectorIndex):
             )
         cents, assign = balanced_kmeans(
             rep, rep_h, n_rows, c, seed=0, rounds=balance_rounds,
-            max_train_rows=max_train,
+            max_train_rows=max_train, cancel_cb=cancel_cb,
         )
+        check_cancel(cancel_cb)
         c = int(cents.shape[0])
 
         # cluster-major permutation (host; one device push at the end)
@@ -556,10 +560,10 @@ class IVFIndex(VectorIndex):
 @register_index_pytree
 class IVFFlatIndex(IVFIndex):
     @classmethod
-    def build(cls, payload, n_rows, *, metric, dim, params=None, settings=None, progress_cb=None):
+    def build(cls, payload, n_rows, *, metric, dim, params=None, settings=None, progress_cb=None, cancel_cb=None):
         return cls._build_common(
             payload, n_rows, metric=metric, dim=dim, params=dict(params or {}),
-            settings=settings, codec="raw", two_stage=False,
+            settings=settings, codec="raw", two_stage=False, cancel_cb=cancel_cb,
         )
 
 
@@ -567,10 +571,10 @@ class IVFFlatIndex(IVFIndex):
 @register_index_pytree
 class IVFSQIndex(IVFIndex):
     @classmethod
-    def build(cls, payload, n_rows, *, metric, dim, params=None, settings=None, progress_cb=None):
+    def build(cls, payload, n_rows, *, metric, dim, params=None, settings=None, progress_cb=None, cancel_cb=None):
         return cls._build_common(
             payload, n_rows, metric=metric, dim=dim, params=dict(params or {}),
-            settings=settings, codec="sq8", two_stage=False,
+            settings=settings, codec="sq8", two_stage=False, cancel_cb=cancel_cb,
         )
 
 
@@ -578,10 +582,10 @@ class IVFSQIndex(IVFIndex):
 @register_index_pytree
 class IVFPQIndex(IVFIndex):
     @classmethod
-    def build(cls, payload, n_rows, *, metric, dim, params=None, settings=None, progress_cb=None):
+    def build(cls, payload, n_rows, *, metric, dim, params=None, settings=None, progress_cb=None, cancel_cb=None):
         return cls._build_common(
             payload, n_rows, metric=metric, dim=dim, params=dict(params or {}),
-            settings=settings, codec="pq", two_stage=False,
+            settings=settings, codec="pq", two_stage=False, cancel_cb=cancel_cb,
         )
 
 
@@ -592,10 +596,10 @@ class MSTGIndex(IVFIndex):
     exact re-rank on the raw payload (two-stage, §3.5)."""
 
     @classmethod
-    def build(cls, payload, n_rows, *, metric, dim, params=None, settings=None, progress_cb=None):
+    def build(cls, payload, n_rows, *, metric, dim, params=None, settings=None, progress_cb=None, cancel_cb=None):
         params = dict(params or {})
         params.pop("disk_mode", None)  # accepted for DDL parity
         return cls._build_common(
             payload, n_rows, metric=metric, dim=dim, params=params,
-            settings=settings, codec="sq8", two_stage=True,
+            settings=settings, codec="sq8", two_stage=True, cancel_cb=cancel_cb,
         )

@@ -39,6 +39,24 @@ from .schema import BinaryVector, Schema
 MAX_BUILD_RETRIES = 3  # maxBuildRetryCount (VIBuilderUpdater.cpp:639-657)
 
 
+def _device_memory_stats():
+    """(bytes_in_use, bytes_limit) of the default device, or None when the
+    backend exposes no stats (CPU, some tunnels)."""
+    try:
+        import jax
+
+        stats = jax.local_devices()[0].memory_stats()
+        if not stats:
+            return None
+        in_use = stats.get("bytes_in_use")
+        cap = stats.get("bytes_limit") or stats.get("bytes_reservable_limit")
+        if in_use is None or not cap:
+            return None
+        return int(in_use), int(cap)
+    except Exception:  # noqa: BLE001
+        return None
+
+
 @dataclasses.dataclass
 class IndexSlot:
     """Per-(segment, index) build state (VIWithColumnInPart analogue)."""
@@ -49,6 +67,9 @@ class IndexSlot:
     elapsed_s: float = 0.0
     retries: int = 0
     path: str = ""  # on-disk dir when persisted (lazy reload target)
+    # set to stop an in-flight build at the next chunk boundary
+    # (cancelBuild, VIWithDataPart.h:183-185)
+    cancel: threading.Event = dataclasses.field(default_factory=threading.Event)
 
 
 class Table:
@@ -210,6 +231,8 @@ class Table:
             if desc is None:
                 raise IndexParameterError(f"no vector index named {name!r}")
             for key in [k for k in self._slots if k[1] == name]:
+                # in-flight builds stop at their next chunk boundary
+                self._slots[key].cancel.set()
                 del self._slots[key]
         if self._index_cache is not None:
             self._index_cache.expire_prefix((self.name, name))
@@ -265,10 +288,23 @@ class Table:
             segment_id=seg.segment_id,
         )
         t0 = time.time()
+        from ..errors import IndexBuildCanceledError
         from ..service.tracing import span as _span
+
+        slot_ref = slot
+
+        def _canceled() -> bool:
+            if slot_ref.cancel.is_set():
+                return True
+            with self._lock:  # index dropped (slot replaced/removed)
+                return self._slots.get(key) is not slot_ref
+
         try:
             impl = registry.implementation(desc.kind)
             payload = seg.vector(desc.column)
+            self._check_build_memory(
+                impl.estimate_build_bytes(payload, seg.n_rows, desc.params)
+            )
             with _span("index_build", table=self.name, index=desc.name,
                        kind=desc.kind.value, segment=seg.segment_id,
                        rows=seg.n_rows):
@@ -279,6 +315,7 @@ class Table:
                     dim=desc.dim,
                     params=desc.params,
                     settings=self.settings,
+                    cancel_cb=_canceled,
                 )
             elapsed = time.time() - t0
             with self._lock:
@@ -306,10 +343,42 @@ class Table:
                 segment_id=seg.segment_id, elapsed_s=elapsed,
             )
             GLOBAL_COUNTERS.bump("VectorIndexBuilds")
+        except IndexBuildCanceledError:
+            GLOBAL_COUNTERS.bump("VectorIndexBuildCancels")
+            self.event_log.record(
+                self.name, desc.name, desc.column, EventType.BUILD_CANCELED,
+                segment_id=seg.segment_id,
+            )
         except IndexBuildMemoryError as e:
             self._build_failed(key, seg, desc, str(e), retryable=True)
         except Exception as e:  # noqa: BLE001 — status machine captures it
             self._build_failed(key, seg, desc, f"{type(e).__name__}: {e}")
+
+    def _check_build_memory(self, estimate_bytes: int) -> None:
+        """Raise IndexBuildMemoryError when the build would not fit the
+        budget (ratio × device memory, or the explicit override). The
+        retry path evicts index-cache entries before trying again —
+        VIBuilderUpdater.cpp:639-657 semantics, alive here."""
+        srv = self.settings.server
+        limit = srv.build_memory_limit_bytes
+        in_use = 0
+        if limit is None:
+            stats = _device_memory_stats()
+            if stats is None:
+                return  # no introspection on this backend: skip the check
+            in_use, cap = stats
+            limit = int(cap * srv.vector_index_build_size_ratio_of_memory)
+            if in_use + estimate_bytes <= cap and estimate_bytes <= limit:
+                return
+            raise IndexBuildMemoryError(
+                f"index build needs ~{estimate_bytes >> 20} MiB "
+                f"(in_use {in_use >> 20} MiB, budget {limit >> 20} MiB)"
+            )
+        if estimate_bytes > limit:
+            raise IndexBuildMemoryError(
+                f"index build needs ~{estimate_bytes >> 20} MiB "
+                f"> budget {limit >> 20} MiB"
+            )
 
     def _build_failed(self, key, seg, desc, msg: str, retryable: bool = False):
         GLOBAL_COUNTERS.bump("VectorIndexBuildFailEvents")
@@ -326,6 +395,17 @@ class Table:
             segment_id=seg.segment_id, error=msg,
         )
         if retry:
+            if self._index_cache is not None:
+                # make room: evict LRU indexes before retrying (the
+                # reference frees expired cache then retries the build)
+                impl = registry.implementation(desc.kind)
+                try:
+                    est = impl.estimate_build_bytes(
+                        seg.vector(desc.column), seg.n_rows, desc.params
+                    )
+                except Exception:  # noqa: BLE001
+                    est = self._index_cache.weight_bytes // 2
+                self._index_cache.shrink_by(est)
             with self._lock:
                 slot.status = IndexStatus.PENDING
             if self._scheduler is not None:

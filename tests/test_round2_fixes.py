@@ -304,6 +304,90 @@ def test_merge_preserves_concurrent_delete(monkeypatch):
         db.close()
 
 
+# ------------------------------------------------------- build cancellation
+def test_build_cancel_callback_raises():
+    from myscaledb_tpu.errors import IndexBuildCanceledError
+    from myscaledb_tpu.index.ivf import IVFFlatIndex
+    from myscaledb_tpu.metrics import Metric
+    from myscaledb_tpu.storage.segment import Segment
+
+    db = ms.connect()
+    try:
+        t, _ = _mk_table(db, n=2000)
+        seg = t.live_segments()[0]
+        with pytest.raises(IndexBuildCanceledError):
+            IVFFlatIndex.build(
+                seg.vector("vec"), seg.n_rows, metric=Metric.L2, dim=32,
+                params={"ncentroids": 16}, cancel_cb=lambda: True,
+            )
+    finally:
+        db.close()
+
+
+def test_drop_index_cancels_inflight_build(monkeypatch):
+    import threading
+
+    from myscaledb_tpu.index import ivf as ivf_mod
+    from myscaledb_tpu.service.event_log import EventType
+
+    started, release = threading.Event(), threading.Event()
+    orig = ivf_mod.balanced_kmeans
+
+    def slow_kmeans(*a, **kw):
+        started.set()
+        release.wait(timeout=30)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(ivf_mod, "balanced_kmeans", slow_kmeans)
+    db = ms.connect()
+    try:
+        t, _ = _mk_table(db, n=2000)
+        t.settings.table.min_rows_to_build_vector_index = 1
+        t.add_vector_index("ivf", "vec", type="IVFFLAT", ncentroids=16)
+        assert started.wait(timeout=30)
+        t.drop_vector_index("ivf")  # while the build blocks in kmeans
+        release.set()
+        t.wait_index_built(timeout=60)
+        db.scheduler.wait_idle(timeout=60)
+        events = [r["event"] for r in t.event_log.rows()]
+        assert EventType.BUILD_CANCELED.value in events
+        assert EventType.BUILD_SUCCEED.value not in events
+    finally:
+        db.close()
+
+
+def test_build_memory_governor():
+    from myscaledb_tpu.service.event_log import EventType
+    from myscaledb_tpu.storage.table import MAX_BUILD_RETRIES
+
+    db = ms.connect()
+    try:
+        t, _ = _mk_table(db, n=2000)
+        t.settings.table.min_rows_to_build_vector_index = 1
+        t.settings.server.build_memory_limit_bytes = 1  # nothing fits
+        # seed the cache so the retry path has something to evict
+        db.index_cache.put(("x", "y", 0), object(), 1 << 20)
+        t.add_vector_index("ivf", "vec", type="IVFFLAT", ncentroids=16)
+        t.wait_index_built(timeout=60)
+        db.scheduler.wait_idle(timeout=60)
+        rows = t.system_vector_indices()
+        assert rows[0]["status"] == "Error"
+        assert "MiB" in rows[0]["latest_fail_reason"]
+        errors = [
+            r for r in t.event_log.rows()
+            if r["event"] == EventType.BUILD_ERROR.value
+        ]
+        assert len(errors) == MAX_BUILD_RETRIES  # the retry loop is alive
+        assert len(db.index_cache) == 0  # retries evicted the cache
+        # raising the budget lets the rebuild succeed
+        t.settings.server.build_memory_limit_bytes = None
+        seg = t.live_segments()[0]
+        t._build_one(seg, t._index_descs["ivf"])
+        assert t.system_vector_indices()[0]["status"] == "Built"
+    finally:
+        db.close()
+
+
 # --------------------------------------------------------- stable sharding
 def test_stable_shard_routing():
     from myscaledb_tpu.parallel.sharded_table import _stable_shard
