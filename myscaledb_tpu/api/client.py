@@ -85,7 +85,14 @@ class Database:
 
     # -------------------------------------------------------------- tables
     def create_table(
-        self, name: str, schema: Schema, settings: Optional[Settings] = None
+        self,
+        name: str,
+        schema: Schema,
+        settings: Optional[Settings] = None,
+        *,
+        engine: str = "MergeTree",
+        key_column: Optional[str] = None,
+        version_column: Optional[str] = None,
     ) -> Table:
         import os
 
@@ -101,6 +108,9 @@ class Database:
                 index_cache=self.index_cache,
                 storage_dir=os.path.join(self.path, name) if self.path else None,
                 replica=self.replica,
+                engine=engine,
+                key_column=key_column,
+                version_column=version_column,
             )
             self._tables[name] = t
             return t
@@ -124,8 +134,18 @@ class Database:
         if not os.path.isdir(root):
             raise SchemaError(f"no persisted table at {root}")
         with open(os.path.join(root, "schema.json")) as f:
-            schema = persistence.schema_from_json(json.load(f))
-        t = self.create_table(name, schema, settings)
+            sj = json.load(f)
+        # pre-engine format stored the bare column map
+        eng = sj.get("engine", {}) if "columns" in sj else {}
+        schema = persistence.schema_from_json(sj.get("columns", sj))
+        t = self.create_table(
+            name,
+            schema,
+            settings,
+            engine=eng.get("name", "MergeTree"),
+            key_column=eng.get("key_column"),
+            version_column=eng.get("version_column"),
+        )
         # fts indexes first: segment inserts below then build their stores
         fts_file = os.path.join(root, "fts_indexes.json")
         if os.path.exists(fts_file):
@@ -138,9 +158,10 @@ class Database:
         if os.path.exists(idx_file):
             with open(idx_file) as f:
                 descs = json.load(f)
-        for segdir in sorted(os.listdir(root)):
-            if not segdir.startswith("segment_"):
-                continue
+        seg_dirs = [d for d in os.listdir(root) if d.startswith("segment_")]
+        # numeric order (lexicographic would put segment_10 before segment_2,
+        # breaking insertion-order semantics for Replacing winners)
+        for segdir in sorted(seg_dirs, key=lambda d: int(d.split("_", 1)[1])):
             sdir = os.path.join(root, segdir)
             seg_id, cols, deleted = persistence.load_segment_columns(sdir, schema)
             new_id = t.insert(cols)

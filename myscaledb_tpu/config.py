@@ -50,6 +50,10 @@ class QuerySettings:
     use_approx_topk: bool = False
     approx_topk_recall_target: float = 0.99
 
+    # FINAL queries fetch k × this many candidates before Replacing-engine
+    # dedup drops superseded rows (performFinal candidate head-room).
+    final_topk_multiple: int = 4
+
     # Two-stage search (approximate first pass + exact re-rank). The
     # reference ships the machinery gated off (SURVEY.md §3.5); here it is a
     # real setting.

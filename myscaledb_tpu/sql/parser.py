@@ -125,6 +125,9 @@ class CreateTable:
     vector_indexes: List[VectorIndexDef]
     fts_indexes: List[FtsIndexDef]
     if_not_exists: bool = False
+    engine: str = "MergeTree"
+    engine_args: List[str] = dataclasses.field(default_factory=list)
+    order_by: Optional[str] = None
 
 
 @dataclasses.dataclass
@@ -229,6 +232,7 @@ class Select:
     limit: Optional[int] = None
     offset: int = 0
     limit_by: Optional[Any] = None  # the LIMIT n BY expr column
+    final: bool = False  # FROM t FINAL (Replacing-engine dedup)
 
 
 class Parser:
@@ -399,21 +403,22 @@ class Parser:
                 continue
             self.expect_op(")")
             break
-        # optional ENGINE = MergeTree / ORDER BY ... — accepted and ignored
+        # ENGINE = [Replacing]MergeTree[(version)] / ORDER BY key
+        engine, eargs, order_by = "MergeTree", [], None
         if self.accept_kw("engine"):
             self.accept_op("=")
-            self.expect_name()
+            engine = self.expect_name()
             if self.accept_op("("):
-                depth = 1
-                while depth:
+                while not self.accept_op(")"):
                     t = self.next()
-                    if t.kind == "op" and t.value == "(":
-                        depth += 1
-                    elif t.kind == "op" and t.value == ")":
-                        depth -= 1
+                    if t.kind in ("name", "str", "int", "float"):
+                        eargs.append(str(t.value))
         if self.accept_kw("order", "by"):
-            self.expect_name()
-        return CreateTable(table, cols, constraints, vidx, fts, ine)
+            order_by = self.expect_name()
+        return CreateTable(
+            table, cols, constraints, vidx, fts, ine,
+            engine=engine, engine_args=eargs, order_by=order_by,
+        )
 
     def create_vector_index(self) -> AddVectorIndex:
         self.expect_kw("create", "vector", "index")
@@ -639,6 +644,8 @@ class Parser:
         self.expect_kw("from")
         table = self.table_name()
         sel = Select(items=items, table=table)
+        if self.accept_kw("final"):
+            sel.final = True
         if self.accept_kw("prewhere"):
             sel.prewhere = self.where_expr()
         if self.accept_kw("where"):

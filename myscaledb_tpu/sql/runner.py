@@ -115,7 +115,16 @@ class SQLRunner:
         if st.if_not_exists and st.table in self.db.tables():
             return []
         cols = {c.name: _column_type(c, st.constraints) for c in st.columns}
-        t = self.db.create_table(st.table, sch.Schema(cols))
+        version_col = st.engine_args[0] if st.engine_args else None
+        t = self.db.create_table(
+            st.table,
+            sch.Schema(cols),
+            engine=st.engine,
+            key_column=st.order_by,
+            version_column=(
+                version_col if "replacing" in st.engine.lower() else None
+            ),
+        )
         for v in st.vector_indexes:
             t.add_vector_index(
                 v.name, v.column, type=v.type_name, **_index_params(v.params)
@@ -282,7 +291,7 @@ class SQLRunner:
         metric = t.index_metric_for(cols[0])
         self._check_direction(st, call.alias, metric_direction(metric))
         res = t.search(cols[0], np.asarray(lits[0], np.float32), k, filter=filt,
-                       params=call.params or None)
+                       params=call.params or None, final=st.final)
         return self._emit_search_rows(t, st, res, call.alias)
 
     def _batch_distance(self, t, st: P.Select, call: P.SearchCall, filt):
@@ -295,7 +304,8 @@ class SQLRunner:
         queries = np.asarray(lits[0], np.float32)
         if queries.ndim != 2:
             raise SQLError("batch_distance query must be a list of vectors")
-        res = t.search(cols[0], queries, st.limit, filter=filt, params=call.params or None)
+        res = t.search(cols[0], queries, st.limit, filter=filt,
+                       params=call.params or None, final=st.final)
         out_cols = [
             c
             for c in self._out_columns(st, t, call.alias)
@@ -325,7 +335,8 @@ class SQLRunner:
         ):
             raise QueryShapeError("textsearch requires ORDER BY score DESC")
         op = str(call.params.get("operator", "OR"))
-        res = t.text_search(cols[0], str(lits[0]), k, filter=filt, operator=op)
+        res = t.text_search(cols[0], str(lits[0]), k, filter=filt, operator=op,
+                            final=st.final)
         rows = self._emit_search_rows(t, st, res, call.alias)
         for r in rows:  # BM25 column is the raw score (bigger better)
             r[call.alias] = float(r[call.alias])
@@ -354,6 +365,7 @@ class SQLRunner:
             np.asarray(lits[0], np.float32), str(lits[1]), k,
             fusion_type=fusion_type, fusion_weight=fusion_weight,
             fusion_k=fusion_k, filter=filt, operator=operator, params=vec_params,
+            final=st.final,
         )
         rows = self._emit_search_rows(t, st, res, call.alias)
         for r in rows:
@@ -373,9 +385,21 @@ class SQLRunner:
                 cols.extend(t.schema.scalar_columns())
             elif isinstance(it.expr, str):
                 cols.append(it.expr)
+        winners = t._final_winners() if st.final else None
         for seg in sorted(t.live_segments(), key=lambda s: s.segment_id):
             alive = ~seg.deleted_host()[: seg.n_rows]
             m = filt.evaluate(seg) & alive if filt is not None else alive
+            if winners is not None:
+                keys = seg.scalar(t.key_column)[: seg.n_rows]
+                win = np.fromiter(
+                    (
+                        winners.get(keys[i]) == (seg.segment_id, i)
+                        for i in range(seg.n_rows)
+                    ),
+                    dtype=bool,
+                    count=seg.n_rows,
+                )
+                m = m & win
             idxs = np.nonzero(m)[0]
             total += len(idxs)
             if not want_count:

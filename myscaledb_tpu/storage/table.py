@@ -84,12 +84,32 @@ class Table:
         index_cache=None,
         storage_dir: Optional[str] = None,
         replica=None,
+        engine: str = "MergeTree",
+        key_column: Optional[str] = None,
+        version_column: Optional[str] = None,
     ):
         self.name = name
         self.schema = schema
         self.settings = settings or Settings()
         self.storage_dir = storage_dir
         self.replica = replica
+        # Versioned engine (ReplacingMergeTree): rows sharing key_column
+        # supersede each other; FINAL queries and merges keep only the
+        # winner (max version_column, ties broken by insertion order) —
+        # performFinal semantics (ReadWithHybridSearch.cpp:692-899).
+        eng = engine.strip().lower().replace("mergetree", "") or "merge"
+        if eng not in ("merge", "replacing"):
+            raise SchemaError(f"unsupported engine {engine!r}")
+        self.engine = "Replacing" if eng == "replacing" else "MergeTree"
+        if self.engine == "Replacing":
+            if key_column is None:
+                raise SchemaError("ReplacingMergeTree requires an ORDER BY key column")
+            schema.require(key_column)
+            if version_column is not None:
+                schema.require(version_column)
+        self.key_column = key_column
+        self.version_column = version_column
+        self._winners_cache: Optional[tuple] = None
         self.event_log = event_log or EventLog()
         self._scheduler = scheduler
         self._index_cache = index_cache
@@ -590,7 +610,17 @@ class Table:
         with open(os.path.join(root, "schema.json"), "w") as f:
             import json
 
-            json.dump(persistence.schema_to_json(self.schema), f)
+            json.dump(
+                {
+                    "columns": persistence.schema_to_json(self.schema),
+                    "engine": {
+                        "name": self.engine,
+                        "key_column": self.key_column,
+                        "version_column": self.version_column,
+                    },
+                },
+                f,
+            )
         with self._lock:
             segs = list(self._segments.values())
             descs = dict(self._index_descs)
@@ -714,14 +744,25 @@ class Table:
         filter: Optional[Expr] = None,
         operator: str = "OR",
         stats_override=None,
+        final: bool = False,
     ):
         """textsearch()(col, 'query') analogue: BM25 top-k, descending."""
         from ..search.text_executor import TextSearchExecutor
 
-        return TextSearchExecutor(self).run(
-            column_or_index, query, k, filter=filter, operator=operator,
+        if final and self.engine != "Replacing":
+            raise SchemaError("FINAL requires a Replacing engine table")
+        k_eff = int(k if k is not None else self.settings.query.default_topk)
+        res = TextSearchExecutor(self).run(
+            column_or_index,
+            query,
+            self._final_fetch_k(k_eff) if final else k,
+            filter=filter,
+            operator=operator,
             stats_override=stats_override,
         )
+        if final:
+            res = self._apply_final(res, k_eff)
+        return res
 
     def hybrid_search(
         self,
@@ -737,22 +778,148 @@ class Table:
         filter: Optional[Expr] = None,
         operator: str = "OR",
         params: Optional[Dict[str, Any]] = None,
+        final: bool = False,
     ):
         """hybridsearch('fusion_type=…')(vec, text, [q], 'text') analogue."""
         from ..search.text_executor import HybridSearchExecutor
 
-        return HybridSearchExecutor(self).run(
+        if final and self.engine != "Replacing":
+            raise SchemaError("FINAL requires a Replacing engine table")
+        k_eff = int(k if k is not None else self.settings.query.default_topk)
+        res = HybridSearchExecutor(self).run(
             vector_column,
             text_column,
             vector_query,
             text_query,
-            k,
+            self._final_fetch_k(k_eff) if final else k,
             fusion_type=fusion_type,
             fusion_weight=fusion_weight,
             fusion_k=fusion_k,
             filter=filter,
             operator=operator,
             params=params,
+        )
+        if final:
+            res = self._apply_final(res, k_eff)
+        return res
+
+    def _replacing_dedup_alive(self, sources, alive_snaps) -> None:
+        """Clear alive bits of rows superseded by a newer same-key row
+        within `sources` (in place). Winner = max version, then insertion
+        order (later segment / later row)."""
+        keys_l, vers_l, tag_l = [], [], []
+        for si, (seg, alive) in enumerate(zip(sources, alive_snaps)):
+            idx = np.nonzero(alive)[0]
+            if not len(idx):
+                continue
+            keys_l.append(seg.scalar(self.key_column)[idx])
+            if self.version_column is not None:
+                vers_l.append(seg.scalar(self.version_column)[idx])
+            tag_l.append(np.stack([np.full(len(idx), si), idx], axis=1))
+        if not keys_l:
+            return
+        allk = np.concatenate(keys_l)
+        tags = np.concatenate(tag_l)
+        order_ins = np.arange(len(allk))
+        if vers_l:
+            order = np.lexsort((order_ins, np.concatenate(vers_l), allk))
+        else:
+            order = np.lexsort((order_ins, allk))
+        sk = allk[order]
+        losers = order[
+            np.concatenate([sk[1:] == sk[:-1], [False]])
+        ]  # every non-last occurrence of its key
+        for si, row in tags[losers]:
+            alive_snaps[si][row] = False
+
+    # --------------------------------------------------------------- FINAL
+    def _table_generation(self) -> tuple:
+        with self._lock:
+            return tuple(
+                sorted((s.uid, s.mutation_generation) for s in self._segments.values())
+            )
+
+    def _final_winners(self) -> Dict[Any, tuple]:
+        """key -> (segment_id, row) of the globally winning ALIVE row:
+        max version_column, ties broken by insertion order (newest segment,
+        then latest row). This is the merging-algorithm view the reference
+        re-reads candidates through in performFinal. Cached per table
+        generation (any insert/delete/update invalidates)."""
+        if self.engine != "Replacing":
+            raise SchemaError("FINAL requires a Replacing engine table")
+        gen = self._table_generation()
+        cached = self._winners_cache
+        if cached is not None and cached[0] == gen:
+            return cached[1]
+        keys_l, vers_l, segs_l, rows_l = [], [], [], []
+        for seg in sorted(self.live_segments(), key=lambda s: s.segment_id):
+            alive = ~seg.deleted_host()[: seg.n_rows]
+            idx = np.nonzero(alive)[0]
+            if not len(idx):
+                continue
+            keys_l.append(seg.scalar(self.key_column)[idx])
+            if self.version_column is not None:
+                vers_l.append(seg.scalar(self.version_column)[idx])
+            segs_l.append(np.full(len(idx), seg.segment_id, np.int64))
+            rows_l.append(idx.astype(np.int64))
+        winners: Dict[Any, tuple] = {}
+        if keys_l:
+            allk = np.concatenate(keys_l)
+            alls = np.concatenate(segs_l)
+            allr = np.concatenate(rows_l)
+            order_ins = np.arange(len(allk))  # insertion order across segments
+            if vers_l:
+                allv = np.concatenate(vers_l)
+                order = np.lexsort((order_ins, allv, allk))
+            else:
+                order = np.lexsort((order_ins, allk))
+            sk = allk[order]
+            last = np.concatenate([sk[1:] != sk[:-1], [True]])
+            widx = order[last]
+            winners = {
+                k: (int(s), int(r))
+                for k, s, r in zip(allk[widx], alls[widx], allr[widx])
+            }
+        self._winners_cache = (gen, winners)
+        return winners
+
+    def _apply_final(self, res: SearchResult, k: int) -> SearchResult:
+        """Drop candidates superseded by a newer row with the same key
+        anywhere in the table, then cut to k (performFinal on the
+        candidate set)."""
+        winners = self._final_winners()
+        keys = self.gather(res, [self.key_column])[self.key_column]
+        scores, segs, rows = res.scores, res.segments, res.rows
+        nq = res.nq
+        out_v = np.full((nq, k), float("-inf"), np.float32)
+        out_s = np.full((nq, k), -1, np.int64)
+        out_r = np.full((nq, k), -1, np.int32)
+        for qi in range(nq):
+            j = 0
+            for ci in range(res.k):
+                if j >= k or rows[qi, ci] < 0:
+                    break
+                hit = (int(segs[qi, ci]), int(rows[qi, ci]))
+                if winners.get(keys[qi, ci]) != hit:
+                    continue  # superseded (or deleted-winner key)
+                out_v[qi, j] = scores[qi, ci]
+                out_s[qi, j] = hit[0]
+                out_r[qi, j] = hit[1]
+                j += 1
+        return SearchResult(
+            res.metric,
+            host=(out_v, out_s, out_r),
+            nq=nq,
+            k=k,
+            query_sqnorm=res.query_sqnorm,
+        )
+
+    def _final_fetch_k(self, k: int) -> int:
+        return int(
+            min(
+                max(k * self.settings.query.final_topk_multiple, k),
+                self.settings.query.max_search_result_window,
+            )
         )
 
     # -------------------------------------------------------------- search
@@ -767,11 +934,15 @@ class Table:
         metric: Optional[str] = None,
         two_stage: Optional[bool] = None,
         settings: Optional[Settings] = None,
+        final: bool = False,
     ) -> SearchResult:
         """distance()/batch_distance() analogue: top-k nearest rows.
 
         A [D] query is one search; an [Q, D] batch is the batch_distance
-        semantics (per-query top-k, SURVEY.md §2.7)."""
+        semantics (per-query top-k, SURVEY.md §2.7). final=True applies
+        Replacing-engine dedup to the candidates (SELECT ... FINAL)."""
+        if final and self.engine != "Replacing":
+            raise SchemaError("FINAL requires a Replacing engine table")
         m = None
         if metric is not None:
             vtype = self.schema.require_vector(column)
@@ -782,16 +953,21 @@ class Table:
                     if desc.column == column:
                         registry.validate_search_params(desc.kind, params)
                         break
-        return self._executor.run(
+        k_eff = int(k if k is not None else
+                    (settings or self.settings).query.default_topk)
+        res = self._executor.run(
             column,
             query,
-            k,
+            self._final_fetch_k(k_eff) if final else k,
             filter=filter,
             params=params,
             metric=m,
             settings=settings or self.settings,
             two_stage=two_stage,
         )
+        if final:
+            res = self._apply_final(res, k_eff)
+        return res
 
     def gather(self, result: SearchResult, columns: List[str]) -> Dict[str, np.ndarray]:
         """Fetch output columns for result hits (the 'read only top-k rows'
@@ -843,14 +1019,18 @@ class Table:
 
         # Phase 1 (no DML lock — the copy is long): snapshot each source's
         # alive bitmap + mutation generation and copy live rows.
+        gen_snaps: List[int] = [seg.mutation_generation for seg in sources]
+        alive_snaps: List[np.ndarray] = [
+            ~seg.deleted_host()[: seg.n_rows].copy() for seg in sources
+        ]
+        if self.engine == "Replacing":
+            # merging a Replacing table drops rows superseded WITHIN the
+            # merged set (ClickHouse merge semantics: dedup is per-merge;
+            # OPTIMIZE FINAL merges everything and fully dedups)
+            self._replacing_dedup_alive(sources, alive_snaps)
         row_maps: List[np.ndarray] = []  # old capacity -> new row id
-        alive_snaps: List[np.ndarray] = []
-        gen_snaps: List[int] = []
         offset = 0
-        for seg in sources:
-            gen_snaps.append(seg.mutation_generation)
-            alive = ~seg.deleted_host()[: seg.n_rows].copy()
-            alive_snaps.append(alive)
+        for seg, alive in zip(sources, alive_snaps):
             rmap = np.full(seg.capacity, -1, np.int32)
             n_alive = int(alive.sum())
             rmap[: seg.n_rows][alive] = offset + np.arange(n_alive, dtype=np.int32)
