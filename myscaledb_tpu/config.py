@@ -50,6 +50,11 @@ class QuerySettings:
     use_approx_topk: bool = False
     approx_topk_recall_target: float = 0.99
 
+    # Accelerate plain string predicates (LIKE, multiSearchAny) over
+    # fts-indexed columns with term bitmaps (Settings.h:121; candidates
+    # from the index, exact verify on candidates only).
+    enable_fts_index_for_string_functions: bool = True
+
     # FINAL queries fetch k × this many candidates before Replacing-engine
     # dedup drops superseded rows (performFinal candidate head-room).
     final_topk_multiple: int = 4

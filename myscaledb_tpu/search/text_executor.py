@@ -70,6 +70,36 @@ class TextIndexDefinition:
         with self._lock:
             return self._stores.get(segment_id)
 
+    def nlq_mask(self, segment, store, phrases, negs) -> np.ndarray:
+        """bool[n_rows] rows satisfying the NLQ structure: every quoted
+        phrase present (term-bitmap AND + adjacency verify) and no
+        excluded term present (ffi_query_sentence_bitmap +
+        negative-term semantics of the tantivy NLQ)."""
+        m = np.ones(segment.n_rows, bool)
+        for ph in phrases:
+            toks = self.analyzer.tokenize(ph)
+            if not toks:
+                continue
+            cand = store.term_bitmap(toks[0])
+            for tk in toks[1:]:
+                cand = cand & store.term_bitmap(tk)
+            if len(toks) > 1:
+                ver = np.zeros(segment.n_rows, bool)
+                for i in np.nonzero(cand)[0]:
+                    tt = self.analyzer.tokenize(
+                        " ".join(str(segment.scalar(c)[i]) for c in self.columns)
+                    )
+                    ver[i] = any(
+                        tt[j : j + len(toks)] == toks
+                        for j in range(len(tt) - len(toks) + 1)
+                    )
+                cand = ver
+            m &= cand
+        for ng in negs:
+            for tk in self.analyzer.tokenize(ng):
+                m &= ~store.term_bitmap(tk)
+        return m
+
     def merged_stats(self, segment_ids) -> BM25Stats:
         with self._lock:
             parts = [self._stores[s].stats for s in segment_ids if s in self._stores]
@@ -83,15 +113,18 @@ class TextIndexDefinition:
             return sum(s.memory_bytes for s in self._stores.values())
 
 
-class _TokenFilter(Expr):
-    """hasToken predicate: index-accelerated when the segment has an fts
-    store (term bitmap, the ffi_query_term_bitmap role), tokenize-scan
-    fallback otherwise."""
+class _FtsFilterBase(Expr):
+    """Base for string-function predicates accelerated by an fts index
+    (MergeTreeConditionTantivy atoms, MergeTreeIndexTantivy.h:141-180).
 
-    def __init__(self, table, column: str, token: str):
+    Unlike the reference's skip index — where the bitmap only PRUNES
+    granules and the predicate re-runs over read rows — our bitmap IS the
+    result, so acceleration is candidate-generation + EXACT verification:
+    term bitmaps cut the row set, the predicate verifies only candidates."""
+
+    def __init__(self, table, column: str):
         self._table = table
         self.column = column
-        self.token = token
 
     def _tdef(self):
         for d in self._table._text_indexes.values():
@@ -99,38 +132,251 @@ class _TokenFilter(Expr):
                 return d
         return None
 
+    def _tokens(self) -> List[List[str]]:
+        """DNF of token groups: row is a candidate when ALL tokens of ANY
+        group appear in it. [] = no index cut possible (scan everything)."""
+        raise NotImplementedError
+
+    def _verify(self, text: str) -> bool:
+        raise NotImplementedError
+
+    def _needs_verify(self) -> bool:
+        return True
+
     def evaluate(self, segment) -> np.ndarray:
         tdef = self._tdef()
-        if tdef is not None:
+        groups = self._tokens()
+        col = None
+        if tdef is not None and groups:
             store = tdef.store(segment.segment_id)
             if store is not None:
-                toks = tdef.analyzer.tokenize(self.token)
-                if not toks:
-                    return np.zeros(segment.n_rows, bool)
-                out = store.term_bitmap(toks[0])
-                for tk in toks[1:]:
-                    out &= store.term_bitmap(tk)
+                cand = np.zeros(segment.n_rows, bool)
+                for grp in groups:
+                    if not grp:
+                        continue
+                    g = store.term_bitmap(grp[0])
+                    for tk in grp[1:]:
+                        g &= store.term_bitmap(tk)
+                    cand |= g
                 GLOBAL_COUNTERS.bump("FTSAcceleratedFilters")
+                if not self._needs_verify():
+                    return cand
+                out = np.zeros(segment.n_rows, bool)
+                idx = np.nonzero(cand)[0]
+                if len(idx):
+                    col = segment.scalar(self.column)
+                    out[idx] = [self._verify(str(col[i])) for i in idx]
                 return out
-        # fallback: tokenize-and-scan the column
-        an = Analyzer()
-        want = set(an.tokenize(self.token))
+        # fallback: verify every row
         col = segment.scalar(self.column)[: segment.n_rows]
         return np.fromiter(
-            (want <= set(an.tokenize(str(v))) for v in col),
-            dtype=bool,
-            count=segment.n_rows,
+            (self._verify(str(v)) for v in col), dtype=bool, count=segment.n_rows
         )
 
     def columns(self):
         return {self.column}
 
+
+class _TokenFilter(_FtsFilterBase):
+    """hasToken(col, 'tok') — the ffi_query_term[s]_bitmap role."""
+
+    def __init__(self, table, column: str, token: str):
+        super().__init__(table, column)
+        self.token = token
+        an = self._tdef().analyzer if self._tdef() else Analyzer()
+        self._toks = an.tokenize(token)
+
+    def _tokens(self):
+        return [self._toks] if self._toks else []
+
+    def _needs_verify(self) -> bool:
+        return False  # token containment IS the predicate
+
+    def _verify(self, text: str) -> bool:
+        an = Analyzer()
+        return set(self._toks) <= set(an.tokenize(text))
+
+    def evaluate(self, segment):
+        if not self._toks:
+            return np.zeros(segment.n_rows, bool)
+        return super().evaluate(segment)
+
     def __repr__(self):
         return f"hasToken({self.column}, {self.token!r})"
 
 
+class _LikeFilter(_FtsFilterBase):
+    """col LIKE '%pattern%' accelerated by token bitmaps: the pattern's
+    complete inner tokens must all appear in a matching row, so their
+    bitmap intersection is a safe candidate set; a real LIKE match then
+    verifies candidates (enable_fts_index_for_string_functions role)."""
+
+    def __init__(self, table, column: str, pattern: str, negate: bool = False):
+        super().__init__(table, column)
+        self.pattern = pattern
+        self.negate = negate
+        import re as _re
+
+        rx = _re.escape(pattern).replace("%", ".*").replace("_", ".")
+        self._rx = _re.compile(f"^{rx}$", _re.DOTALL)
+        an = self._tdef().analyzer if self._tdef() else Analyzer()
+        # complete tokens: pieces between wildcards, excluding the edge
+        # fragments that may be partial words (conservative-exact: only
+        # tokens guaranteed whole, i.e. bounded by % on both sides after
+        # stripping non-token chars, qualify for the bitmap cut)
+        self._toks = []
+        inner = [p for p in pattern.split("%")[1:-1] if p and "_" not in p]
+        for piece in inner:
+            # a piece may still START/END mid-word; only keep tokens with
+            # non-word boundaries inside the piece
+            toks = an.tokenize(piece)
+            if len(toks) >= 3:
+                self._toks.extend(toks[1:-1])
+
+    def _tokens(self):
+        # negated LIKE cannot use candidate cuts (complement semantics)
+        return [self._toks] if self._toks and not self.negate else []
+
+    def _verify(self, text: str) -> bool:
+        hit = self._rx.match(text) is not None
+        return (not hit) if self.negate else hit
+
+    def __repr__(self):
+        kw = "NOT LIKE" if self.negate else "LIKE"
+        return f"fts:{self.column} {kw} {self.pattern!r}"
+
+
+class _MultiSearchAnyFilter(_FtsFilterBase):
+    """multiSearchAny(col, needles): substring-any, candidates from the
+    union of each needle's inner-token bitmaps, substring verify."""
+
+    def __init__(self, table, column: str, needles: List[str]):
+        super().__init__(table, column)
+        self.needles = [str(n) for n in needles]
+        an = self._tdef().analyzer if self._tdef() else Analyzer()
+        self._groups = []
+        self._cuttable = True
+        for n in self.needles:
+            toks = an.tokenize(n)
+            # safe only when the needle's inner tokens are whole words;
+            # edge tokens may be word fragments -> drop them, require >=1
+            inner = toks[1:-1] if len(toks) >= 3 else []
+            if inner:
+                self._groups.append(inner)
+            else:
+                self._cuttable = False  # some needle has no safe cut
+
+    def _tokens(self):
+        return self._groups if self._cuttable else []
+
+    def _verify(self, text: str) -> bool:
+        return any(n in text for n in self.needles)
+
+    def __repr__(self):
+        return f"multiSearchAny({self.column}, {self.needles!r})"
+
+
+class _PhraseFilter(_FtsFilterBase):
+    """Sentence/phrase predicate (ffi_query_sentence_bitmap role):
+    candidates = AND of the phrase's term bitmaps, then an adjacency
+    verify on the tokenized candidate rows (two-pass — postings store no
+    positions; candidates are few)."""
+
+    def __init__(self, table, column: str, phrase: str):
+        super().__init__(table, column)
+        self.phrase = phrase
+        self._an = self._tdef().analyzer if self._tdef() else Analyzer()
+        self._toks = self._an.tokenize(phrase)
+
+    def _tokens(self):
+        return [self._toks] if self._toks else []
+
+    def _verify(self, text: str) -> bool:
+        toks = self._an.tokenize(text)
+        n, m = len(toks), len(self._toks)
+        if m == 0:
+            return True
+        return any(toks[i : i + m] == self._toks for i in range(n - m + 1))
+
+    def evaluate(self, segment):
+        if not self._toks:
+            return np.ones(segment.n_rows, bool)
+        return super().evaluate(segment)
+
+    def __repr__(self):
+        return f"hasPhrase({self.column}, {self.phrase!r})"
+
+
+class _RegexTokenFilter(_FtsFilterBase):
+    """Regex term bitmap (ffi_regex_term_bitmap role): rows containing at
+    least one vocabulary term matching the regex."""
+
+    def __init__(self, table, column: str, pattern: str):
+        super().__init__(table, column)
+        import re as _re
+
+        self.pattern = pattern
+        self._rx = _re.compile(pattern)
+
+    def evaluate(self, segment) -> np.ndarray:
+        tdef = self._tdef()
+        if tdef is not None:
+            store = tdef.store(segment.segment_id)
+            if store is not None:
+                out = np.zeros(segment.n_rows, bool)
+                for term in store.vocab:
+                    if self._rx.fullmatch(term):
+                        out |= store.term_bitmap(term)
+                GLOBAL_COUNTERS.bump("FTSAcceleratedFilters")
+                return out
+        an = Analyzer()
+        col = segment.scalar(self.column)[: segment.n_rows]
+        return np.fromiter(
+            (
+                any(self._rx.fullmatch(tk) for tk in an.tokenize(str(v)))
+                for v in col
+            ),
+            dtype=bool,
+            count=segment.n_rows,
+        )
+
+    def __repr__(self):
+        return f"hasTokenMatching({self.column}, {self.pattern!r})"
+
+
 def fts_token_filter(table, column: str, token: str) -> Expr:
     return _TokenFilter(table, column, token)
+
+
+def fts_like_filter(table, column: str, pattern: str, negate: bool = False) -> Expr:
+    return _LikeFilter(table, column, pattern, negate)
+
+
+def fts_multi_search_any(table, column: str, needles: List[str]) -> Expr:
+    return _MultiSearchAnyFilter(table, column, needles)
+
+
+def fts_phrase_filter(table, column: str, phrase: str) -> Expr:
+    return _PhraseFilter(table, column, phrase)
+
+
+def fts_regex_filter(table, column: str, pattern: str) -> Expr:
+    return _RegexTokenFilter(table, column, pattern)
+
+
+def parse_nlq(query: str):
+    """Natural-language query structure (the tantivy NLQ subset the
+    reference exposes via enable_nlq, VSDescription.h:80-88): quoted
+    phrases must match adjacently, '-term' excludes, the rest are
+    ordinary scored terms. Returns (bm25_text, phrases, excluded)."""
+    import re as _re
+
+    phrases = _re.findall(r'"([^"]*)"', query)
+    rest = _re.sub(r'"[^"]*"', " ", query)
+    negs = _re.findall(r"(?:^|\s)-([\w]+)", rest)
+    rest = _re.sub(r"(?:^|\s)-[\w]+", " ", rest)
+    bm25_text = (rest + " " + " ".join(phrases)).strip()
+    return bm25_text, phrases, negs
 
 
 class TextSearchExecutor:
@@ -159,6 +405,7 @@ class TextSearchExecutor:
         filter: Optional[Expr] = None,
         operator: str = "OR",
         stats_override: Optional[BM25Stats] = None,
+        enable_nlq: bool = False,
     ) -> SearchResult:
         """textsearch() analogue: BM25 top-k, scores descending.
 
@@ -192,6 +439,10 @@ class TextSearchExecutor:
             else tdef.merged_stats(seg_ids)
         )
 
+        parsed = [parse_nlq(q) for q in queries] if enable_nlq else None
+        need_nlq = parsed is not None and any(p or n for _, p, n in parsed)
+        bm25_queries = [p[0] for p in parsed] if parsed is not None else queries
+
         vals_t: List = []
         rows_t: List = []
         tags: List[int] = []
@@ -200,8 +451,22 @@ class TextSearchExecutor:
             if store is None:
                 continue
             mask = segment_mask(seg, filter)
+            if need_nlq:
+                import jax.numpy as jnp
+
+                from .filters import as_mask_array
+
+                base = as_mask_array(mask)
+                extra = np.zeros((nq, seg.capacity), bool)
+                for qi, (_, phrases, negs) in enumerate(parsed):
+                    extra[qi, : seg.n_rows] = tdef.nlq_mask(
+                        seg, store, phrases, negs
+                    )
+                mask = jnp.asarray(extra)
+                if base is not None:
+                    mask = jnp.logical_and(mask, base[None, :])
             vals, rows, _terms = store.bm25_topk_batch(
-                queries, k, stats=stats, operator=operator, mask=mask
+                bm25_queries, k, stats=stats, operator=operator, mask=mask
             )
             vals_t.append(vals)
             rows_t.append(rows)

@@ -217,6 +217,26 @@ class SearchCall:
 
 
 @dataclasses.dataclass
+class FuncPred:
+    """String-function predicate in WHERE: hasToken(col, 'tok') /
+    multiSearchAny(col, ['a', 'b']) — fts-index-accelerated when the
+    column has one (MergeTreeConditionTantivy atoms)."""
+
+    func: str
+    column: str
+    args: List[str]
+
+
+@dataclasses.dataclass
+class TableFunc:
+    """FROM-clause table function: full_text_search(table, index, 'query'
+    [, with_score]) / ftsIndex(table, col_or_index, 'query')."""
+
+    name: str
+    args: List[Any]
+
+
+@dataclasses.dataclass
 class SelectItem:
     expr: Any  # str column name | '*' | SearchCall | ('count',)
     alias: Optional[str] = None
@@ -233,6 +253,7 @@ class Select:
     offset: int = 0
     limit_by: Optional[Any] = None  # the LIMIT n BY expr column
     final: bool = False  # FROM t FINAL (Replacing-engine dedup)
+    table_func: Optional["TableFunc"] = None  # FROM full_text_search(...)
 
 
 class Parser:
@@ -556,6 +577,24 @@ class Parser:
             self.expect_op(")")
             return e
         col = self.expect_name()
+        if col.lower() in ("hastoken", "multisearchany") and (
+            self.peek().kind == "op" and self.peek().value == "("
+        ):
+            fname = "hasToken" if col.lower() == "hastoken" else "multiSearchAny"
+            self.expect_op("(")
+            target = self.expect_name()
+            self.expect_op(",")
+            if fname == "multiSearchAny":
+                self.expect_op("[")
+                needles = []
+                while not self.accept_op("]"):
+                    needles.append(str(self.literal()))
+                    self.accept_op(",")
+                self.expect_op(")")
+                return FuncPred(fname, target, needles)
+            tok = str(self.literal())
+            self.expect_op(")")
+            return FuncPred(fname, target, [tok])
         if self.accept_kw("not", "in") or self.accept_kw("not", "like"):
             prev = self.toks[self.i - 1].lower()
             if prev == "in":
@@ -643,7 +682,25 @@ class Parser:
                 break
         self.expect_kw("from")
         table = self.table_name()
-        sel = Select(items=items, table=table)
+        tf = None
+        if table.lower() in ("full_text_search", "ftsindex") and (
+            self.peek().kind == "op" and self.peek().value == "("
+        ):
+            self.expect_op("(")
+            fargs: List[Any] = []
+            while not self.accept_op(")"):
+                t = self.peek()
+                if t.kind == "name":
+                    fargs.append(self.table_name())
+                else:
+                    fargs.append(self.literal())
+                self.accept_op(",")
+            tf = TableFunc(
+                "full_text_search" if table.lower() == "full_text_search" else "ftsIndex",
+                fargs,
+            )
+            table = ""
+        sel = Select(items=items, table=table, table_func=tf)
         if self.accept_kw("final"):
             sel.final = True
         if self.accept_kw("prewhere"):

@@ -27,7 +27,13 @@ from ..storage import schema as sch
 from . import parser as P
 
 
-def _to_filter(expr) -> Optional[F.Expr]:
+def _fts_covers(t, column: str) -> bool:
+    if t is None or not t.settings.query.enable_fts_index_for_string_functions:
+        return False
+    return any(column in d.columns for d in t._text_indexes.values())
+
+
+def _to_filter(expr, t=None) -> Optional[F.Expr]:
     if expr is None:
         return None
     if isinstance(expr, P.Cmp):
@@ -35,9 +41,17 @@ def _to_filter(expr) -> Optional[F.Expr]:
     if isinstance(expr, P.InList):
         return F.In(expr.column, expr.values, negate=expr.negate)
     if isinstance(expr, P.LikeExpr):
+        if _fts_covers(t, expr.column):
+            return t.like(expr.column, expr.pattern, negate=expr.negate)
         return F.Like(expr.column, expr.pattern, negate=expr.negate)
+    if isinstance(expr, P.FuncPred):
+        if t is None:
+            raise SQLError(f"{expr.func} needs a table context")
+        if expr.func == "hasToken":
+            return t.has_token(expr.column, expr.args[0])
+        return t.multi_search_any(expr.column, expr.args)
     if isinstance(expr, P.BoolOp):
-        args = [_to_filter(a) for a in expr.args]
+        args = [_to_filter(a, t) for a in expr.args]
         if expr.op == "and":
             out = args[0]
             for a in args[1:]:
@@ -181,11 +195,13 @@ class SQLRunner:
         return []
 
     def _update(self, st: P.Update):
-        n = self.db.table(st.table).update(_to_filter(st.where), st.assignments)
+        t = self.db.table(st.table)
+        n = t.update(_to_filter(st.where, t), st.assignments)
         return [{"updated": n}]
 
     def _delete(self, st: P.Delete):
-        n = self.db.table(st.table).delete(_to_filter(st.where))
+        t = self.db.table(st.table)
+        n = t.delete(_to_filter(st.where, t))
         return [{"deleted": n}]
 
     def _optimize(self, st: P.OptimizeTable):
@@ -200,11 +216,73 @@ class SQLRunner:
         self.db.drop_table(st.table)
         return []
 
+    # ----------------------------------------------------- table functions
+    def _table_function(self, st: P.Select):
+        """FROM-clause table functions (TableFunctionFullTextSearch.cpp /
+        TableFunctionFtsIndex.cpp):
+
+          full_text_search(table, index, 'query'[, with_score]) — BM25
+            top rows of the nested table (default limit 10000,
+            StorageFullTextSearch.h:23); columns = the table's scalar
+            columns plus bm25_score when with_score;
+          ftsIndex(table, col_or_index, 'query') — corpus statistics rows
+            (the cluster-stats collection channel, CommonUtils.h:107).
+        """
+        tf = st.table_func
+        if tf.name == "full_text_search":
+            if len(tf.args) < 3:
+                raise SQLError(
+                    "full_text_search(table, index_name, query[, with_score])"
+                )
+            tname, iname, query = tf.args[0], str(tf.args[1]), str(tf.args[2])
+            with_score = bool(tf.args[3]) if len(tf.args) > 3 else False
+            t = self.db.table(str(tname))
+            limit = st.limit if st.limit is not None else 10_000
+            k = min(
+                limit + st.offset, t.settings.query.max_search_result_window
+            )
+            wfilt = _to_filter(st.where, t)
+            res = t.text_search(iname, query, k, filter=wfilt)
+            cols = [
+                c
+                for c in t.schema.scalar_columns()
+            ]
+            gathered = t.gather(res, cols)
+            rows = []
+            for j in range(res.k):
+                if not res.valid[0, j]:
+                    continue
+                row = {c: _pyval(gathered[c][0, j]) for c in cols}
+                if with_score:
+                    row["bm25_score"] = float(res.scores[0, j])
+                rows.append(row)
+            rows = rows[st.offset : st.offset + limit]
+            return self._project_rows(rows, st)
+        if tf.name == "ftsIndex":
+            if len(tf.args) < 3:
+                raise SQLError("ftsIndex(table, column_or_index, query)")
+            stats = self.db.fts_index_stats(
+                str(tf.args[0]), str(tf.args[1]), str(tf.args[2])
+            )
+            return self._project_rows([stats], st)
+        raise SQLError(f"unknown table function {tf.name}")  # pragma: no cover
+
+    def _project_rows(self, rows, st: P.Select):
+        keep = []
+        for it in st.items:
+            if it.expr == "*":
+                return rows
+            if isinstance(it.expr, str):
+                keep.append((it.expr, it.alias or it.expr))
+        return [{alias: r.get(c) for c, alias in keep} for r in rows]
+
     # ------------------------------------------------------------- SELECT
     def _select(self, st: P.Select):
         if st.table.startswith("system."):
             rows = self.db.system_table(st.table.split(".", 1)[1])
             return self._project_plain(rows, st)
+        if st.table_func is not None:
+            return self._table_function(st)
         t = self.db.table(st.table)
         search = None
         for it in st.items:
@@ -212,8 +290,8 @@ class SQLRunner:
                 if search is not None:
                     raise SQLError("only one search function per query")
                 search = it.expr
-        filt = _to_filter(st.prewhere) if st.prewhere is not None else None
-        wfilt = _to_filter(st.where)
+        filt = _to_filter(st.prewhere, t) if st.prewhere is not None else None
+        wfilt = _to_filter(st.where, t)
         if filt is not None and wfilt is not None:
             filt = F.And(filt, wfilt)
         elif wfilt is not None:
@@ -335,8 +413,9 @@ class SQLRunner:
         ):
             raise QueryShapeError("textsearch requires ORDER BY score DESC")
         op = str(call.params.get("operator", "OR"))
+        nlq = str(call.params.get("enable_nlq", 0)).lower() in ("1", "true", "yes")
         res = t.text_search(cols[0], str(lits[0]), k, filter=filt, operator=op,
-                            final=st.final)
+                            final=st.final, enable_nlq=nlq)
         rows = self._emit_search_rows(t, st, res, call.alias)
         for r in rows:  # BM25 column is the raw score (bigger better)
             r[call.alias] = float(r[call.alias])

@@ -735,6 +735,34 @@ class Table:
 
         return fts_token_filter(self, column, token)
 
+    def like(self, column: str, pattern: str, negate: bool = False) -> Expr:
+        """col [NOT] LIKE pattern, fts-accelerated: whole inner tokens of
+        the pattern cut the candidate set via term bitmaps, the real LIKE
+        verifies candidates (MergeTreeIndexTantivy.h:141-180 atoms)."""
+        from ..search.text_executor import fts_like_filter
+
+        return fts_like_filter(self, column, pattern, negate)
+
+    def multi_search_any(self, column: str, needles) -> Expr:
+        """multiSearchAny(col, needles): substring-any, fts-accelerated."""
+        from ..search.text_executor import fts_multi_search_any
+
+        return fts_multi_search_any(self, column, list(needles))
+
+    def has_phrase(self, column: str, phrase: str) -> Expr:
+        """Sentence/phrase predicate: the phrase's tokens appear adjacent
+        in order (ffi_query_sentence_bitmap role; two-pass verify)."""
+        from ..search.text_executor import fts_phrase_filter
+
+        return fts_phrase_filter(self, column, phrase)
+
+    def has_token_matching(self, column: str, regex: str) -> Expr:
+        """Regex term predicate: some token of the row matches the regex
+        (ffi_regex_term_bitmap role)."""
+        from ..search.text_executor import fts_regex_filter
+
+        return fts_regex_filter(self, column, regex)
+
     def text_search(
         self,
         column_or_index: str,
@@ -745,8 +773,11 @@ class Table:
         operator: str = "OR",
         stats_override=None,
         final: bool = False,
+        enable_nlq: bool = False,
     ):
-        """textsearch()(col, 'query') analogue: BM25 top-k, descending."""
+        """textsearch()(col, 'query') analogue: BM25 top-k, descending.
+        enable_nlq activates the natural-language subset: quoted phrases
+        must match adjacently, '-term' excludes (VSDescription.h:80-88)."""
         from ..search.text_executor import TextSearchExecutor
 
         if final and self.engine != "Replacing":
@@ -759,6 +790,7 @@ class Table:
             filter=filter,
             operator=operator,
             stats_override=stats_override,
+            enable_nlq=enable_nlq,
         )
         if final:
             res = self._apply_final(res, k_eff)

@@ -131,7 +131,8 @@ def _bm25_score_topk_batch(
     scores, nmatch = jax.lax.fori_loop(0, nt, body, (scores, nmatch))
     hit = nmatch >= n_required[:, None]
     if mask is not None:
-        hit = jnp.logical_and(hit, mask[None, :])
+        # mask may be shared bool[capacity] or per-query bool[Q, capacity]
+        hit = jnp.logical_and(hit, mask if mask.ndim == 2 else mask[None, :])
     scores = jnp.where(hit, scores, NEG_INF)
     vals, rows = topk_scores(scores, k, approx=approx)
     rows = jnp.where(jnp.isfinite(vals), rows, -1)
