@@ -163,6 +163,7 @@ class Database:
         # breaking insertion-order semantics for Replacing winners)
         for segdir in sorted(seg_dirs, key=lambda d: int(d.split("_", 1)[1])):
             sdir = os.path.join(root, segdir)
+            persistence.resume_tmp_index_dirs(sdir)  # interrupted persists
             seg_id, cols, deleted = persistence.load_segment_columns(sdir, schema)
             new_id = t.insert(cols)
             seg = next(s for s in t.live_segments() if s.segment_id == new_id)

@@ -157,38 +157,160 @@ def load_segment_columns(dirpath: str, schema: Schema):
 
 
 # ------------------------------------------------------------------- index
+# On-disk index format version. Bump on layout changes; old dirs upgrade
+# on load through the migration chain (convertIndexFileForUpgrade,
+# VIWithDataPart.h:456) and are rewritten in the current format.
+INDEX_FORMAT_VERSION = 2
+
+# from_version -> fn(meta, arrays) -> (meta, arrays) migrated ONE step
+_FORMAT_MIGRATIONS: Dict[int, Any] = {}
+
+
+def register_format_migration(from_version: int, fn) -> None:
+    _FORMAT_MIGRATIONS[from_version] = fn
+
+
+def _migrate_v1(meta: Dict[str, Any], arrays: Dict[str, np.ndarray]):
+    """v1 (round-1) -> v2. v1 wrote bfloat16 arrays straight into npz,
+    which numpy stores as opaque void `|V2` — unreadable by jax. v2
+    stores them as uint16 views with a name tag; here the old void
+    arrays are reinterpreted back to bfloat16."""
+    import ml_dtypes
+
+    fixed = {}
+    for k, v in arrays.items():
+        if v.dtype.kind == "V" and v.dtype.itemsize == 2:
+            v = v.view(ml_dtypes.bfloat16)
+        fixed[k] = v
+    return meta, fixed
+
+
+register_format_migration(1, _migrate_v1)
+
+# npz cannot represent bfloat16; store as uint16 views under a tagged name
+_BF16_TAG = "__bf16"
+
+
+def _npz_encode(arrays: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    import ml_dtypes
+
+    out = {}
+    for k, v in arrays.items():
+        if v is None:
+            continue
+        v = np.asarray(v)
+        if v.dtype == ml_dtypes.bfloat16:
+            out[k + _BF16_TAG] = v.view(np.uint16)
+        else:
+            out[k] = v
+    return out
+
+
+def _npz_decode(z) -> Dict[str, np.ndarray]:
+    import ml_dtypes
+
+    out = {}
+    for k in z.files:
+        v = z[k]
+        if k.endswith(_BF16_TAG):
+            out[k[: -len(_BF16_TAG)]] = v.view(ml_dtypes.bfloat16)
+        else:
+            out[k] = v
+    return out
+
+
 def save_index(instance, dirpath: str) -> None:
-    os.makedirs(dirpath, exist_ok=True)
+    """Serialize an index ATOMICALLY: write into `<dir>.tmp`, fsync, then
+    rename over the target (the reference's vector_tmp_* + move protocol,
+    VIBuilderUpdater.cpp:541-554, TryMoveVIFiles). A crash leaves either
+    the old dir, or a resumable tmp dir with checksums — never a torn mix."""
+    import shutil
+
+    tmp = dirpath.rstrip("/\\") + ".tmp"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp, exist_ok=True)
     state = instance.state_dict()
-    with open(os.path.join(dirpath, "meta.json"), "w") as f:
-        json.dump(state["meta"], f)
+    meta = dict(state["meta"])
+    meta["format_version"] = INDEX_FORMAT_VERSION
+    with open(os.path.join(tmp, "meta.json"), "w") as f:
+        json.dump(meta, f)
     names = ["meta.json"]
     arrays = state.get("arrays")
     if arrays:
         np.savez_compressed(
-            os.path.join(dirpath, "arrays.npz"),
-            **{k: np.asarray(v) for k, v in arrays.items() if v is not None},
+            os.path.join(tmp, "arrays.npz"), **_npz_encode(arrays)
         )
         names.append("arrays.npz")
-    _write_checksums(dirpath, names)
+    _write_checksums(tmp, names)
+    if os.path.isdir(dirpath):
+        shutil.rmtree(dirpath)
+    os.rename(tmp, dirpath)
+
+
+def resume_tmp_index_dirs(segment_dir: str) -> int:
+    """Finish interrupted index persists: a `index_*.tmp` dir with valid
+    checksums and no final dir is moved into place (the resume-from-
+    vector_tmp path, VIBuilderUpdater.cpp:541-551); invalid tmp dirs are
+    discarded. Returns the number of resumed dirs."""
+    import shutil
+
+    n = 0
+    if not os.path.isdir(segment_dir):
+        return 0
+    for name in os.listdir(segment_dir):
+        if not name.endswith(".tmp") or not name.startswith("index_"):
+            continue
+        tmp = os.path.join(segment_dir, name)
+        final = tmp[: -len(".tmp")]
+        if os.path.isdir(final):
+            shutil.rmtree(tmp)  # completed build superseded the tmp
+            continue
+        try:
+            _verify_checksums(tmp)
+            os.rename(tmp, final)
+            n += 1
+        except PersistenceError:
+            shutil.rmtree(tmp)  # torn write: discard, rebuild normally
+    return n
 
 
 def load_index(dirpath: str):
-    """Rebuild a VectorIndex from disk (checksums verified). Returns None
-    for kinds that rebuild from the segment payload (FLAT)."""
+    """Rebuild a VectorIndex from disk (checksums verified; old formats
+    migrated through the upgrade chain and rewritten in place). Returns
+    None for kinds that rebuild from the segment payload (FLAT)."""
     from ..index import registry
 
     _verify_checksums(dirpath)
     with open(os.path.join(dirpath, "meta.json")) as f:
         meta = json.load(f)
-    kind = IndexKind.parse(meta["kind"])
-    cls = registry.implementation(kind)
     apath = os.path.join(dirpath, "arrays.npz")
     arrays: Dict[str, np.ndarray] = {}
     if os.path.exists(apath):
         with np.load(apath, allow_pickle=False) as z:
-            arrays = {k: z[k] for k in z.files}
+            arrays = _npz_decode(z)
+    version = int(meta.get("format_version", 1))
+    if version > INDEX_FORMAT_VERSION:
+        raise PersistenceError(
+            f"index format v{version} is newer than this engine "
+            f"(v{INDEX_FORMAT_VERSION}): {dirpath}"
+        )
+    upgraded = version < INDEX_FORMAT_VERSION
+    while version < INDEX_FORMAT_VERSION:
+        fn = _FORMAT_MIGRATIONS.get(version)
+        if fn is None:
+            raise PersistenceError(
+                f"no migration from index format v{version}: {dirpath}"
+            )
+        meta, arrays = fn(dict(meta), dict(arrays))
+        version += 1
+    meta.pop("format_version", None)
+    kind = IndexKind.parse(meta["kind"])
+    cls = registry.implementation(kind)
     try:
-        return cls.from_state_dict({"meta": meta, "arrays": arrays})
+        inst = cls.from_state_dict({"meta": meta, "arrays": arrays})
     except NotImplementedError:
         return None  # payload-backed kinds (FLAT) rebuild from the segment
+    if upgraded and inst is not None:
+        save_index(inst, dirpath)  # rewrite in the current format
+    return inst
