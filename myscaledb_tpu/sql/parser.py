@@ -228,6 +228,16 @@ class FuncPred:
 
 
 @dataclasses.dataclass
+class JoinSpec:
+    """[INNER|LEFT] JOIN <table|(subquery)> ON a = b (single equality)."""
+
+    kind: str  # inner | left
+    right: Any  # FromSource tuple
+    on_left: str
+    on_right: str
+
+
+@dataclasses.dataclass
 class TableFunc:
     """FROM-clause table function: full_text_search(table, index, 'query'
     [, with_score]) / ftsIndex(table, col_or_index, 'query')."""
@@ -254,6 +264,8 @@ class Select:
     limit_by: Optional[Any] = None  # the LIMIT n BY expr column
     final: bool = False  # FROM t FINAL (Replacing-engine dedup)
     table_func: Optional["TableFunc"] = None  # FROM full_text_search(...)
+    source: Any = None  # ("sub", Select, alias) when FROM (subquery)
+    join: Optional["JoinSpec"] = None
 
 
 class Parser:
@@ -577,6 +589,13 @@ class Parser:
             self.expect_op(")")
             return e
         col = self.expect_name()
+        if (
+            self.peek().kind == "op"
+            and self.peek().value == "."
+            and self.peek(1).kind == "name"
+        ):
+            self.next()
+            col = f"{col}.{self.expect_name()}"
         if col.lower() in ("hastoken", "multisearchany") and (
             self.peek().kind == "op" and self.peek().value == "("
         ):
@@ -652,6 +671,53 @@ class Parser:
         return SearchCall(fname, params, args, alias)
 
     def select(self) -> Select:
+        sel = self._select_body()
+        if self.peek().kind != "eof":
+            self.error("unexpected trailing input")
+        return sel
+
+    def _qual_name(self) -> str:
+        name = self.expect_name()
+        if (
+            self.peek().kind == "op"
+            and self.peek().value == "."
+            and self.peek(1).kind == "name"
+        ):
+            self.next()
+            name = f"{name}.{self.expect_name()}"
+        return name
+
+    def _from_source(self):
+        """FROM source: ("table", name, alias) | ("sub", Select, alias) |
+        ("func", TableFunc, None)."""
+        if self.accept_op("("):
+            inner = self._select_body()
+            self.expect_op(")")
+            alias = self.expect_name() if self.accept_kw("as") else None
+            return ("sub", inner, alias)
+        name = self.table_name()
+        if name.lower() in ("full_text_search", "ftsindex") and (
+            self.peek().kind == "op" and self.peek().value == "("
+        ):
+            self.expect_op("(")
+            fargs: List[Any] = []
+            while not self.accept_op(")"):
+                t = self.peek()
+                if t.kind == "name":
+                    fargs.append(self.table_name())
+                else:
+                    fargs.append(self.literal())
+                self.accept_op(",")
+            fn = (
+                "full_text_search"
+                if name.lower() == "full_text_search"
+                else "ftsIndex"
+            )
+            return ("func", TableFunc(fn, fargs), None)
+        alias = self.expect_name() if self.accept_kw("as") else None
+        return ("table", name, alias)
+
+    def _select_body(self) -> Select:
         self.expect_kw("select")
         items: List[SelectItem] = []
         while True:
@@ -673,7 +739,7 @@ class Parser:
                     alias = self.expect_name()
                 items.append(SelectItem(("count",), alias))
             else:
-                name = self.expect_name()
+                name = self._qual_name()
                 alias = None
                 if self.accept_kw("as"):
                     alias = self.expect_name()
@@ -681,28 +747,34 @@ class Parser:
             if not self.accept_op(","):
                 break
         self.expect_kw("from")
-        table = self.table_name()
-        tf = None
-        if table.lower() in ("full_text_search", "ftsindex") and (
-            self.peek().kind == "op" and self.peek().value == "("
-        ):
-            self.expect_op("(")
-            fargs: List[Any] = []
-            while not self.accept_op(")"):
-                t = self.peek()
-                if t.kind == "name":
-                    fargs.append(self.table_name())
-                else:
-                    fargs.append(self.literal())
-                self.accept_op(",")
-            tf = TableFunc(
-                "full_text_search" if table.lower() == "full_text_search" else "ftsIndex",
-                fargs,
-            )
-            table = ""
-        sel = Select(items=items, table=table, table_func=tf)
+        source = self._from_source()
+        sel = Select(
+            items=items,
+            table=source[1] if source[0] == "table" else "",
+            table_func=source[1] if source[0] == "func" else None,
+        )
+        if source[0] == "sub" or (source[0] == "table" and source[2]):
+            sel.source = source
         if self.accept_kw("final"):
             sel.final = True
+        jkind = None
+        if self.accept_kw("inner", "join"):
+            jkind = "inner"
+        elif self.accept_kw("left", "join"):
+            jkind = "left"
+        elif self.accept_kw("join"):
+            jkind = "inner"
+        if jkind is not None:
+            right = self._from_source()
+            self.expect_kw("on")
+            lq = self._qual_name()
+            t = self.next()
+            if t.kind != "op" or t.value not in ("=", "=="):
+                self.error("JOIN ... ON expects col = col")
+            rq = self._qual_name()
+            sel.join = JoinSpec(jkind, right, lq, rq)
+            if sel.source is None:
+                sel.source = source
         if self.accept_kw("prewhere"):
             sel.prewhere = self.where_expr()
         if self.accept_kw("where"):
@@ -742,8 +814,6 @@ class Parser:
             if self.accept_kw("offset"):
                 o = self.next()
                 sel.offset = o.value
-        if self.peek().kind != "eof":
-            self.error("unexpected trailing input")
         return sel
 
 

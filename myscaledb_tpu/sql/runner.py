@@ -276,6 +276,76 @@ class SQLRunner:
                 keep.append((it.expr, it.alias or it.expr))
         return [{alias: r.get(c) for c, alias in keep} for r in rows]
 
+    # --------------------------------------------------- subquery / JOIN
+    def _rows_of_source(self, source) -> List[Dict[str, Any]]:
+        """Materialize a FROM source to row dicts; alias-qualified copies
+        of every column are added so `a.col` projections resolve."""
+        kind, payload, alias = source
+        if kind == "sub":
+            rows = self._select(payload)
+        elif kind == "table":
+            alias = alias or payload  # tables qualify by name by default
+            t = self.db.table(payload)
+            cols = t.schema.scalar_columns()
+            rows = []
+            for seg in sorted(t.live_segments(), key=lambda s: s.segment_id):
+                alive = np.nonzero(~seg.deleted_host()[: seg.n_rows])[0]
+                for i in alive:
+                    rows.append({c: _pyval(seg.scalar(c)[i]) for c in cols})
+        else:  # pragma: no cover
+            raise SQLError("table functions cannot be joined yet")
+        if alias:
+            rows = [
+                {**r, **{f"{alias}.{k}": v for k, v in r.items()}} for r in rows
+            ]
+        return rows
+
+    def _select_composite(self, st: P.Select):
+        """SELECT over a subquery and/or a JOIN: materialized row-dict
+        algebra (search runs INSIDE the subqueries — the reference's
+        search-in-subquery / right-joined-table shape, tests 00025/00040)."""
+        left_src = st.source or ("table", st.table, None)
+        rows = self._rows_of_source(left_src)
+        if st.join is not None:
+            right = self._rows_of_source(st.join.right)
+            lk, rk = st.join.on_left, st.join.on_right
+
+            def get(r, k):
+                return r.get(k, r.get(k.split(".")[-1]))
+
+            index: Dict[Any, List[Dict[str, Any]]] = {}
+            for r in right:
+                index.setdefault(get(r, rk), []).append(r)
+            joined = []
+            for r in rows:
+                matches = index.get(get(r, lk), [])
+                for m in matches:
+                    joined.append({**m, **r})
+                if not matches and st.join.kind == "left":
+                    joined.append(dict(r))
+            rows = joined
+        if st.where is not None:
+            rows = [r for r in rows if _eval_plain(st.where, r)]
+        if st.order_by:
+            for expr, d in reversed(st.order_by):
+                name = expr[0] if isinstance(expr, tuple) else expr
+                rows.sort(key=lambda r: r.get(name), reverse=(d == "desc"))
+        lo = st.offset
+        hi = None if st.limit is None else st.offset + st.limit
+        rows = rows[lo:hi]
+        keep = []
+        for it in st.items:
+            if it.expr == "*":
+                return rows
+            if isinstance(it.expr, str):
+                keep.append((it.expr, it.alias or it.expr))
+            else:
+                raise SQLError(
+                    "search functions must live inside the subquery of a "
+                    "JOIN/nested SELECT"
+                )
+        return [{alias: r.get(c) for c, alias in keep} for r in rows]
+
     # ------------------------------------------------------------- SELECT
     def _select(self, st: P.Select):
         if st.table.startswith("system."):
@@ -283,13 +353,16 @@ class SQLRunner:
             return self._project_plain(rows, st)
         if st.table_func is not None:
             return self._table_function(st)
+        if st.join is not None or st.source is not None:
+            return self._select_composite(st)
         t = self.db.table(st.table)
-        search = None
-        for it in st.items:
-            if isinstance(it.expr, P.SearchCall):
-                if search is not None:
-                    raise SQLError("only one search function per query")
-                search = it.expr
+        searches = [it.expr for it in st.items if isinstance(it.expr, P.SearchCall)]
+        if len(searches) > 1:
+            # multi-distance is the only multi-search form the reference
+            # supports (TreeRewriter.cpp:904-1000)
+            if any(c.func != "distance" for c in searches):
+                raise SQLError("only multiple distance() calls are supported")
+        search = searches[0] if searches else None
         filt = _to_filter(st.prewhere, t) if st.prewhere is not None else None
         wfilt = _to_filter(st.where, t)
         if filt is not None and wfilt is not None:
@@ -299,6 +372,8 @@ class SQLRunner:
 
         if search is None:
             return self._plain_scan(t, st, filt)
+        if len(searches) > 1:
+            return self._multi_distance(t, st, searches, filt)
         if search.func == "distance":
             return self._distance(t, st, search, filt)
         if search.func == "batch_distance":
@@ -371,6 +446,47 @@ class SQLRunner:
         res = t.search(cols[0], np.asarray(lits[0], np.float32), k, filter=filt,
                        params=call.params or None, final=st.final)
         return self._emit_search_rows(t, st, res, call.alias)
+
+    def _multi_distance(self, t, st: P.Select, calls, filt):
+        """N distance() columns in one SELECT: the ORDER BY one drives the
+        scan; the other columns are evaluated exactly on its top-k rows
+        (multi-column parallel scan + label join,
+        MergeTreeVSManager.cpp:312-330, mergeResult)."""
+        order_names = {
+            (e[0] if isinstance(e, tuple) else e) for e, _ in st.order_by
+        }
+        primary = next((c for c in calls if c.alias in order_names), None)
+        if primary is None:
+            raise QueryShapeError(
+                "multi-distance requires ORDER BY one of the distance aliases"
+            )
+        for c in calls:
+            cols = [a[1] for a in c.args if a[0] == "col"]
+            lits = [a[1] for a in c.args if a[0] == "lit"]
+            if len(cols) != 1 or len(lits) != 1:
+                raise SQLError("distance() takes (vector_column, [query...])")
+        k = self._topk(st, t.settings)
+        pcol = [a[1] for a in primary.args if a[0] == "col"][0]
+        pq = np.asarray(
+            [a[1] for a in primary.args if a[0] == "lit"][0], np.float32
+        )
+        self._check_direction(
+            st, primary.alias, metric_direction(t.index_metric_for(pcol))
+        )
+        res = t.search(pcol, pq, k, filter=filt, params=primary.params or None,
+                       final=st.final)
+        rows = self._emit_search_rows(t, st, res, primary.alias)
+        # secondary distance columns, joined by label onto the same rows
+        for c in calls:
+            if c is primary:
+                continue
+            scol = [a[1] for a in c.args if a[0] == "col"][0]
+            sq = np.asarray([a[1] for a in c.args if a[0] == "lit"][0], np.float32)
+            d = t.compute_distances(scol, sq, res)
+            live = [j for j in range(res.k) if res.valid[0, j]]
+            for row, j in zip(rows, live):
+                row[c.alias] = float(d[0, j])
+        return rows
 
     def _batch_distance(self, t, st: P.Select, call: P.SearchCall, filt):
         cols = [a[1] for a in call.args if a[0] == "col"]

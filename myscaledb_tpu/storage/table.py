@@ -1001,6 +1001,43 @@ class Table:
             res = self._apply_final(res, k_eff)
         return res
 
+    def compute_distances(
+        self, column: str, query, result: SearchResult, metric: Optional[Metric] = None
+    ) -> np.ndarray:
+        """Exact user-visible distances of `query` to the result's rows for
+        ANY vector column — the multi-distance join: secondary distance()
+        columns are evaluated on the primary's top-k rows (TreeRewriter
+        multi-distance, MergeTreeVSManager.cpp:312-330 multi-column scan).
+        Returns f32[Q, k] (inf on invalid slots)."""
+        import jax.numpy as jnp
+
+        vtype = self.schema.require_vector(column)
+        q = np.asarray(query, np.float64).reshape(-1, vtype.dim)
+        m = metric or self.index_metric_for(column)
+        out = np.full(result.rows.shape, np.inf, np.float32)
+        if q.shape[0] == 1 and result.nq > 1:
+            q = np.broadcast_to(q, (result.nq, vtype.dim))
+        for seg in self.live_segments():
+            sel = (result.segments == seg.segment_id) & result.valid
+            if not sel.any():
+                continue
+            qi, ki = np.nonzero(sel)
+            rows = result.rows[qi, ki]
+            data = np.asarray(
+                seg.vector(column).data[rows].astype(jnp.float32), np.float64
+            )[:, : vtype.dim]
+            qq = q[qi]
+            if m == Metric.L2:
+                d = ((qq - data) ** 2).sum(1)
+            elif m == Metric.IP:
+                d = (qq * data).sum(1)
+            else:  # Cosine
+                num = (qq * data).sum(1)
+                den = np.linalg.norm(qq, axis=1) * np.linalg.norm(data, axis=1)
+                d = 1.0 - num / np.where(den > 0, den, 1.0)
+            out[qi, ki] = d.astype(np.float32)
+        return out
+
     def gather(self, result: SearchResult, columns: List[str]) -> Dict[str, np.ndarray]:
         """Fetch output columns for result hits (the 'read only top-k rows'
         stage — mergeSearchResultImpl analogue). Returns [Q, k] object/num

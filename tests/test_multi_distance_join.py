@@ -1,0 +1,129 @@
+"""Multi-distance SELECTs and subquery/JOIN-shaped search queries
+(TreeRewriter.cpp:904-1000 multi-distance; tests 00025/00026/00040
+search-in-subquery / right-joined-table shapes)."""
+
+import numpy as np
+import pytest
+
+import myscaledb_tpu as ms
+from myscaledb_tpu.errors import QueryShapeError, SQLError
+
+
+@pytest.fixture()
+def t2(db):
+    db.sql(
+        "CREATE TABLE t (id UInt64, v1 Array(Float32), v2 Array(Float32), "
+        "CONSTRAINT c1 CHECK length(v1) = 4, CONSTRAINT c2 CHECK length(v2) = 4)"
+    )
+    t = db.table("t")
+    n = 50
+    rng = np.random.default_rng(0)
+    v1 = rng.standard_normal((n, 4)).astype(np.float32)
+    v2 = rng.standard_normal((n, 4)).astype(np.float32)
+    t.insert({"id": np.arange(n, dtype=np.uint64), "v1": v1, "v2": v2})
+    return t, v1, v2
+
+
+def test_multi_distance(db, t2):
+    t, v1, v2 = t2
+    q1 = v1[7].tolist()
+    q2 = v2[3].tolist()
+    rows = db.sql(
+        f"SELECT id, distance(v1, {q1}) AS d1, distance(v2, {q2}) AS d2 "
+        "FROM t ORDER BY d1 LIMIT 5"
+    )
+    assert len(rows) == 5
+    assert rows[0]["id"] == 7 and rows[0]["d1"] == pytest.approx(0.0, abs=1e-2)
+    # d2 column present on every row, exact vs numpy
+    for r in rows:
+        want = float(((v2[r["id"]].astype(np.float64) - np.asarray(q2)) ** 2).sum())
+        assert r["d2"] == pytest.approx(want, rel=1e-2, abs=1e-2)
+    # ordered by d1 ascending
+    d1s = [r["d1"] for r in rows]
+    assert d1s == sorted(d1s)
+    # ORDER BY the other distance flips the driver
+    rows = db.sql(
+        f"SELECT id, distance(v1, {q1}) AS d1, distance(v2, {q2}) AS d2 "
+        "FROM t ORDER BY d2 LIMIT 3"
+    )
+    assert rows[0]["id"] == 3
+
+
+def test_multi_distance_requires_order_by_alias(db, t2):
+    t, v1, v2 = t2
+    with pytest.raises(QueryShapeError):
+        db.sql(
+            "SELECT id, distance(v1, [0.0,0.0,0.0,0.0]) AS d1, "
+            "distance(v2, [0.0,0.0,0.0,0.0]) AS d2 FROM t ORDER BY id LIMIT 3"
+        )
+
+
+def test_mixed_search_functions_rejected(db, t2):
+    with pytest.raises(SQLError):
+        db.sql(
+            "SELECT distance(v1, [0.0,0.0,0.0,0.0]) AS d, "
+            "textsearch(v2, 'x') AS s FROM t ORDER BY d LIMIT 3"
+        )
+
+
+def test_search_in_subquery(db, t2):
+    t, v1, v2 = t2
+    q1 = v1[7].tolist()
+    rows = db.sql(
+        f"SELECT id, d FROM (SELECT id, distance(v1, {q1}) AS d "
+        "FROM t ORDER BY d LIMIT 10) WHERE id != 7 ORDER BY d LIMIT 3"
+    )
+    assert len(rows) == 3
+    assert all(r["id"] != 7 for r in rows)
+    ds = [r["d"] for r in rows]
+    assert ds == sorted(ds)
+
+
+def test_join_right_table_search(db, t2):
+    t, v1, v2 = t2
+    db.sql(
+        "CREATE TABLE meta (id UInt64, label String)"
+    )
+    db.table("meta").insert(
+        {
+            "id": np.arange(50, dtype=np.uint64),
+            "label": np.asarray([f"label{i}" for i in range(50)], dtype=object),
+        }
+    )
+    q1 = v1[7].tolist()
+    rows = db.sql(
+        "SELECT meta.label, b.d FROM meta INNER JOIN "
+        f"(SELECT id, distance(v1, {q1}) AS d FROM t ORDER BY d LIMIT 3) AS b "
+        "ON meta.id = b.id ORDER BY d LIMIT 3"
+    )
+    assert len(rows) == 3
+    assert rows[0]["meta.label"] == "label7"
+
+
+def test_left_join(db, t2):
+    db.sql("CREATE TABLE small (id UInt64, tag String)")
+    db.table("small").insert(
+        {
+            "id": np.asarray([1, 2], np.uint64),
+            "tag": np.asarray(["one", "two"], dtype=object),
+        }
+    )
+    rows = db.sql(
+        "SELECT a.id, b.tag FROM (SELECT id FROM t WHERE id < 4) AS a "
+        "LEFT JOIN small AS b ON a.id = b.id ORDER BY id"
+    )
+    assert len(rows) == 4
+    got = {r["a.id"]: r["b.tag"] for r in rows}
+    assert got[1] == "one" and got[2] == "two"
+    assert got[0] is None and got[3] is None
+
+
+def test_python_multi_distance_api(db, t2):
+    t, v1, v2 = t2
+    res = t.search("v1", v1[5], k=4)
+    d2 = t.compute_distances("v2", v2[5], res)
+    assert d2.shape == (1, 4)
+    ids = t.gather(res, ["id"])["id"]
+    for j in range(4):
+        want = ((v2[ids[0, j]].astype(np.float64) - v2[5]) ** 2).sum()
+        assert d2[0, j] == pytest.approx(want, rel=1e-2, abs=1e-2)
