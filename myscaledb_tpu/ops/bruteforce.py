@@ -104,21 +104,14 @@ def scan_topk_t(
     if mask is not None:
         valid = jnp.logical_and(valid, mask)
 
-    # Fused Pallas scan+top-k (no score-matrix round trip) — TPU only,
-    # small k, aligned shapes.
-    from . import fused_scan
-    from ._pallas import use_interpret
+    # Tile-max pruned scan (no score-matrix round trip): one Pallas pass
+    # reduces scores to per-sub-tile maxes inside VMEM, then only the
+    # top-(k+slack) sub-tiles per query are gathered and exactly rescored.
+    from . import tilescan
 
-    if (
-        fused_scan.ENABLED
-        and not use_interpret()
-        and k <= fused_scan.FUSED_MAX_K
-        and n % fused_scan.ROW_TILE == 0
-        and queries.shape[0] <= fused_scan.Q_TILE_MAX
-        and d % 128 == 0
-    ):
+    if not approx and tilescan.supports(n, d, queries.shape[0], k):
         aux_in = aux if aux is not None else jnp.zeros((n,), jnp.float32)
-        vals, idx = fused_scan.fused_scan_topk(
+        vals, idx = tilescan.tile_topk_scan(
             queries, base, aux_in, valid.astype(jnp.uint8), k=k, metric=metric
         )
         return vals[:nq], idx[:nq]
