@@ -117,6 +117,13 @@ class TableSettings:
     # scan path; accumulation stays float32.
     storage_dtype: str = "bfloat16"
 
+    # Payload residency: "hbm" (default) or "host" — the beyond-HBM tier
+    # (disk-mode analogue, Search::DiskIOManager / VICommon.h:132): raw
+    # rows live in host RAM; HBM holds only index structures (disk-mode
+    # MSTG keeps SQ8 windows on chip and re-ranks against host rows);
+    # index-less segments scan by streaming chunks through the device.
+    vector_storage_tier: str = "hbm"
+
 
 @dataclasses.dataclass
 class ServerSettings:

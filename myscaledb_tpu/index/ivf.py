@@ -26,8 +26,10 @@ normalize-then-IP (as the reference: VIWithDataPart.h:349).
 
 MSTG here = IVF over SQ8-compressed windows + exact re-rank of the top
 candidates against the raw segment payload (two-stage semantics of §3.5:
-search(first_stage_only) + computeTopDistanceSubset). `disk_mode` is
-accepted for DDL parity; payloads are HBM-resident either way.
+search(first_stage_only) + computeTopDistanceSubset). With `disk_mode=1`
+(or a host-tier table) the raw re-rank payload lives in HOST RAM and only
+the SQ8 windows occupy HBM — the beyond-HBM corpus path of the
+reference's disk-mode MSTG (Search::DiskIOManager, VICommon.h:132).
 """
 
 from __future__ import annotations
@@ -58,8 +60,14 @@ def default_ncentroids(n_rows: int) -> int:
     return int(min(c, max(16, n_rows // 8), 65_536))
 
 
-def _scan_rep(payload, n_rows: int, metric: Metric) -> jax.Array:
-    """Rows in 'scan representation': raw for L2/IP, normalized for Cosine."""
+def _scan_rep(payload, n_rows: int, metric: Metric):
+    """Rows in 'scan representation': raw for L2/IP, normalized for Cosine.
+    Host-tier payloads stay numpy (chunked device work downstream)."""
+    if getattr(payload, "is_host", False):
+        data = payload.data[:n_rows].astype(np.float32)
+        if metric == Metric.COSINE and payload.invnorm is not None:
+            data = data * payload.invnorm[:n_rows, None]
+        return data
     data = payload.data[:n_rows].astype(jnp.float32)
     if metric == Metric.COSINE and payload.invnorm is not None:
         data = data * payload.invnorm[:n_rows, None]
@@ -82,13 +90,21 @@ def balanced_kmeans(
     centroids replaced by the sub-centroids. Bounds the size histogram's
     tail, which bounds per-probe scan work. Returns (centroids f32[C', D],
     assign int32[n]) — C' may exceed c."""
-    cents = kmeans.kmeans_fit(
-        kmeans.training_sample(rep, n_rows, c, seed=seed, max_rows=max_train_rows),
-        n_clusters=c,
-        n_iters=10,
-        seed=seed,
+    host = isinstance(rep, np.ndarray)
+    if host:
+        sample = kmeans.training_sample_host(
+            rep_h, n_rows, c, seed=seed, max_rows=max_train_rows
+        )
+    else:
+        sample = kmeans.training_sample(
+            rep, n_rows, c, seed=seed, max_rows=max_train_rows
+        )
+    cents = kmeans.kmeans_fit(sample, n_clusters=c, n_iters=10, seed=seed)
+    assign = (
+        kmeans.assign_chunked_host(rep_h, cents)
+        if host
+        else np.asarray(kmeans.assign_chunked(rep, cents))
     )
-    assign = np.asarray(kmeans.assign_chunked(rep, cents))
     cents_h = np.asarray(cents)
     for r in range(rounds):
         check_cancel(cancel_cb)
@@ -100,13 +116,19 @@ def balanced_kmeans(
             break
         big_rows = np.nonzero(big[assign])[0]
         k2 = max(2, int(math.ceil(len(big_rows) / (0.8 * limit))))
-        sub = jnp.asarray(rep_h[big_rows])
-        sub_sample = kmeans.training_sample(sub, len(big_rows), k2, seed=seed + r + 1)
+        sub_sample = kmeans.training_sample_host(
+            rep_h[big_rows], len(big_rows), k2, seed=seed + r + 1
+        )
         sub_cents = kmeans.kmeans_fit(
             sub_sample, n_clusters=min(k2, len(big_rows)), n_iters=8, seed=seed + r + 1
         )
         cents_h = np.concatenate([cents_h[~big], np.asarray(sub_cents)], axis=0)
-        assign = np.asarray(kmeans.assign_chunked(rep, jnp.asarray(cents_h)))
+        cents_d = jnp.asarray(cents_h)
+        assign = (
+            kmeans.assign_chunked_host(rep_h, cents_d)
+            if host
+            else np.asarray(kmeans.assign_chunked(rep, cents_d))
+        )
     return jnp.asarray(cents_h), assign
 
 
@@ -143,6 +165,7 @@ class IVFIndex(VectorIndex):
         for f in self._array_fields + self._static_fields:
             setattr(self, f, kw.pop(f))
         assert not kw, f"unexpected fields: {kw}"
+        self.raw_host = None  # host-RAM raw rows (disk-mode re-rank tier)
 
     # ------------------------------------------------------------- build
     @classmethod
@@ -159,6 +182,7 @@ class IVFIndex(VectorIndex):
         two_stage: bool,
         balance_rounds: int = 3,
         cancel_cb=None,
+        force_host_raw: bool = False,
     ) -> "IVFIndex":
         if metric not in (Metric.L2, Metric.IP, Metric.COSINE):
             raise IndexParameterError(f"IVF does not support metric {metric}")
@@ -167,7 +191,15 @@ class IVFIndex(VectorIndex):
         storage_dtype = payload.data.dtype
         dpad = payload.data.shape[1]
 
-        rep = _scan_rep(payload, n_rows, metric)  # f32[n, dpad] device
+        host_tier = getattr(payload, "is_host", False)
+        host_raw = host_tier or force_host_raw  # disk-mode raw tier
+        if host_tier and codec == "raw":
+            raise IndexParameterError(
+                "host-tier (beyond-HBM) segments need a compressed codec: "
+                "use MSTG/IVFSQ/IVFPQ (raw IVFFLAT would mirror the whole "
+                "payload into HBM)"
+            )
+        rep = _scan_rep(payload, n_rows, metric)  # f32[n, dpad] (np if host)
         rep_h = np.asarray(rep, dtype=np.float32)
         max_train = None
         if settings is not None:
@@ -231,7 +263,7 @@ class IVFIndex(VectorIndex):
 
         csq = np.asarray(jnp.sum(cents * cents, axis=1))
         wpp = int(math.ceil((n_rows / max(c, 1)) / WINDOW)) + 1
-        return cls(
+        out = cls(
             centroids=cents,
             csq=jnp.asarray(csq),
             perm_data=perm_data,
@@ -240,8 +272,8 @@ class IVFIndex(VectorIndex):
             cluster_start=jnp.asarray(starts.astype(np.int32)),
             codec_a=codec_a,
             codec_b=codec_b,
-            raw_data=payload.data if two_stage else None,
-            raw_aux=payload.aux_for(metric) if two_stage else None,
+            raw_data=payload.data if two_stage and not host_raw else None,
+            raw_aux=payload.aux_for(metric) if two_stage and not host_raw else None,
             metric=metric,
             dim=dim,
             n_rows=n_rows,
@@ -252,6 +284,11 @@ class IVFIndex(VectorIndex):
             two_stage=two_stage,
             rerank_multiple=4,
         )
+        if two_stage and host_raw:
+            # disk-mode: exact re-rank gathers raw rows from HOST RAM
+            # (plain attrs, not pytree children — never traced)
+            out.raw_host = rep_h
+        return out
 
     def cluster_heads(self) -> jax.Array:
         """Representative row of each cluster (entry points for graph
@@ -311,7 +348,7 @@ class IVFIndex(VectorIndex):
         mask: Optional[jax.Array] = None,
         params: ParamsKey = (),
     ) -> Tuple[jax.Array, jax.Array]:
-        if self.two_stage:
+        if self.two_stage and getattr(self, "raw_host", None) is None:
             ncand = min(max(k * self.rerank_multiple, k), self.n_rows)
             v, r = self._scan_stage(queries, ncand, mask=mask, params=params)
             ev = self._exact_scores(queries, r)
@@ -454,6 +491,12 @@ class IVFIndex(VectorIndex):
     def supports_two_stage(self) -> bool:
         return self.two_stage
 
+    def requires_two_stage(self) -> bool:
+        """Disk-mode (host raw tier) indexes MUST take the eager two-stage
+        path: the exact re-rank gathers raw rows from host RAM, which
+        cannot happen inside a traced program."""
+        return self.two_stage and getattr(self, "raw_host", None) is not None
+
     def search_first_stage(
         self,
         queries: jax.Array,
@@ -465,8 +508,27 @@ class IVFIndex(VectorIndex):
         pkey = tuple(sorted((params or {}).items()))
         return self._scan_stage(queries, num_candidates, mask=mask, params=pkey)
 
+    def _exact_scores_host(self, queries, row_ids) -> jax.Array:
+        """Disk-mode computeTopDistanceSubset: candidate rows gathered from
+        HOST RAM, scored in f64 numpy (candidates are few), result back on
+        device. Eager only."""
+        raw = self.raw_host
+        q = np.asarray(queries, np.float64)
+        r = np.asarray(row_ids)
+        rows = raw[np.maximum(r, 0)].astype(np.float64)  # [Q, C, D']
+        s = np.einsum("qd,qcd->qc", q[:, : rows.shape[-1]], rows)
+        if self.metric == Metric.L2:
+            s = 2.0 * s - (rows**2).sum(-1)
+        elif self.metric == Metric.COSINE:
+            nrm = np.linalg.norm(rows, axis=-1)
+            s = s / np.where(nrm > 0, nrm, 1.0)
+        s = np.where(r >= 0, s, NEG_INF).astype(np.float32)
+        return jnp.asarray(s)
+
     def _exact_scores(self, queries: jax.Array, row_ids: jax.Array) -> jax.Array:
         """Exact scores vs the RAW payload (computeTopDistanceSubset)."""
+        if getattr(self, "raw_host", None) is not None:
+            return self._exact_scores_host(queries, row_ids)
         assert self.raw_data is not None
         rows = jnp.take(
             self.raw_data, jnp.maximum(row_ids, 0), axis=0
@@ -483,6 +545,24 @@ class IVFIndex(VectorIndex):
 
     def compute_scores_subset(self, queries: jax.Array, row_ids: jax.Array):
         return self._exact_scores(queries, row_ids)
+
+    def search(self, queries, k, *, params=None, mask=None):
+        if getattr(self, "raw_host", None) is None:
+            return super().search(queries, k, params=params, mask=mask)
+        # disk-mode standalone search: eager two-stage (SQ8 scan on device,
+        # exact re-rank against host rows)
+        ncand = min(max(k * self.rerank_multiple, k), self.n_rows)
+        v, r = self.search_first_stage(queries, ncand, params=params, mask=mask)
+        ev = self._exact_scores_host(queries, r)
+        kk = min(k, ev.shape[-1])
+        v2, p2 = jax.lax.top_k(ev, kk)
+        r2 = jnp.take_along_axis(r, p2, axis=-1)
+        r2 = jnp.where(jnp.isfinite(v2), r2, -1)
+        if kk < k:
+            pad = ((0, 0), (0, k - kk))
+            v2 = jnp.pad(v2, pad, constant_values=NEG_INF)
+            r2 = jnp.pad(r2, pad, constant_values=-1)
+        return v2, r2
 
     # -------------------------------------------------------------- misc
     @property
@@ -598,8 +678,13 @@ class MSTGIndex(IVFIndex):
     @classmethod
     def build(cls, payload, n_rows, *, metric, dim, params=None, settings=None, progress_cb=None, cancel_cb=None):
         params = dict(params or {})
-        params.pop("disk_mode", None)  # accepted for DDL parity
+        # disk_mode=1: the exact-re-rank raw tier moves to HOST RAM so HBM
+        # holds only the SQ8 windows — the beyond-HBM contract of the
+        # reference's disk-mode MSTG (Search::DiskIOManager, 00028
+        # disk_mode=1). Host-tier tables imply it.
+        disk = params.pop("disk_mode", 0)
         return cls._build_common(
             payload, n_rows, metric=metric, dim=dim, params=params,
             settings=settings, codec="sq8", two_stage=True, cancel_cb=cancel_cb,
+            force_host_raw=bool(int(disk or 0)),
         )

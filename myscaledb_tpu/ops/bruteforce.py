@@ -145,6 +145,51 @@ def scan_topk_t(
     return vals[:nq], idx[:nq]
 
 
+def stream_scan_topk(
+    queries: jax.Array,
+    data_np,
+    aux_np,
+    *,
+    k: int,
+    metric: Metric,
+    n_valid: int,
+    mask=None,
+    chunk: int = 131_072,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact scan over a HOST-resident payload (beyond-HBM tier): stream
+    fixed-size chunks through the device and fold a running top-k. Eager
+    (one device program per chunk, pipelined by dispatch); the padded
+    fixed chunk shape keeps it at one compile."""
+    import numpy as np
+
+    from .topk import merge_topk
+
+    nq = queries.shape[0]
+    d = data_np.shape[1]
+    bv = jnp.full((nq, k), NEG_INF, jnp.float32)
+    br = jnp.full((nq, k), -1, jnp.int32)
+    qn = distance.normalize_queries(queries.astype(jnp.float32), metric)
+    if mask is not None:
+        total = -(-n_valid // chunk) * chunk
+        if mask.shape[0] < total:
+            mask = jnp.pad(mask, (0, total - mask.shape[0]))
+    for i in range(0, n_valid, chunk):
+        m = min(chunk, n_valid - i)
+        blk = np.zeros((chunk, d), np.float32)
+        blk[:m] = data_np[i : i + m]
+        ab = np.zeros((chunk,), np.float32)
+        if aux_np is not None:
+            ab[:m] = aux_np[i : i + m]
+        cm = None if mask is None else jax.lax.dynamic_slice_in_dim(mask, i, chunk)
+        v, r = scan_topk_t(
+            qn, jnp.asarray(blk), jnp.asarray(ab),
+            k=k, metric=metric, n_valid=m, mask=cm,
+        )
+        r = jnp.where(r >= 0, r + i, -1)
+        bv, br = merge_topk(bv, br, v, r, k)
+    return bv, br
+
+
 scan_topk = jax.jit(
     scan_topk_t,
     static_argnames=(

@@ -20,6 +20,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def assign_chunked(
@@ -117,6 +118,38 @@ def kmeans_fit(
         return lloyd_update(c, sums, counts)
 
     return jax.lax.fori_loop(0, n_iters, body, cents)
+
+
+def assign_chunked_host(
+    data_np, centroids: jax.Array, chunk: int = 262_144
+) -> np.ndarray:
+    """assign_chunked over a HOST-resident corpus: upload one chunk at a
+    time (beyond-HBM builds never hold the full f32 rep on device)."""
+    n = data_np.shape[0]
+    out = np.empty(n, np.int32)
+    for i in range(0, n, chunk):
+        blk = jnp.asarray(np.ascontiguousarray(data_np[i : i + chunk]))
+        out[i : i + chunk] = np.asarray(assign_chunked(blk, centroids))
+    return out
+
+
+def training_sample_host(
+    data_np,
+    n_valid: int,
+    n_clusters: int,
+    *,
+    sample_per_centroid: int = 128,
+    seed: int = 0,
+    max_rows=None,
+):
+    """training_sample for a HOST corpus: sample rows in numpy, upload only
+    the sample."""
+    target = min(n_valid, max(n_clusters * sample_per_centroid, n_clusters))
+    if max_rows is not None:
+        target = max(min(target, max_rows), min(n_valid, n_clusters))
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, n_valid, target)
+    return jnp.asarray(data_np[idx].astype(np.float32))
 
 
 def training_sample(

@@ -380,6 +380,7 @@ class VectorSearchExecutor:
         masks: List[Optional[jax.Array]] = []
         seg_ids: List[int] = []
         first_stage: List[Tuple[int, Any, Optional[jax.Array]]] = []
+        host_scans: List[Tuple[int, Any, Optional[jax.Array]]] = []
         for seg in segments:
             fexpr = filter
             if filter is not None and st.query.optimize_prefilter_in_search:
@@ -390,7 +391,14 @@ class VectorSearchExecutor:
                     fexpr = None  # provably all pass: alive mask only
             mask = segment_mask(seg, fexpr)
             idx = t.loaded_index(seg.segment_id, column, metric)
-            if use_two_stage and idx is not None and idx.supports_two_stage():
+            must_two_stage = idx is not None and getattr(
+                idx, "requires_two_stage", lambda: False
+            )()
+            if (
+                (use_two_stage or must_two_stage)
+                and idx is not None
+                and idx.supports_two_stage()
+            ):
                 first_stage.append((seg.segment_id, idx, mask))
                 continue
             if idx is None:
@@ -401,6 +409,11 @@ class VectorSearchExecutor:
                         f"column {column!r} and brute force is disabled"
                     )
                 payload = seg.vector(column)
+                if getattr(payload, "is_host", False):
+                    # beyond-HBM tier: streamed exact scan (eager)
+                    host_scans.append((seg.segment_id, seg, mask))
+                    GLOBAL_COUNTERS.bump("VectorBruteForceSearches")
+                    continue
                 if is_binary:
                     from ..index.binary import BinaryFlatIndex
 
@@ -427,9 +440,10 @@ class VectorSearchExecutor:
             masks.append(mask)
             seg_ids.append(seg.segment_id)
 
-        if first_stage:
+        if first_stage or host_scans:
             return self._two_stage_run(
-                first_stage, searchers, masks, seg_ids, qdev, nq, qsq, k, metric, st, params
+                first_stage, searchers, masks, seg_ids, qdev, nq, qsq, k,
+                metric, st, params, column=column, host_scans=host_scans,
             )
         if not searchers:  # every segment const-folded away
             if isinstance(qsq, jax.Array):
@@ -451,17 +465,32 @@ class VectorSearchExecutor:
 
     # ------------------------------------------------------------ two-stage
     def _two_stage_run(
-        self, first_stage, searchers, masks, seg_ids, qdev, nq, qsq, k, metric, st, params
+        self, first_stage, searchers, masks, seg_ids, qdev, nq, qsq, k,
+        metric, st, params, *, column=None, host_scans=(),
     ) -> SearchResult:
         """Two-stage (§3.5): approximate first pass on two-stage-capable
         indexes, global candidate cut, exact re-rank of survivors; plain
-        segments searched normally and merged in."""
+        segments searched normally and merged in; host-tier (beyond-HBM)
+        segments stream-scanned."""
+        from ..ops.bruteforce import stream_scan_topk
         from .filters import as_mask_array
 
         pkey = params_key(params)
         masks = [as_mask_array(m) for m in masks]
         first_stage = [(s, i, as_mask_array(m)) for s, i, m in first_stage]
         per: List[Tuple[int, jax.Array, jax.Array]] = []
+        for seg_id, seg, mask in host_scans:
+            payload = seg.vector(column)
+            v, r = stream_scan_topk(
+                qdev,
+                payload.data,
+                payload.aux_for(metric),
+                k=k,
+                metric=metric,
+                n_valid=seg.n_rows,
+                mask=as_mask_array(mask),
+            )
+            per.append((seg_id, v, r))
         cand: List[Tuple[int, Any, jax.Array, jax.Array]] = []
         for seg_id, idx, mask in first_stage:
             ncand = min(
@@ -469,10 +498,11 @@ class VectorSearchExecutor:
             )
             v, r = idx.search_first_stage(qdev, ncand, params=params, mask=mask)
             cand.append((seg_id, idx, v, r))
-        total = sum(v.shape[-1] for _, _, v, _ in cand)
-        ncut = min(total, max(k * st.query.two_stage_num_reorder_multiple, k))
-        all_vals = jnp.concatenate([v for _, _, v, _ in cand], axis=-1)
-        cut = jax.lax.top_k(all_vals, ncut)[0][:, -1:]
+        if cand:
+            total = sum(v.shape[-1] for _, _, v, _ in cand)
+            ncut = min(total, max(k * st.query.two_stage_num_reorder_multiple, k))
+            all_vals = jnp.concatenate([v for _, _, v, _ in cand], axis=-1)
+            cut = jax.lax.top_k(all_vals, ncut)[0][:, -1:]
         for seg_id, idx, v, r in cand:
             keep = v >= cut
             rows_kept = jnp.where(keep, r, -1)

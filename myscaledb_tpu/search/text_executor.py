@@ -48,19 +48,55 @@ class TextIndexDefinition:
         self.params = dict(params or {})
         self._stores: Dict[int, InvertedIndex] = {}
         self._lock = threading.Lock()
+        # segment_id -> segment, for stores whose build is pending/running
+        # (insert-time builds run OFF the client's critical path, like the
+        # reference's part-write pipeline; a search arriving first builds
+        # on demand under the per-definition build lock)
+        self._pending: Dict[int, Any] = {}
+        self._build_lock = threading.Lock()
 
-    def on_new_segment(self, segment) -> None:
+    def _build_store(self, segment) -> InvertedIndex:
         texts = [segment.scalar(c)[: segment.n_rows] for c in self.columns]
         store = InvertedIndex.build(
             texts, segment.capacity, analyzer=self.analyzer
         )
-        with self._lock:
-            self._stores[segment.segment_id] = store
         GLOBAL_COUNTERS.bump("FTSIndexBuilds")
+        return store
+
+    def on_new_segment(self, segment, scheduler=None) -> None:
+        """Register (and build) the fts store for a segment. With a
+        scheduler the tokenize+CSR build runs in the background so a large
+        text insert does not block the client (the reference builds the
+        fts skip index inside the part-write pipeline, off the response
+        path); queries arriving before completion build on demand."""
+        if scheduler is None:
+            store = self._build_store(segment)
+            with self._lock:
+                self._stores[segment.segment_id] = store
+                self._pending.pop(segment.segment_id, None)
+            return
+        sid = segment.segment_id
+        with self._lock:
+            self._pending[sid] = segment
+            self._stores.pop(sid, None)  # a rebuild invalidates the old store
+
+        def job():
+            with self._build_lock:
+                with self._lock:
+                    seg = self._pending.get(sid)
+                if seg is None:
+                    return  # built on demand (or dropped) meanwhile
+                store = self._build_store(seg)
+                with self._lock:
+                    if self._pending.pop(sid, None) is not None:
+                        self._stores[sid] = store
+
+        scheduler.submit(job)
 
     def on_segment_dropped(self, segment_id: int) -> None:
         with self._lock:
             self._stores.pop(segment_id, None)
+            self._pending.pop(segment_id, None)
 
     def on_deletes(self, segment) -> None:
         # deletes are applied at query time through the alive bitmap
@@ -68,7 +104,22 @@ class TextIndexDefinition:
 
     def store(self, segment_id: int) -> Optional[InvertedIndex]:
         with self._lock:
-            return self._stores.get(segment_id)
+            hit = self._stores.get(segment_id)
+            if hit is not None or segment_id not in self._pending:
+                return hit
+        # pending background build: build on demand (first query wins; the
+        # background job then sees the pending entry gone and skips)
+        with self._build_lock:
+            with self._lock:
+                hit = self._stores.get(segment_id)
+                seg = self._pending.get(segment_id)
+            if hit is not None or seg is None:
+                return hit
+            store = self._build_store(seg)
+            with self._lock:
+                self._pending.pop(segment_id, None)
+                self._stores[segment_id] = store
+            return store
 
     def nlq_mask(self, segment, store, phrases, negs) -> np.ndarray:
         """bool[n_rows] rows satisfying the NLQ structure: every quoted
@@ -101,8 +152,11 @@ class TextIndexDefinition:
         return m
 
     def merged_stats(self, segment_ids) -> BM25Stats:
-        with self._lock:
-            parts = [self._stores[s].stats for s in segment_ids if s in self._stores]
+        parts = []
+        for s in segment_ids:
+            st = self.store(s)  # forces any pending background build
+            if st is not None:
+                parts.append(st.stats)
         if not parts:
             return BM25Stats(0, 0, {})
         return BM25Stats.merge(parts)

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import threading
-from typing import Dict, Optional
+from typing import Any, Dict, Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -39,12 +39,22 @@ def _pad_dim(d: int) -> int:
 
 @dataclasses.dataclass
 class VectorPayload:
-    """Device arrays for one vector column of a segment."""
+    """Arrays for one vector column of a segment.
 
-    data: jnp.ndarray  # [capacity, D_pad] storage dtype (float) or packed bits
-    sqnorm: Optional[jnp.ndarray] = None  # f32[capacity] |x|^2 (float cols)
-    invnorm: Optional[jnp.ndarray] = None  # f32[capacity] 1/|x| (float cols)
-    popcnt: Optional[jnp.ndarray] = None  # int32[capacity] (binary cols)
+    Tier "hbm" (default): jax arrays resident in device HBM.
+    Tier "host": numpy arrays in host RAM — the beyond-HBM corpus tier
+    (the reference's disk-mode analogue, Search::DiskIOManager /
+    VICommon.h:132): HBM holds only compressed index structures (e.g.
+    disk-mode MSTG's SQ8 windows); raw rows stream or gather on demand."""
+
+    data: Any  # [capacity, D_pad] storage dtype (float) or packed bits
+    sqnorm: Optional[Any] = None  # f32[capacity] |x|^2 (float cols)
+    invnorm: Optional[Any] = None  # f32[capacity] 1/|x| (float cols)
+    popcnt: Optional[Any] = None  # int32[capacity] (binary cols)
+
+    @property
+    def is_host(self) -> bool:
+        return isinstance(self.data, np.ndarray)
 
     def aux_for(self, metric: Metric):
         if metric == Metric.L2:
@@ -113,6 +123,7 @@ class Segment:
         *,
         alignment: int = 1024,
         storage_dtype=jnp.bfloat16,
+        storage_tier: str = "hbm",
     ) -> "Segment":
         names = set(schema.columns)
         if set(columns) != names:
@@ -150,7 +161,7 @@ class Segment:
                 # actually score against) so scores/distances are exact
                 # w.r.t. stored data and consistent across scan and index
                 # paths (|x|^2 vs |x_bf16|^2 differ by O(1) at SIFT scale)
-                if storage_dtype == jnp.bfloat16:
+                if storage_dtype == jnp.bfloat16 and storage_tier != "host":
                     import ml_dtypes
 
                     stored = buf.astype(ml_dtypes.bfloat16).astype(np.float32)
@@ -161,11 +172,18 @@ class Segment:
                 inv = np.where(nrm > 0, 1.0 / np.where(nrm > 0, nrm, 1.0), 0.0).astype(
                     np.float32
                 )
-                vectors[cname] = VectorPayload(
-                    data=jnp.asarray(buf, dtype=storage_dtype),
-                    sqnorm=jnp.asarray(sq),
-                    invnorm=jnp.asarray(inv),
-                )
+                if storage_tier == "host":
+                    # beyond-HBM tier: raw rows stay in host RAM (f32 —
+                    # host RAM is cheap; HBM holds index structures only)
+                    vectors[cname] = VectorPayload(
+                        data=buf, sqnorm=sq, invnorm=inv
+                    )
+                else:
+                    vectors[cname] = VectorPayload(
+                        data=jnp.asarray(buf, dtype=storage_dtype),
+                        sqnorm=jnp.asarray(sq),
+                        invnorm=jnp.asarray(inv),
+                    )
             elif isinstance(ctype, BinaryVector):
                 nb = ctype.nbytes
                 buf = np.zeros((capacity, nb), dtype=np.uint8)

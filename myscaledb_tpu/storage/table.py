@@ -142,6 +142,7 @@ class Table:
             columns,
             alignment=self.settings.table.segment_row_alignment,
             storage_dtype=dtype,
+            storage_tier=self.settings.table.vector_storage_tier,
         )
         with self._lock:
             self._segments[seg_id] = seg
@@ -149,7 +150,9 @@ class Table:
         for desc in descs:
             self._schedule_build(seg, desc)
         for tname, tdef in list(self._text_indexes.items()):
-            tdef.on_new_segment(seg)
+            # fts builds run off the insert critical path; first query
+            # builds on demand if it beats the background job
+            tdef.on_new_segment(seg, scheduler=self._scheduler)
         GLOBAL_COUNTERS.bump("InsertedSegments")
         GLOBAL_COUNTERS.bump("InsertedRows", seg.n_rows)
         return seg_id
@@ -1143,6 +1146,7 @@ class Table:
             merged,
             alignment=self.settings.table.segment_row_alignment,
             storage_dtype=dtype,
+            storage_tier=self.settings.table.vector_storage_tier,
         )
 
         # Decoupled serving: if every source has a live index for a
