@@ -46,9 +46,16 @@ class Database:
         event_log_path=None,
         replica_id: Optional[int] = None,
         n_replicas: int = 1,
+        remote_store=None,
     ):
         self.settings = settings or Settings()
         self.path = path
+        # cold tier (S3/remote disks analogue): ObjectStore instance or URL
+        if isinstance(remote_store, str):
+            from ..storage.stores import store_from_url
+
+            remote_store = store_from_url(remote_store)
+        self.remote_store = remote_store
         self.replica = None
         if replica_id is not None and n_replicas > 1:
             from ..service.replication import ReplicaContext
@@ -111,6 +118,7 @@ class Database:
                 engine=engine,
                 key_column=key_column,
                 version_column=version_column,
+                remote_store=self.remote_store,
             )
             self._tables[name] = t
             return t
@@ -131,8 +139,19 @@ class Database:
         if not self.path:
             raise SchemaError("database has no storage path")
         root = os.path.join(self.path, name)
-        if not os.path.isdir(root):
-            raise SchemaError(f"no persisted table at {root}")
+        if not os.path.isfile(os.path.join(root, "schema.json")):
+            # cold start: materialize the table from the object store
+            # (the reference's restart-with-S3-parts path, 00036)
+            pulled = False
+            if self.remote_store is not None:
+                from ..storage.stores import sync_dir_from_store
+
+                os.makedirs(root, exist_ok=True)
+                pulled = sync_dir_from_store(
+                    self.remote_store, f"tables/{name}", root
+                )
+            if not pulled:
+                raise SchemaError(f"no persisted table at {root}")
         with open(os.path.join(root, "schema.json")) as f:
             sj = json.load(f)
         # pre-engine format stored the bare column map

@@ -124,6 +124,13 @@ class TableSettings:
     # index-less segments scan by streaming chunks through the device.
     vector_storage_tier: str = "hbm"
 
+    # Durable-storage policy (the reference's storage policies / S3 disks,
+    # 00036_mqvs_vector_index_s3.sh): 'default' persists to the local
+    # directory only; 'remote' ALSO syncs the persisted tree to the
+    # Database's object store (storage/stores.py) and can cold-start from
+    # it when the local cache is gone.
+    storage_policy: str = "default"
+
 
 @dataclasses.dataclass
 class ServerSettings:

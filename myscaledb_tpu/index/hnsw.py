@@ -42,13 +42,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import functools
+
 from ..errors import IndexParameterError
 from ..metrics import Metric
 from ..ops import distance, kmeans, quantize
 from ..ops._pallas import exact_precision, round_up
 from ..ops.topk import NEG_INF, dedup_rows
 from .base import IndexKind, ParamsKey, VectorIndex, check_cancel, register_index_pytree
-from .ivf import IVFFlatIndex, _scan_rep, default_ncentroids
+from .ivf import WINDOW, IVFFlatIndex, _scan_rep, default_ncentroids, windows_for_probes
 from .registry import register
 
 DEFAULT_M = 32
@@ -106,6 +108,102 @@ def _prune_chunk(
     return rows_sorted[:, :m]
 
 
+@functools.partial(
+    jax.jit, static_argnames=("per", "ck", "m", "alpha", "nprobe", "l2")
+)
+def _graph_chunk(
+    ivf, neighbors, w0, *, per: int, ck: int, m: int, alpha: float,
+    nprobe: int, l2: bool,
+):
+    """Candidate generation + robust prune for `per` consecutive IVF
+    windows, scattered into `neighbors` (int32[n+1, m]; the last row is a
+    write sink for padding).
+
+    Cluster-blocked build: all 512 rows of a window share ONE candidate
+    pool — the windows of the nprobe clusters nearest the window mean. One
+    [512, pool] MXU score block replaces round 1's per-row IVF searches
+    (per-query window gathers over 4k-query batches — gather-bound and ~2
+    orders of magnitude slower at 1M rows)."""
+    nw = ivf.n_windows
+    pdw = ivf.perm_data.reshape(nw, WINDOW, -1)
+    prw = ivf.perm_rows.reshape(nw, WINDOW)
+    paw = ivf.perm_aux.reshape(nw, WINDOW)
+    sizes = ivf.cluster_start[1:] - ivf.cluster_start[:-1]
+    w_budget = int(min(nw + nprobe, nprobe * ivf.wpp + 4))
+    n_sent = neighbors.shape[0] - 1
+
+    def step(nbrs, i):
+        wi = jnp.minimum(w0 + i, nw - 1)
+        q = pdw[wi].astype(jnp.float32)  # [WIN, D]
+        qrows = prw[wi]  # [WIN]
+        qvalid = qrows >= 0
+        # rank clusters by the BEST row<->centroid affinity within the
+        # window (a window can span many small clusters; a window-mean
+        # probe would cover only a fraction of its rows' neighborhoods)
+        cs = jnp.dot(q, ivf.centroids.T, preferred_element_type=jnp.float32)
+        if l2:
+            cs = 2.0 * cs - ivf.csq[None, :]
+        cs = jnp.where(sizes[None, :] > 0, cs, NEG_INF)
+        cs = jnp.where(qvalid[:, None], cs, NEG_INF)
+        cbest = jnp.max(cs, axis=0, keepdims=True)  # [1, C]
+        _, probe = jax.lax.top_k(cbest, nprobe)  # [1, P]
+        widx, valid_w = windows_for_probes(ivf.cluster_start, probe, nw, w_budget)
+        widx, valid_w = widx[0], valid_w[0]  # [W]
+        xb = pdw[widx].astype(jnp.float32).reshape(-1, q.shape[1])  # [P, D]
+        prows = jnp.where(valid_w[:, None], prw[widx], -1).reshape(-1)
+        scores = jax.lax.dot_general(
+            q, xb,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=exact_precision(),
+        )  # [WIN, P]
+        if l2:
+            scores = 2.0 * scores - paw[widx].reshape(-1)[None, :]
+        bad = jnp.logical_or(
+            (prows < 0)[None, :], prows[None, :] == qrows[:, None]
+        )
+        scores = jnp.where(bad, NEG_INF, scores)
+        cv, pos = jax.lax.top_k(scores, ck)  # [WIN, ck]
+        crow = jnp.take(prows, pos)
+        crow = jnp.where(jnp.isfinite(cv), crow, -1)
+        cvecs = jnp.take(xb, pos, axis=0)  # [WIN, ck, D]
+        cvecs = jnp.where((crow >= 0)[..., None], cvecs, 0.0)
+        nb = _prune_chunk(q, cvecs, crow, m, alpha)  # [WIN, m]
+        tgt = jnp.where(qvalid, qrows, n_sent)
+        return nbrs.at[tgt].set(nb), None
+
+    neighbors, _ = jax.lax.scan(
+        step, neighbors, jnp.arange(per, dtype=jnp.int32)
+    )
+    return neighbors
+
+
+def _graph_candidates(
+    ivf, n_rows: int, ck: int, m: int, alpha: float, cancel_cb=None
+) -> jax.Array:
+    """Pruned forward neighbor lists int32[n_rows, m] for every row, via
+    cluster-blocked candidate generation over the throwaway IVF. Runs in a
+    handful of device programs (macro-chunked for build cancellation)."""
+    # probe budget scales with clusters-per-window: every row's own
+    # cluster (plus a margin of neighbors) must fit in the probe list
+    avg_sz = max(1.0, n_rows / max(ivf.n_clusters, 1))
+    nprobe = int(
+        min(ivf.n_clusters, max(12, int(math.ceil(WINDOW / avg_sz)) + 8))
+    )
+    nw = ivf.n_windows
+    n_chunks = min(4, nw)
+    per = -(-nw // n_chunks)
+    neighbors = jnp.full((n_rows + 1, m), -1, jnp.int32)
+    for ci in range(n_chunks):
+        check_cancel(cancel_cb)
+        neighbors = _graph_chunk(
+            ivf, neighbors, jnp.int32(ci * per), per=per, ck=ck, m=m,
+            alpha=alpha, nprobe=nprobe,
+            l2=ivf.metric in (Metric.L2, Metric.COSINE),
+        )
+    return neighbors[:n_rows]
+
+
 class _HNSWBase(VectorIndex):
     _array_fields = (
         "data",  # payload for scoring: raw (storage dtype) or codes
@@ -138,7 +236,8 @@ class _HNSWBase(VectorIndex):
         ef_c = int(params.get("ef_c", DEFAULT_EF_C))
         dpad = payload.data.shape[1]
         rep = _scan_rep(payload, n_rows, metric)  # f32[n, dpad]
-        rep_h = np.asarray(rep, np.float32)
+        if isinstance(rep, np.ndarray):
+            rep = jnp.asarray(rep)  # graph builds are device-resident
 
         # 1) candidate generation via a throwaway IVF over the SCAN
         # REPRESENTATION (normalized rows for Cosine — graph geometry must
@@ -146,14 +245,12 @@ class _HNSWBase(VectorIndex):
         from ..storage.segment import VectorPayload
 
         ivf_payload = payload
-        if metric == Metric.COSINE:
+        if metric == Metric.COSINE or getattr(payload, "is_host", False):
             ivf_payload = VectorPayload(
-                data=jnp.asarray(rep_h, dtype=payload.data.dtype),
+                data=rep.astype(jnp.bfloat16),
                 sqnorm=jnp.sum(rep * rep, axis=1),
                 invnorm=jnp.ones((n_rows,), jnp.float32),
             )
-        # throwaway index: one balancing round is enough for candidate
-        # generation quality, and halves build time at high dims
         ivf = IVFFlatIndex._build_common(
             ivf_payload,
             n_rows,
@@ -163,38 +260,14 @@ class _HNSWBase(VectorIndex):
             settings=settings,
             codec="raw",
             two_stage=False,
-            balance_rounds=1,
             cancel_cb=cancel_cb,
         )
+        # 2) cluster-blocked candidate gen + robust prune, all on device
         ck = min(2 * m + 1, n_rows)
-        nprobe = max(4, min(16, ivf.n_clusters))
-        cand = np.full((n_rows, ck), -1, np.int32)
-        bs = 4096
-        for i in range(0, n_rows, bs):
-            check_cancel(cancel_cb)
-            qs = jnp.asarray(rep_h[i : i + bs])
-            _, r = ivf.search(qs, ck + 1, params={"nprobe": nprobe})
-            r = np.asarray(r)
-            # drop self-matches (vectorized: push self to the end, slice off)
-            selfid = np.arange(i, i + r.shape[0], dtype=r.dtype)[:, None]
-            keys = np.where(r == selfid, np.iinfo(np.int32).max, 0)
-            order = np.argsort(keys, axis=1, kind="stable")
-            r = np.take_along_axis(r, order, axis=1)[:, :ck]
-            cand[i : i + r.shape[0]] = r
-
-        # 2) batched robust prune on device
-        neighbors = np.full((n_rows, m), -1, np.int32)
-        prune = jax.jit(
-            lambda nv, cv, cr: _prune_chunk(nv, cv, cr, m, PRUNE_ALPHA)
+        neighbors = np.array(
+            _graph_candidates(ivf, n_rows, ck, m, PRUNE_ALPHA, cancel_cb)
         )
-        rep_dev = jnp.asarray(rep_h)
-        for i in range(0, n_rows, bs):
-            check_cancel(cancel_cb)
-            rows = jnp.asarray(cand[i : i + bs])
-            cvecs = jnp.take(rep_dev, jnp.maximum(rows, 0), axis=0)
-            cvecs = jnp.where((rows >= 0)[..., None], cvecs, 0.0)
-            nb = prune(rep_dev[i : i + rows.shape[0]], cvecs, rows)
-            neighbors[i : i + rows.shape[0]] = np.asarray(nb)
+        check_cancel(cancel_cb)
 
         # 3) reverse edges into free slots (vectorized host pass): sort all
         # (v, u) reverse edges by target, then scatter each target's first
@@ -223,43 +296,41 @@ class _HNSWBase(VectorIndex):
         # 4) entry points = IVF centroid representatives
         entry_rows = np.asarray(ivf.cluster_heads())
 
-        # payload codec for scoring
+        # payload codec for scoring (encoded on device — the corpus never
+        # round-trips to the host during a build)
         codec_a = codec_b = None
+        host_pl = getattr(payload, "is_host", False)
+        store_dt = jnp.bfloat16 if host_pl else payload.data.dtype
         if codec == "raw":
-            data = payload.data
-            aux = payload.aux_for(metric if metric != Metric.COSINE else Metric.L2)
             if metric == Metric.COSINE:
                 # scoring uses normalized reps: store them
-                data = jnp.asarray(rep_h, dtype=payload.data.dtype)
-                aux = None
-            dec_sq = (
-                np.asarray(jnp.sum(rep_dev * rep_dev, axis=1))
-                if metric == Metric.L2
-                else None
-            )
-            aux_arr = jnp.asarray(dec_sq) if dec_sq is not None else None
+                data = rep.astype(store_dt)
+                aux_arr = None
+            else:
+                data = payload.data if not host_pl else rep.astype(store_dt)
+                aux_arr = (
+                    jnp.sum(rep * rep, axis=1) if metric == Metric.L2 else None
+                )
         elif codec == "sq8":
-            p = quantize.sq8_train(rep_h)
-            enc = quantize.sq8_encode(rep_h, p)
-            codec_a = jnp.asarray(p.lo)
-            codec_b = jnp.asarray(p.scale)
-            dec_sq = quantize.decoded_sqnorm(
-                lambda cb: quantize.sq8_decode_dev(cb, codec_a, codec_b), enc
+            codec_a, codec_b = quantize.sq8_train_dev(rep)
+            data = quantize.sq8_encode_dev(rep, codec_a, codec_b)
+            dec = quantize.sq8_decode_dev(data, codec_a, codec_b).astype(
+                jnp.float32
             )
-            data = jnp.asarray(enc)
-            aux_arr = jnp.asarray(dec_sq)
+            aux_arr = jnp.sum(dec * dec, axis=1)
         elif codec == "pq":
             mm = int(params.get("M", 32))
             if dim % mm:
                 raise IndexParameterError(f"dim {dim} not divisible by M={mm}")
-            pqp = quantize.pq_train(rep_h[:, :dim], mm, bits=int(params.get("bit_size", 8)))
-            enc = quantize.pq_encode(rep_h[:, :dim], pqp)
-            codec_a = jnp.asarray(pqp.codebooks)
-            dec_sq = quantize.decoded_sqnorm(
-                lambda cb: quantize.pq_decode_dev(cb, codec_a), enc
+            codec_a = quantize.pq_train_dev(
+                rep[:, :dim], mm, bits=int(params.get("bit_size", 8))
             )
-            data = jnp.asarray(enc)
-            aux_arr = jnp.asarray(dec_sq)
+            data = quantize.pq_encode_dev(rep[:, :dim], codec_a)
+            cbn = quantize.pq_codeword_sqnorms(codec_a)
+            aux_arr = jnp.sum(
+                jnp.take_along_axis(cbn.T, data.astype(jnp.int32), axis=0),
+                axis=1,
+            )
         else:  # pragma: no cover
             raise IndexParameterError(codec)
 

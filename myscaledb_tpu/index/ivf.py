@@ -75,22 +75,28 @@ def _scan_rep(payload, n_rows: int, metric: Metric):
 
 
 def balanced_kmeans(
-    rep: jax.Array,
-    rep_h: np.ndarray,
+    rep,
+    rep_h: Optional[np.ndarray],
     n_rows: int,
     c: int,
     *,
-    rounds: int = 3,
+    extra_frac: float = 0.5,
     seed: int = 0,
     max_train_rows: Optional[int] = None,
     cancel_cb=None,
 ):
-    """K-means whose heavy clusters are recursively split: rows of every
-    oversized cluster are re-clustered together and those clusters'
-    centroids replaced by the sub-centroids. Bounds the size histogram's
-    tail, which bounds per-probe scan work. Returns (centroids f32[C', D],
-    assign int32[n]) — C' may exceed c."""
+    """K-means with size-proportional cluster splitting: after the main
+    fit, `extra_frac*c` extra centroids are seeded onto the heaviest
+    clusters (proportionally to their mass) and refined — bounding the
+    size histogram's tail, which bounds per-probe scan work. The whole fit
+    is ONE compiled program with a fixed [C', D] output shape
+    (kmeans.kmeans_fit_balanced), so repeated builds share executables —
+    the round-1 recursive-split version recompiled per round, which
+    dominated IVF build time. Returns (centroids f32[C', D], assign) where
+    assign stays ON DEVICE for device-resident payloads (int32[n]) and is
+    numpy for host-tier payloads."""
     host = isinstance(rep, np.ndarray)
+    n_extra = int(c * extra_frac) if c >= 4 else 0
     if host:
         sample = kmeans.training_sample_host(
             rep_h, n_rows, c, seed=seed, max_rows=max_train_rows
@@ -99,37 +105,59 @@ def balanced_kmeans(
         sample = kmeans.training_sample(
             rep, n_rows, c, seed=seed, max_rows=max_train_rows
         )
-    cents = kmeans.kmeans_fit(sample, n_clusters=c, n_iters=10, seed=seed)
-    assign = (
-        kmeans.assign_chunked_host(rep_h, cents)
-        if host
-        else np.asarray(kmeans.assign_chunked(rep, cents))
+    check_cancel(cancel_cb)
+    cents = kmeans.kmeans_fit_balanced(
+        sample, n_clusters=c, n_extra=n_extra, n_iters=10, seed=seed
     )
-    cents_h = np.asarray(cents)
-    for r in range(rounds):
-        check_cancel(cancel_cb)
-        c_cur = cents_h.shape[0]
-        sizes = np.bincount(assign, minlength=c_cur)
-        limit = max(64, int(math.ceil(1.4 * n_rows / c_cur)))
-        big = sizes > limit
-        if not big.any():
-            break
-        big_rows = np.nonzero(big[assign])[0]
-        k2 = max(2, int(math.ceil(len(big_rows) / (0.8 * limit))))
-        sub_sample = kmeans.training_sample_host(
-            rep_h[big_rows], len(big_rows), k2, seed=seed + r + 1
-        )
-        sub_cents = kmeans.kmeans_fit(
-            sub_sample, n_clusters=min(k2, len(big_rows)), n_iters=8, seed=seed + r + 1
-        )
-        cents_h = np.concatenate([cents_h[~big], np.asarray(sub_cents)], axis=0)
-        cents_d = jnp.asarray(cents_h)
-        assign = (
-            kmeans.assign_chunked_host(rep_h, cents_d)
-            if host
-            else np.asarray(kmeans.assign_chunked(rep, cents_d))
-        )
-    return jnp.asarray(cents_h), assign
+    check_cancel(cancel_cb)
+    if host:
+        return cents, kmeans.assign_chunked_host(rep_h, cents)
+    return cents, kmeans.assign_chunked(rep, cents)
+
+
+def windows_for_probes(
+    cluster_start: jax.Array,
+    probe: jax.Array,
+    n_windows: int,
+    w_budget: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Probed clusters -> per-query deduplicated window lists.
+
+    probe int32[Q, P] -> (widx int32[Q, W], valid bool[Q, W]). A window can
+    be listed by several adjacent probed clusters; Σ windows <= n_windows +
+    P, so a budget of that size guarantees full coverage (callers pass a
+    smaller wpp-based budget in the common case; truncation drops windows
+    of the least-promising probes only). Deduplicated because duplicated
+    windows both waste scan steps and flood running top-k merges with
+    duplicate rows."""
+    nprobe = probe.shape[1]
+    starts = jnp.take(cluster_start, probe)  # [Q, P]
+    ends = jnp.take(cluster_start, probe + 1)
+    ws = starts // WINDOW
+    wcnt = jnp.where(ends > starts, -((-ends) // WINDOW) - ws, 0)
+    cum = jnp.cumsum(wcnt, axis=1)  # [Q, P]
+    j = jnp.arange(w_budget, dtype=jnp.int32)[None, :]  # [1, W]
+    # p_idx[q, j] = which probe the j-th window belongs to
+    p_idx = jnp.sum(
+        (cum[:, None, :] <= j[:, :, None]).astype(jnp.int32), axis=2
+    )  # [Q, W]
+    valid_w = p_idx < nprobe
+    p_clip = jnp.minimum(p_idx, nprobe - 1)
+    prev = jnp.where(
+        p_idx > 0,
+        jnp.take_along_axis(cum, jnp.maximum(p_clip - 1, 0), axis=1),
+        0,
+    )
+    wbase = jnp.take_along_axis(ws, p_clip, axis=1)
+    widx = jnp.where(valid_w, wbase + (j - prev), 0)  # [Q, W]
+    dead = jnp.int32(n_windows + 1)
+    keyw = jnp.sort(jnp.where(valid_w, widx, dead), axis=1)
+    dup = jnp.concatenate(
+        [jnp.zeros_like(keyw[:, :1], bool), keyw[:, 1:] == keyw[:, :-1]],
+        axis=1,
+    )
+    valid_w = jnp.logical_and(keyw < dead, ~dup)
+    return jnp.where(valid_w, keyw, 0), valid_w
 
 
 @register_index_pytree
@@ -180,7 +208,6 @@ class IVFIndex(VectorIndex):
         settings,
         codec: str,
         two_stage: bool,
-        balance_rounds: int = 3,
         cancel_cb=None,
         force_host_raw: bool = False,
     ) -> "IVFIndex":
@@ -200,76 +227,115 @@ class IVFIndex(VectorIndex):
                 "payload into HBM)"
             )
         rep = _scan_rep(payload, n_rows, metric)  # f32[n, dpad] (np if host)
-        rep_h = np.asarray(rep, dtype=np.float32)
+        rep_h = rep if host_tier else None  # device payloads never download
         max_train = None
         if settings is not None:
             max_train = max(
                 settings.query.max_build_index_train_block_bytes // (dpad * 4), c
             )
         cents, assign = balanced_kmeans(
-            rep, rep_h, n_rows, c, seed=0, rounds=balance_rounds,
+            rep, rep_h, n_rows, c, seed=0,
             max_train_rows=max_train, cancel_cb=cancel_cb,
         )
         check_cancel(cancel_cb)
         c = int(cents.shape[0])
-
-        # cluster-major permutation (host; one device push at the end)
-        sizes = np.bincount(assign, minlength=c)
-        order = np.argsort(assign, kind="stable").astype(np.int32)
-        starts = np.zeros(c + 1, np.int64)
-        np.cumsum(sizes, out=starts[1:])
         npad = round_up(max(n_rows, WINDOW), WINDOW)
-        perm_rows = np.full(npad, -1, np.int32)
-        perm_rows[:n_rows] = order
 
-        # codec: encode payload + exact-w.r.t.-codes sqnorms
         codec_a = codec_b = None
-        if codec == "raw":
-            enc = rep_h
-            dec_sq = (rep_h.astype(np.float64) ** 2).sum(1).astype(np.float32)
-            pdata = np.zeros((npad, dpad), np.float32)
-            pdata[:n_rows] = enc[order]
-            perm_data = jnp.asarray(pdata, dtype=storage_dtype)
-        elif codec == "sq8":
-            p = quantize.sq8_train(rep_h)
-            enc = quantize.sq8_encode(rep_h, p)
-            codec_a = jnp.asarray(p.lo)
-            codec_b = jnp.asarray(p.scale)
-            dec_sq = quantize.decoded_sqnorm(
-                lambda cb: quantize.sq8_decode_dev(cb, codec_a, codec_b), enc
-            )
-            pdata = np.zeros((npad, dpad), np.uint8)
+        if host_tier:
+            # host path: permutation + encode in numpy, one device push
+            sizes = np.bincount(assign, minlength=c)
+            order = np.argsort(assign, kind="stable").astype(np.int32)
+            starts = np.zeros(c + 1, np.int64)
+            np.cumsum(sizes, out=starts[1:])
+            perm_rows_arr = np.full(npad, -1, np.int32)
+            perm_rows_arr[:n_rows] = order
+            perm_rows_arr = jnp.asarray(perm_rows_arr)
+            starts_arr = jnp.asarray(starts.astype(np.int32))
+            if codec == "sq8":
+                p = quantize.sq8_train(rep_h)
+                enc = quantize.sq8_encode(rep_h, p)
+                codec_a = jnp.asarray(p.lo)
+                codec_b = jnp.asarray(p.scale)
+                dec_sq = quantize.decoded_sqnorm(
+                    lambda cb: quantize.sq8_decode_dev(cb, codec_a, codec_b), enc
+                )
+                pdata = np.zeros((npad, dpad), np.uint8)
+            elif codec == "pq":
+                m = int(params.get("M", 32))
+                if dim % m:
+                    raise IndexParameterError(f"dim {dim} not divisible by M={m}")
+                bits = int(params.get("bit_size", 8))
+                pqp = quantize.pq_train(rep_h[:, :dim], m, bits=bits)
+                enc = quantize.pq_encode(rep_h[:, :dim], pqp)
+                codec_a = jnp.asarray(pqp.codebooks)
+                dec_sq = quantize.decoded_sqnorm(
+                    lambda cb: quantize.pq_decode_dev(cb, codec_a), enc
+                )
+                pdata = np.zeros((npad, m), np.uint8)
+            else:  # pragma: no cover — raw is rejected on host tiers above
+                raise IndexParameterError(f"unsupported host-tier codec {codec}")
             pdata[:n_rows] = enc[order]
             perm_data = jnp.asarray(pdata)
-        elif codec == "pq":
-            m = int(params.get("M", 32))
-            if dim % m:
-                raise IndexParameterError(f"dim {dim} not divisible by M={m}")
-            bits = int(params.get("bit_size", 8))
-            pqp = quantize.pq_train(rep_h[:, :dim], m, bits=bits)
-            enc = quantize.pq_encode(rep_h[:, :dim], pqp)
-            codec_a = jnp.asarray(pqp.codebooks)
-            dec_sq = quantize.decoded_sqnorm(
-                lambda cb: quantize.pq_decode_dev(cb, codec_a), enc
+            paux = np.full(npad, np.inf, np.float32)
+            paux[:n_rows] = dec_sq[order]
+            paux_arr = jnp.asarray(paux)
+        else:
+            # device path: permutation, encode and sqnorms never leave HBM
+            order = jnp.argsort(assign, stable=True).astype(jnp.int32)
+            counts = jnp.bincount(assign, length=c)
+            starts_arr = jnp.concatenate(
+                [jnp.zeros(1, jnp.int32), jnp.cumsum(counts).astype(jnp.int32)]
             )
-            pdata = np.zeros((npad, m), np.uint8)
-            pdata[:n_rows] = enc[order]
-            perm_data = jnp.asarray(pdata)
-        else:  # pragma: no cover
-            raise IndexParameterError(f"unknown codec {codec}")
+            perm_rows_arr = jnp.full(npad, -1, jnp.int32).at[:n_rows].set(order)
+            rep_perm = jnp.take(rep, order, axis=0)  # f32[n, dpad]
+            if codec == "raw":
+                dec_sq = jnp.sum(rep_perm * rep_perm, axis=1)
+                perm_data = (
+                    jnp.zeros((npad, dpad), jnp.float32)
+                    .at[:n_rows]
+                    .set(rep_perm)
+                    .astype(storage_dtype)
+                )
+            elif codec == "sq8":
+                codec_a, codec_b = quantize.sq8_train_dev(rep)
+                enc = quantize.sq8_encode_dev(rep_perm, codec_a, codec_b)
+                dec = quantize.sq8_decode_dev(enc, codec_a, codec_b).astype(
+                    jnp.float32
+                )
+                dec_sq = jnp.sum(dec * dec, axis=1)
+                perm_data = jnp.zeros((npad, dpad), jnp.uint8).at[:n_rows].set(enc)
+            elif codec == "pq":
+                m = int(params.get("M", 32))
+                if dim % m:
+                    raise IndexParameterError(f"dim {dim} not divisible by M={m}")
+                bits = int(params.get("bit_size", 8))
+                codec_a = quantize.pq_train_dev(rep[:, :dim], m, bits=bits)
+                check_cancel(cancel_cb)
+                enc = quantize.pq_encode_dev(rep_perm[:, :dim], codec_a)
+                cbn = quantize.pq_codeword_sqnorms(codec_a)  # [M, K]
+                dec_sq = jnp.sum(
+                    jnp.take_along_axis(
+                        cbn.T, enc.astype(jnp.int32), axis=0
+                    ),
+                    axis=1,
+                )
+                perm_data = jnp.zeros((npad, m), jnp.uint8).at[:n_rows].set(enc)
+            else:  # pragma: no cover
+                raise IndexParameterError(f"unknown codec {codec}")
+            paux_arr = (
+                jnp.full(npad, jnp.inf, jnp.float32).at[:n_rows].set(dec_sq)
+            )
+        check_cancel(cancel_cb)
 
-        paux = np.full(npad, np.inf, np.float32)
-        paux[:n_rows] = dec_sq[order]
-
-        csq = np.asarray(jnp.sum(cents * cents, axis=1))
         wpp = int(math.ceil((n_rows / max(c, 1)) / WINDOW)) + 1
         out = cls(
             centroids=cents,
-            csq=jnp.asarray(csq),
+            csq=jnp.sum(cents * cents, axis=1),
             perm_data=perm_data,
-            perm_rows=jnp.asarray(perm_rows),
-            perm_aux=jnp.asarray(paux),
-            cluster_start=jnp.asarray(starts.astype(np.int32)),
+            perm_rows=perm_rows_arr,
+            perm_aux=paux_arr,
+            cluster_start=starts_arr,
             codec_a=codec_a,
             codec_b=codec_b,
             raw_data=payload.data if two_stage and not host_raw else None,
@@ -286,8 +352,10 @@ class IVFIndex(VectorIndex):
         )
         if two_stage and host_raw:
             # disk-mode: exact re-rank gathers raw rows from HOST RAM
-            # (plain attrs, not pytree children — never traced)
-            out.raw_host = rep_h
+            # (plain attrs, not pytree children — never traced). For a
+            # device payload with disk_mode=1 this is the one deliberate
+            # device->host transfer: the raw tier is being EVICTED to host.
+            out.raw_host = rep_h if host_tier else np.asarray(rep, np.float32)
         return out
 
     def cluster_heads(self) -> jax.Array:
@@ -385,46 +453,18 @@ class IVFIndex(VectorIndex):
         cs = jnp.dot(q, self.centroids.T, preferred_element_type=jnp.float32)
         if self.metric in (Metric.L2, Metric.COSINE):
             cs = 2.0 * cs - self.csq[None, :]
+        # never probe empty clusters (balanced k-means keeps a fixed slot
+        # count; slots that own no rows must not consume probe budget)
+        sizes0 = self.cluster_start[1:] - self.cluster_start[:-1]
+        cs = jnp.where(sizes0[None, :] > 0, cs, NEG_INF)
         _, probe = jax.lax.top_k(cs, nprobe)  # [Q, P]
 
-        # probed clusters -> per-query window list. A window can be listed
-        # by several adjacent probed clusters; Σ windows <= n_windows +
-        # nprobe, so this budget guarantees full coverage (the wpp-based
-        # term keeps it small in the common case; truncation drops windows
-        # of the least-promising probes only).
         w_budget = int(
             min(self.n_windows + nprobe, nprobe * self.wpp + 4)
         )
-        starts = jnp.take(self.cluster_start, probe)  # [Q, P]
-        ends = jnp.take(self.cluster_start, probe + 1)
-        ws = starts // WINDOW
-        wcnt = jnp.where(ends > starts, -((-ends) // WINDOW) - ws, 0)
-        cum = jnp.cumsum(wcnt, axis=1)  # [Q, P]
-        j = jnp.arange(w_budget, dtype=jnp.int32)[None, :]  # [1, W]
-        # p_idx[q, j] = which probe the j-th window belongs to
-        p_idx = jnp.sum(
-            (cum[:, None, :] <= j[:, :, None]).astype(jnp.int32), axis=2
-        )  # [Q, W]
-        valid_w = p_idx < nprobe
-        p_clip = jnp.minimum(p_idx, nprobe - 1)
-        prev = jnp.where(
-            p_idx > 0,
-            jnp.take_along_axis(cum, jnp.maximum(p_clip - 1, 0), axis=1),
-            0,
+        widx, valid_w = windows_for_probes(
+            self.cluster_start, probe, self.n_windows, w_budget
         )
-        wbase = jnp.take_along_axis(ws, p_clip, axis=1)
-        widx = jnp.where(valid_w, wbase + (j - prev), 0)  # [Q, W]
-        # per-query window DEDUP (order is irrelevant to the running merge):
-        # duplicated windows would both waste scan steps and flood the
-        # running top-k with duplicate rows, evicting distinct candidates
-        dead = jnp.int32(self.n_windows + 1)
-        keyw = jnp.sort(jnp.where(valid_w, widx, dead), axis=1)
-        dup = jnp.concatenate(
-            [jnp.zeros_like(keyw[:, :1], bool), keyw[:, 1:] == keyw[:, :-1]],
-            axis=1,
-        )
-        valid_w = jnp.logical_and(keyw < dead, ~dup)
-        widx = jnp.where(valid_w, keyw, 0)
 
         q_parts = self._q_parts(q)
         kk = min(k, self.n_rows)

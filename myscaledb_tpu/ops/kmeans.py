@@ -120,6 +120,60 @@ def kmeans_fit(
     return jax.lax.fori_loop(0, n_iters, body, cents)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("n_clusters", "n_extra", "n_iters", "refine_iters")
+)
+def kmeans_fit_balanced(
+    data: jax.Array,
+    *,
+    n_clusters: int,
+    n_extra: int,
+    n_iters: int = 10,
+    refine_iters: int = 4,
+    seed: int = 0,
+) -> jax.Array:
+    """Balanced k-means in ONE compiled program (fixed output shape
+    [n_clusters + n_extra, D]).
+
+    Plain Lloyd's, then `n_extra` additional centroids are seeded on the
+    heaviest clusters *proportionally to their size* (systematic sampling
+    over the size histogram — a cluster holding 3x the average mass gets
+    ~3x the split copies), then a short refinement lets the copies drift
+    apart and split their donors. This replaces the round-1 recursive
+    re-clustering (which recompiled a fresh k-means per round, dominating
+    build time over the device tunnel) with zero data-dependent shapes:
+    every IVF build with the same (sample, C) signature reuses one
+    executable. Centroids that end up owning no rows are fine — the IVF
+    probe masks zero-size clusters out.
+    """
+    n, d = data.shape
+    key = jax.random.PRNGKey(seed)
+    perm = jax.random.permutation(key, n)[:n_clusters]
+    cents = data[perm].astype(jnp.float32)
+
+    def body(_, c):
+        sums, counts = lloyd_stats(data, c)
+        return lloyd_update(c, sums, counts)
+
+    cents = jax.lax.fori_loop(0, n_iters, body, cents)
+    if n_extra <= 0:
+        return cents
+
+    _, counts = lloyd_stats(data, cents)
+    order = jnp.argsort(-counts)
+    cum = jnp.cumsum(counts[order])
+    total = jnp.maximum(cum[-1], 1.0)
+    pos = (jnp.arange(n_extra, dtype=jnp.float32) + 0.5) * (total / n_extra)
+    idx = jnp.searchsorted(cum, pos)
+    target = order[jnp.clip(idx, 0, n_clusters - 1)]
+    donors = cents[target]  # [E, D]
+    slot = jnp.arange(n_extra, dtype=jnp.float32)[:, None]
+    jitter = 1e-3 * jnp.sin(slot * (jnp.arange(d, dtype=jnp.float32)[None, :] + 1.0))
+    extra = donors + jitter * jnp.maximum(jnp.abs(donors), 1e-3)
+    cents = jnp.concatenate([cents, extra], axis=0)
+    return jax.lax.fori_loop(0, refine_iters, body, cents)
+
+
 def assign_chunked_host(
     data_np, centroids: jax.Array, chunk: int = 262_144
 ) -> np.ndarray:

@@ -57,6 +57,63 @@ def sq8_decode_dev(codes: jax.Array, lo: jax.Array, scale: jax.Array) -> jax.Arr
     ).astype(jnp.bfloat16)
 
 
+def sq8_train_dev(rep: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Device-side sq8_train: per-dimension (lo, scale) without ever
+    downloading the corpus (build-time host round-trips dominated round-1
+    IVF build wall time)."""
+    lo = jnp.min(rep, axis=0).astype(jnp.float32)
+    hi = jnp.max(rep, axis=0).astype(jnp.float32)
+    scale = (hi - lo) / 255.0
+    return lo, jnp.where(scale > 0, scale, 1.0)
+
+
+def sq8_encode_dev(rep: jax.Array, lo: jax.Array, scale: jax.Array) -> jax.Array:
+    q = jnp.round((rep - lo[None, :]) / scale[None, :])
+    return jnp.clip(q, 0, 255).astype(jnp.uint8)
+
+
+def pq_train_dev(
+    rep: jax.Array, m: int, *, bits: int = 8, n_iters: int = 12, seed: int = 0
+) -> jax.Array:
+    """Device-side pq_train -> codebooks f32[M, K, ds]. All M subspace
+    k-means calls share one compiled executable (identical shapes)."""
+    n, d = rep.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by M={m}")
+    ds = d // m
+    ksub = 1 << bits
+    ksub_eff = min(ksub, n)
+    books = []
+    for j in range(m):
+        sub = jax.lax.dynamic_slice_in_dim(rep, j * ds, ds, axis=1)
+        c = kmeans.kmeans_fit(
+            sub, n_clusters=ksub_eff, n_iters=n_iters, seed=seed + j
+        )
+        if ksub_eff < ksub:
+            c = jnp.concatenate(
+                [c, jnp.broadcast_to(c[-1:], (ksub - ksub_eff, ds))], axis=0
+            )
+        books.append(c)
+    return jnp.stack(books, axis=0)
+
+
+def pq_encode_dev(rep: jax.Array, codebooks: jax.Array) -> jax.Array:
+    """Device-side pq_encode -> uint8[N, M]."""
+    m, _, ds = codebooks.shape
+    cols = []
+    for j in range(m):
+        sub = jax.lax.dynamic_slice_in_dim(rep, j * ds, ds, axis=1)
+        cols.append(kmeans.assign_chunked(sub, codebooks[j]))
+    return jnp.stack(cols, axis=1).astype(jnp.uint8)
+
+
+def pq_codeword_sqnorms(codebooks: jax.Array) -> jax.Array:
+    """|decoded codeword|^2 per (subspace, code) — f32[M, K], matching the
+    bf16 decode used at scan time so L2 stays exact w.r.t. codes."""
+    cb = codebooks.astype(jnp.bfloat16).astype(jnp.float32)
+    return jnp.sum(cb * cb, axis=-1)
+
+
 # ------------------------------------------------------------------ PQ
 @dataclasses.dataclass
 class PQParams:

@@ -87,11 +87,13 @@ class Table:
         engine: str = "MergeTree",
         key_column: Optional[str] = None,
         version_column: Optional[str] = None,
+        remote_store=None,
     ):
         self.name = name
         self.schema = schema
         self.settings = settings or Settings()
         self.storage_dir = storage_dir
+        self.remote_store = remote_store  # cold tier (storage_policy='remote')
         self.replica = replica
         # Versioned engine (ReplacingMergeTree): rows sharing key_column
         # supersede each other; FINAL queries and merges keep only the
@@ -675,6 +677,15 @@ class Table:
                 },
                 f,
             )
+        # cold tier: sync the committed local tree up to the object store
+        # (manifest-last commit; unchanged files skipped by sha)
+        if (
+            self.remote_store is not None
+            and self.settings.table.storage_policy != "default"
+        ):
+            from .stores import sync_dir_to_store
+
+            sync_dir_to_store(self.remote_store, f"tables/{self.name}", root)
         return root
 
     def index_metric_for(self, column: str) -> Metric:
