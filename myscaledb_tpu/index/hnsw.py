@@ -56,7 +56,10 @@ from .registry import register
 DEFAULT_M = 32
 DEFAULT_EF_C = 100
 DEFAULT_EF_S = 64
-BEAM = 4  # nodes expanded per iteration per query
+BEAM = 8  # nodes expanded per iteration per query: the frontier loop is
+# the search's LATENCY axis (sequential device steps); a wider beam halves
+# the step count at identical total gather traffic, and breadth costs no
+# recall at the ef values the reference benchmarks (50-400)
 PRUNE_ALPHA = 1.2
 
 

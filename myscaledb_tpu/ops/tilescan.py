@@ -39,7 +39,12 @@ from ._pallas import exact_precision, use_interpret
 
 SUB = 128  # rows per sub-tile (one max per query per sub-tile)
 OUT_LANES = 128  # output block width (lane-aligned)
-MAX_X_BLOCK_BYTES = 1 << 20  # payload block cap (VMEM double buffering)
+# Payload block cap (VMEM double buffering). Measured on v5e via the axon
+# tunnel: 4 MiB blocks stream at ~107 GB/s — the chip's PRACTICAL ceiling
+# here (a compute-free Pallas stream kernel and plain XLA reductions cap
+# at the same ~100-110 GB/s) — while 0.5 MiB blocks drop to ~70 GB/s and
+# grids past ~500 steps fall off a cliff (57 ms for the same bytes).
+MAX_X_BLOCK_BYTES = 4 << 20
 NEG = -3.4e38  # large-negative instead of -inf (NaN-safe diffs)
 TILE_SLACK = 2  # extra sub-tiles beyond k (boundary-tie head-room)
 MAX_K = 128  # above this the gather outgrows the saved traffic
@@ -111,7 +116,7 @@ def tile_maxes(
     *,
     metric: Metric,
     q_tile: int = 128,
-    n_tile: int = 2048,
+    n_tile: int = 16384,
 ) -> jax.Array:
     """f32[Qpad, N/SUB] per-sub-tile maxes of the masked score matrix."""
     q, d = queries.shape
@@ -187,10 +192,13 @@ def tile_topk_scan(
     ksel = min(k + TILE_SLACK, n_sub)
     _, sub = jax.lax.top_k(maxes, ksel)  # [Q, S] sub-tile ids
     bsub = base.reshape(n_sub, SUB, d)
-    g = jnp.take(bsub, sub, axis=0).astype(jnp.float32)  # [Q, S, SUB, D]
+    # gather stays in the storage dtype — a f32 materialization of the
+    # gathered tiles would double the rescore phase's HBM traffic; the
+    # einsum upcasts inside the MXU pass
+    g = jnp.take(bsub, sub, axis=0)  # [Q, S, SUB, D]
     qf = queries.astype(jnp.float32)
     s = jnp.einsum(
-        "qd,qsrd->qsr", qf, g,
+        "qd,qsrd->qsr", qf, g.astype(jnp.float32),
         precision=exact_precision(),
         preferred_element_type=jnp.float32,
     ).reshape(q, -1)

@@ -181,9 +181,11 @@ def _fused_multi_search(queries, searchers, masks, k, pkey):
 def _as_query_batch(query, dim: int):
     """Normalize the query input. Returns (device_or_host_batch, nq, qsq).
 
-    numpy/list input -> host [Q, dim] f32 (uploaded once by the caller).
-    jax.Array input  -> stays on device (zero-copy serving path: callers
-    that keep request batches device-resident skip the host round-trip).
+    numpy/list input -> host [Q, dim] f32 (uploaded once by the caller;
+    qsq computed in numpy). jax.Array input -> stays on device (zero-copy
+    serving path) and qsq is None — the caller folds pad + |q|^2 into ONE
+    jitted prep program; eager jnp ops here cost ~0.5ms each over a
+    device tunnel, which round 1 paid on every query call.
     """
     if isinstance(query, jax.Array):
         q = query
@@ -191,15 +193,28 @@ def _as_query_batch(query, dim: int):
             q = q[None, :]
         if q.ndim != 2 or q.shape[1] != dim:
             raise QueryShapeError(f"query must be [*, {dim}], got {q.shape}")
-        qsq = jnp.sum(q.astype(jnp.float32) ** 2, axis=1)
-        return q, q.shape[0], qsq
+        return q, q.shape[0], None
     q = np.asarray(query, dtype=np.float32)
     if q.ndim == 1:
         q = q[None, :]
     if q.ndim != 2 or q.shape[1] != dim:
         raise QueryShapeError(f"query must be [*, {dim}], got {q.shape}")
-    qsq = (q.astype(np.float64) ** 2).sum(1).astype(np.float32)
+    qsq = np.einsum("ij,ij->i", q, q)
     return q, q.shape[0], qsq
+
+
+@functools.partial(jax.jit, static_argnames=("nq_pad",))
+def _prep_binary_query(q, nq_pad: int):
+    return jnp.pad(q, ((0, nq_pad - q.shape[0]), (0, 0)))
+
+
+@functools.partial(jax.jit, static_argnames=("nq_pad", "dpad"))
+def _prep_query(q, nq_pad: int, dpad: int):
+    """Device-query prep in ONE program: f32 cast + [nq_pad, dpad] pad +
+    per-query |q|^2 (re-applied to L2 distances on the host side)."""
+    q = q.astype(jnp.float32)
+    qsq = jnp.sum(q * q, axis=1)
+    return jnp.pad(q, ((0, nq_pad - q.shape[0]), (0, dpad - q.shape[1]))), qsq
 
 
 def _as_binary_query_batch(query, vtype):
@@ -354,7 +369,7 @@ class VectorSearchExecutor:
         nq_pad = max(8, -(-nq // 8) * 8)
         if is_binary:
             if isinstance(qh, jax.Array):
-                qdev = jnp.pad(qh, ((0, nq_pad - nq), (0, 0)))
+                qdev = _prep_binary_query(qh, nq_pad=nq_pad)
             else:
                 qdev = jnp.asarray(
                     np.pad(qh, ((0, nq_pad - nq), (0, 0))), dtype=jnp.uint8
@@ -362,11 +377,8 @@ class VectorSearchExecutor:
         else:
             dpad = segments[0].vector(column).data.shape[1]
             if isinstance(qh, jax.Array):
-                # Device-resident queries: pad on device, no host round-trip.
-                qdev = jnp.pad(
-                    qh.astype(jnp.float32),
-                    ((0, nq_pad - nq), (0, dpad - qh.shape[1])),
-                )
+                # Device-resident queries: ONE prep program (pad + |q|^2).
+                qdev, qsq = _prep_query(qh, nq_pad=nq_pad, dpad=dpad)
             else:
                 # One padded device upload for the whole query batch.
                 qpad = np.zeros((nq_pad, dpad), np.float32)

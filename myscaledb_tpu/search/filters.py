@@ -334,7 +334,9 @@ class Compare(Expr):
             return None
         if not _value_fits(segment, self.column, self.value):
             return None
-        return ("cmp", self.op), [col, jnp.asarray(self.value, col.dtype)]
+        # numpy leaf: jit converts it at dispatch time — an eager
+        # jnp.asarray here would cost a ~0.5ms device round-trip PER CALL
+        return ("cmp", self.op), [col, np.asarray(self.value, col.dtype)]
 
     def columns(self):
         return {self.column}
@@ -379,7 +381,7 @@ class In(Expr):
                 return None
             if not _value_fits(segment, self.column, v):
                 return None
-        vals = jnp.asarray(np.asarray(self.values), col.dtype)
+        vals = np.asarray(self.values, dtype=col.dtype)  # numpy leaf (see Compare)
         return ("in", self.negate), [col, vals]
 
     def columns(self):
