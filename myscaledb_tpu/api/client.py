@@ -100,6 +100,7 @@ class Database:
         engine: str = "MergeTree",
         key_column: Optional[str] = None,
         version_column: Optional[str] = None,
+        sign_column: Optional[str] = None,
     ) -> Table:
         import os
 
@@ -118,6 +119,7 @@ class Database:
                 engine=engine,
                 key_column=key_column,
                 version_column=version_column,
+                sign_column=sign_column,
                 remote_store=self.remote_store,
             )
             self._tables[name] = t
@@ -164,6 +166,7 @@ class Database:
             engine=eng.get("name", "MergeTree"),
             key_column=eng.get("key_column"),
             version_column=eng.get("version_column"),
+            sign_column=eng.get("sign_column"),
         )
         # fts indexes first: segment inserts below then build their stores
         fts_file = os.path.join(root, "fts_indexes.json")

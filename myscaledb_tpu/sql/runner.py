@@ -72,7 +72,9 @@ def _column_type(cdef: P.ColumnDef, dims: Dict[str, int]):
         return sch.UInt64()
     if t == "int64":
         return sch.Int64()
-    if t in ("int32", "int"):
+    if t in ("int32", "int", "int8", "int16"):
+        # Int8/Int16 (e.g. Collapsing sign columns) widen to Int32 — scalar
+        # columns are host-resident; range is validated per engine contract
         return sch.Int32()
     if t == "float32":
         return sch.Float32()
@@ -129,15 +131,25 @@ class SQLRunner:
         if st.if_not_exists and st.table in self.db.tables():
             return []
         cols = {c.name: _column_type(c, st.constraints) for c in st.columns}
-        version_col = st.engine_args[0] if st.engine_args else None
+        # engine args: ReplacingMergeTree([ver]) / CollapsingMergeTree(sign)
+        # / VersionedCollapsingMergeTree(sign, ver)
+        eng = st.engine.lower()
+        args = list(st.engine_args)
+        version_col = sign_col = None
+        if "versionedcollapsing" in eng:
+            sign_col = args[0] if args else None
+            version_col = args[1] if len(args) > 1 else None
+        elif "collapsing" in eng:
+            sign_col = args[0] if args else None
+        elif "replacing" in eng:
+            version_col = args[0] if args else None
         t = self.db.create_table(
             st.table,
             sch.Schema(cols),
             engine=st.engine,
             key_column=st.order_by,
-            version_column=(
-                version_col if "replacing" in st.engine.lower() else None
-            ),
+            version_column=version_col,
+            sign_column=sign_col,
         )
         for v in st.vector_indexes:
             t.add_vector_index(
@@ -580,15 +592,14 @@ class SQLRunner:
                 cols.extend(t.schema.scalar_columns())
             elif isinstance(it.expr, str):
                 cols.append(it.expr)
-        winners = t._final_winners() if st.final else None
+        survivors = t._final_survivors() if st.final else None
         for seg in sorted(t.live_segments(), key=lambda s: s.segment_id):
             alive = ~seg.deleted_host()[: seg.n_rows]
             m = filt.evaluate(seg) & alive if filt is not None else alive
-            if winners is not None:
-                keys = seg.scalar(t.key_column)[: seg.n_rows]
+            if survivors is not None:
                 win = np.fromiter(
                     (
-                        winners.get(keys[i]) == (seg.segment_id, i)
+                        (seg.segment_id, i) in survivors
                         for i in range(seg.n_rows)
                     ),
                     dtype=bool,

@@ -87,6 +87,7 @@ class Table:
         engine: str = "MergeTree",
         key_column: Optional[str] = None,
         version_column: Optional[str] = None,
+        sign_column: Optional[str] = None,
         remote_store=None,
     ):
         self.name = name
@@ -95,22 +96,38 @@ class Table:
         self.storage_dir = storage_dir
         self.remote_store = remote_store  # cold tier (storage_policy='remote')
         self.replica = replica
-        # Versioned engine (ReplacingMergeTree): rows sharing key_column
-        # supersede each other; FINAL queries and merges keep only the
-        # winner (max version_column, ties broken by insertion order) —
-        # performFinal semantics (ReadWithHybridSearch.cpp:692-899).
+        # Versioned engines: rows sharing key_column supersede/cancel each
+        # other; FINAL queries and merges re-read candidates through the
+        # merging algorithm — performFinal semantics
+        # (ReadWithHybridSearch.cpp:692-899; tests 00025/00026).
+        #   Replacing(ver):              winner = max version, then insertion order
+        #   Collapsing(sign):            +1/-1 state/cancel pairs collapse per key
+        #   VersionedCollapsing(sign,v): pairs collapse per (key, version)
         eng = engine.strip().lower().replace("mergetree", "") or "merge"
-        if eng not in ("merge", "replacing"):
+        engines = {
+            "merge": "MergeTree",
+            "replacing": "Replacing",
+            "collapsing": "Collapsing",
+            "versionedcollapsing": "VersionedCollapsing",
+        }
+        if eng not in engines:
             raise SchemaError(f"unsupported engine {engine!r}")
-        self.engine = "Replacing" if eng == "replacing" else "MergeTree"
-        if self.engine == "Replacing":
+        self.engine = engines[eng]
+        if self.engine != "MergeTree":
             if key_column is None:
-                raise SchemaError("ReplacingMergeTree requires an ORDER BY key column")
+                raise SchemaError(f"{engine} requires an ORDER BY key column")
             schema.require(key_column)
             if version_column is not None:
                 schema.require(version_column)
+        if self.engine in ("Collapsing", "VersionedCollapsing"):
+            if sign_column is None:
+                raise SchemaError(f"{engine} requires a sign column")
+            schema.require(sign_column)
+        if self.engine == "VersionedCollapsing" and version_column is None:
+            raise SchemaError(f"{engine} requires a version column")
         self.key_column = key_column
         self.version_column = version_column
+        self.sign_column = sign_column
         self._winners_cache: Optional[tuple] = None
         self.event_log = event_log or EventLog()
         self._scheduler = scheduler
@@ -622,6 +639,7 @@ class Table:
                         "name": self.engine,
                         "key_column": self.key_column,
                         "version_column": self.version_column,
+                        "sign_column": self.sign_column,
                     },
                 },
                 f,
@@ -794,8 +812,8 @@ class Table:
         must match adjacently, '-term' excludes (VSDescription.h:80-88)."""
         from ..search.text_executor import TextSearchExecutor
 
-        if final and self.engine != "Replacing":
-            raise SchemaError("FINAL requires a Replacing engine table")
+        if final and self.engine == "MergeTree":
+            raise SchemaError("FINAL requires a Replacing/Collapsing engine table")
         k_eff = int(k if k is not None else self.settings.query.default_topk)
         res = TextSearchExecutor(self).run(
             column_or_index,
@@ -829,8 +847,8 @@ class Table:
         """hybridsearch('fusion_type=…')(vec, text, [q], 'text') analogue."""
         from ..search.text_executor import HybridSearchExecutor
 
-        if final and self.engine != "Replacing":
-            raise SchemaError("FINAL requires a Replacing engine table")
+        if final and self.engine == "MergeTree":
+            raise SchemaError("FINAL requires a Replacing/Collapsing engine table")
         k_eff = int(k if k is not None else self.settings.query.default_topk)
         res = HybridSearchExecutor(self).run(
             vector_column,
@@ -849,11 +867,69 @@ class Table:
             res = self._apply_final(res, k_eff)
         return res
 
-    def _replacing_dedup_alive(self, sources, alive_snaps) -> None:
-        """Clear alive bits of rows superseded by a newer same-key row
-        within `sources` (in place). Winner = max version, then insertion
-        order (later segment / later row)."""
-        keys_l, vers_l, tag_l = [], [], []
+    def _survivor_positions(self, allk, allv, allsgn) -> np.ndarray:
+        """Positions (into the input arrays) of rows surviving the
+        engine's merging algorithm. Inputs are all candidate rows in
+        insertion order (across segments)."""
+        n = len(allk)
+        order_ins = np.arange(n)
+        if self.engine == "Replacing":
+            # winner = max version (when present), then insertion order
+            if allv is not None:
+                order = np.lexsort((order_ins, allv, allk))
+            else:
+                order = np.lexsort((order_ins, allk))
+            sk = allk[order]
+            last = np.concatenate([sk[1:] != sk[:-1], [True]])
+            return order[last]
+        # Collapsing engines: group rows (in insertion order) by key, or
+        # by (key, version) for VersionedCollapsing.
+        if self.engine == "VersionedCollapsing":
+            order = np.lexsort((order_ins, allv, allk))
+            ok, ov = allk[order], allv[order]
+            change = (ok[1:] != ok[:-1]) | (ov[1:] != ov[:-1])
+        else:
+            order = np.lexsort((order_ins, allk))
+            ok = allk[order]
+            change = ok[1:] != ok[:-1]
+        starts = np.nonzero(np.concatenate([[True], change]))[0]
+        counts = np.diff(np.concatenate([starts, [n]]))
+        ends = starts + counts - 1
+        state = allsgn[order] > 0
+        pos = np.arange(n)
+        n_state = np.add.reduceat(state.astype(np.int64), starts)
+        n_cancel = counts - n_state
+        keep = np.zeros(n, bool)
+        if self.engine == "Collapsing":
+            # ClickHouse collapsing rules per key group:
+            #   #state > #cancel          -> keep last state row
+            #   #cancel > #state          -> keep first cancel row
+            #   equal & last row is state -> keep first cancel + last state
+            #   equal & last row cancel   -> keep nothing
+            last_state = np.maximum.reduceat(np.where(state, pos, -1), starts)
+            first_cancel = np.minimum.reduceat(np.where(~state, pos, n), starts)
+            more_state = n_state > n_cancel
+            more_cancel = n_cancel > n_state
+            balanced_state = (n_state == n_cancel) & state[ends] & (n_state > 0)
+            keep[last_state[more_state | balanced_state]] = True
+            keep[first_cancel[more_cancel | balanced_state]] = True
+        else:
+            # VersionedCollapsing: min(#state, #cancel) pairs annihilate
+            # per (key, version); the |excess| rows of the dominant sign
+            # remain (last `excess` states / first `excess` cancels).
+            excess = np.repeat(n_state - n_cancel, counts)
+            cum_s = np.cumsum(state)
+            cum_s -= np.repeat(cum_s[starts] - state[starts], counts)
+            keep |= state & (np.repeat(n_state, counts) - cum_s < excess)
+            cum_c = np.cumsum(~state)
+            cum_c -= np.repeat(cum_c[starts] - (~state)[starts], counts)
+            keep |= ~state & (cum_c <= -excess)
+        return order[np.nonzero(keep)[0]]
+
+    def _collect_engine_rows(self, sources, alive_snaps):
+        """(keys, versions, signs, tags[si,row]) over alive rows of
+        `sources` in insertion order; None arrays when not configured."""
+        keys_l, vers_l, sgn_l, tag_l = [], [], [], []
         for si, (seg, alive) in enumerate(zip(sources, alive_snaps)):
             idx = np.nonzero(alive)[0]
             if not len(idx):
@@ -861,21 +937,30 @@ class Table:
             keys_l.append(seg.scalar(self.key_column)[idx])
             if self.version_column is not None:
                 vers_l.append(seg.scalar(self.version_column)[idx])
+            if self.sign_column is not None:
+                sgn_l.append(seg.scalar(self.sign_column)[idx])
             tag_l.append(np.stack([np.full(len(idx), si), idx], axis=1))
         if not keys_l:
+            return None
+        return (
+            np.concatenate(keys_l),
+            np.concatenate(vers_l) if vers_l else None,
+            np.concatenate(sgn_l) if sgn_l else None,
+            np.concatenate(tag_l),
+        )
+
+    def _engine_dedup_alive(self, sources, alive_snaps) -> None:
+        """Clear alive bits of rows that the engine's merge algorithm
+        drops within `sources` (in place): Replacing rows superseded by a
+        newer same-key row; Collapsing state/cancel pairs."""
+        got = self._collect_engine_rows(sources, alive_snaps)
+        if got is None:
             return
-        allk = np.concatenate(keys_l)
-        tags = np.concatenate(tag_l)
-        order_ins = np.arange(len(allk))
-        if vers_l:
-            order = np.lexsort((order_ins, np.concatenate(vers_l), allk))
-        else:
-            order = np.lexsort((order_ins, allk))
-        sk = allk[order]
-        losers = order[
-            np.concatenate([sk[1:] == sk[:-1], [False]])
-        ]  # every non-last occurrence of its key
-        for si, row in tags[losers]:
+        allk, allv, allsgn, tags = got
+        survivors = self._survivor_positions(allk, allv, allsgn)
+        dead = np.ones(len(allk), bool)
+        dead[survivors] = False
+        for si, row in tags[dead]:
             alive_snaps[si][row] = False
 
     # --------------------------------------------------------------- FINAL
@@ -885,56 +970,36 @@ class Table:
                 sorted((s.uid, s.mutation_generation) for s in self._segments.values())
             )
 
-    def _final_winners(self) -> Dict[Any, tuple]:
-        """key -> (segment_id, row) of the globally winning ALIVE row:
-        max version_column, ties broken by insertion order (newest segment,
-        then latest row). This is the merging-algorithm view the reference
-        re-reads candidates through in performFinal. Cached per table
-        generation (any insert/delete/update invalidates)."""
-        if self.engine != "Replacing":
-            raise SchemaError("FINAL requires a Replacing engine table")
+    def _final_survivors(self) -> set:
+        """Set of (segment_id, row) of the globally surviving ALIVE rows
+        under the engine's merging algorithm (Replacing: max-version
+        winner per key; Collapsing: uncancelled state rows). This is the
+        merging-algorithm view the reference re-reads candidates through
+        in performFinal. Cached per table generation (any
+        insert/delete/update invalidates)."""
+        if self.engine == "MergeTree":
+            raise SchemaError("FINAL requires a Replacing/Collapsing engine table")
         gen = self._table_generation()
         cached = self._winners_cache
         if cached is not None and cached[0] == gen:
             return cached[1]
-        keys_l, vers_l, segs_l, rows_l = [], [], [], []
-        for seg in sorted(self.live_segments(), key=lambda s: s.segment_id):
-            alive = ~seg.deleted_host()[: seg.n_rows]
-            idx = np.nonzero(alive)[0]
-            if not len(idx):
-                continue
-            keys_l.append(seg.scalar(self.key_column)[idx])
-            if self.version_column is not None:
-                vers_l.append(seg.scalar(self.version_column)[idx])
-            segs_l.append(np.full(len(idx), seg.segment_id, np.int64))
-            rows_l.append(idx.astype(np.int64))
-        winners: Dict[Any, tuple] = {}
-        if keys_l:
-            allk = np.concatenate(keys_l)
-            alls = np.concatenate(segs_l)
-            allr = np.concatenate(rows_l)
-            order_ins = np.arange(len(allk))  # insertion order across segments
-            if vers_l:
-                allv = np.concatenate(vers_l)
-                order = np.lexsort((order_ins, allv, allk))
-            else:
-                order = np.lexsort((order_ins, allk))
-            sk = allk[order]
-            last = np.concatenate([sk[1:] != sk[:-1], [True]])
-            widx = order[last]
-            winners = {
-                k: (int(s), int(r))
-                for k, s, r in zip(allk[widx], alls[widx], allr[widx])
-            }
-        self._winners_cache = (gen, winners)
-        return winners
+        segs = sorted(self.live_segments(), key=lambda s: s.segment_id)
+        alive = [~seg.deleted_host()[: seg.n_rows] for seg in segs]
+        survivors: set = set()
+        got = self._collect_engine_rows(segs, alive)
+        if got is not None:
+            allk, allv, allsgn, tags = got
+            sid = np.array([seg.segment_id for seg in segs], np.int64)
+            for si, row in tags[self._survivor_positions(allk, allv, allsgn)]:
+                survivors.add((int(sid[si]), int(row)))
+        self._winners_cache = (gen, survivors)
+        return survivors
 
     def _apply_final(self, res: SearchResult, k: int) -> SearchResult:
-        """Drop candidates superseded by a newer row with the same key
-        anywhere in the table, then cut to k (performFinal on the
-        candidate set)."""
-        winners = self._final_winners()
-        keys = self.gather(res, [self.key_column])[self.key_column]
+        """Drop candidates the merging algorithm would discard (superseded
+        by a newer same-key row / collapsed by a cancel row), then cut to
+        k (performFinal on the candidate set)."""
+        survivors = self._final_survivors()
         scores, segs, rows = res.scores, res.segments, res.rows
         nq = res.nq
         out_v = np.full((nq, k), float("-inf"), np.float32)
@@ -946,8 +1011,8 @@ class Table:
                 if j >= k or rows[qi, ci] < 0:
                     break
                 hit = (int(segs[qi, ci]), int(rows[qi, ci]))
-                if winners.get(keys[qi, ci]) != hit:
-                    continue  # superseded (or deleted-winner key)
+                if hit not in survivors:
+                    continue  # superseded / collapsed
                 out_v[qi, j] = scores[qi, ci]
                 out_s[qi, j] = hit[0]
                 out_r[qi, j] = hit[1]
@@ -987,8 +1052,8 @@ class Table:
         A [D] query is one search; an [Q, D] batch is the batch_distance
         semantics (per-query top-k, SURVEY.md §2.7). final=True applies
         Replacing-engine dedup to the candidates (SELECT ... FINAL)."""
-        if final and self.engine != "Replacing":
-            raise SchemaError("FINAL requires a Replacing engine table")
+        if final and self.engine == "MergeTree":
+            raise SchemaError("FINAL requires a Replacing/Collapsing engine table")
         m = None
         if metric is not None:
             vtype = self.schema.require_vector(column)
@@ -1092,7 +1157,10 @@ class Table:
         """
         with self._lock:
             ids = segment_ids or sorted(self._segments)
-            if len(ids) < 2:
+            # a single-segment "merge" is still meaningful for versioned
+            # engines: OPTIMIZE FINAL rewrites the part applying the
+            # merging algorithm (dedup/collapse) even with one part
+            if len(ids) < 2 and (self.engine == "MergeTree" or not ids):
                 return None
             sources = [self._segments[i] for i in ids]
         cols: Dict[str, List[np.ndarray]] = {c: [] for c in self.schema.columns}
@@ -1106,11 +1174,11 @@ class Table:
         alive_snaps: List[np.ndarray] = [
             ~seg.deleted_host()[: seg.n_rows].copy() for seg in sources
         ]
-        if self.engine == "Replacing":
-            # merging a Replacing table drops rows superseded WITHIN the
-            # merged set (ClickHouse merge semantics: dedup is per-merge;
-            # OPTIMIZE FINAL merges everything and fully dedups)
-            self._replacing_dedup_alive(sources, alive_snaps)
+        if self.engine != "MergeTree":
+            # merging a versioned table drops rows superseded/collapsed
+            # WITHIN the merged set (ClickHouse merge semantics: dedup is
+            # per-merge; OPTIMIZE FINAL merges everything and fully dedups)
+            self._engine_dedup_alive(sources, alive_snaps)
         row_maps: List[np.ndarray] = []  # old capacity -> new row id
         offset = 0
         for seg, alive in zip(sources, alive_snaps):
