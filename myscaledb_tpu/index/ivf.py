@@ -194,6 +194,67 @@ class IVFIndex(VectorIndex):
             setattr(self, f, kw.pop(f))
         assert not kw, f"unexpected fields: {kw}"
         self.raw_host = None  # host-RAM raw rows (disk-mode re-rank tier)
+        # window-layout mirrors of filterable scalar columns / the alive
+        # bitmap, keyed by (column, mutation_generation) — see to_window_mask
+        self._win_mirrors: Dict[Any, jax.Array] = {}
+
+    # --------------------------------------------------- window-space masks
+    def to_window_mask(self, dmask, segment):
+        """Re-express a row-space DeviceMask over this index's cluster-major
+        window layout (WindowMask), so the scan kernel tests candidates by
+        CONTIGUOUS window lookup instead of per-row scattered gathers from
+        bool[capacity] (the gather dominates masked scans on TPU). Column
+        mirrors are permuted ONCE per (column, segment generation) and
+        cached. Returns None when some leaf cannot be mirrored."""
+        from ..search.filters import WindowMask
+
+        _, _, _, has_alive, expr_skel = dmask.skel
+        if not hasattr(self, "_win_mirrors"):  # unflattened copies lack it
+            return None
+        gen = getattr(segment, "mutation_generation", 0)
+        leaves = list(dmask.leaves)
+        out: list = []
+        pos = 0
+        perm = jnp.maximum(self.perm_rows, 0)
+
+        def mirror(key, src):
+            hit = self._win_mirrors.get(key)
+            if hit is None:
+                if len(self._win_mirrors) > 64:
+                    self._win_mirrors.clear()
+                hit = jax.jit(lambda c, p: jnp.take(c, p))(jnp.asarray(src), perm)
+                self._win_mirrors[key] = hit
+            return hit
+
+        if has_alive:
+            out.append(mirror(("__alive__", gen), leaves[0]))
+            pos = 1
+
+        def rec(s):
+            nonlocal pos
+            kind = s[0]
+            if kind in ("and", "or"):
+                return rec(s[1]) and rec(s[2])
+            if kind == "not":
+                return rec(s[1])
+            if kind == "lit":
+                return True
+            if kind in ("cmp", "in"):
+                if len(s) < 3:
+                    return False  # no column name: cannot key the mirror
+                col, val = leaves[pos], leaves[pos + 1]
+                pos += 2
+                out.append(mirror((s[2], gen), col))
+                out.append(val)
+                return True
+            return False
+
+        if expr_skel is not None and not rec(expr_skel):
+            return None
+        n_prime = int(self.perm_rows.shape[0])
+        # n_rows == capacity: layout padding is masked by the kernel's own
+        # rows>=0 test, not by an arange tail
+        return WindowMask(("root", n_prime, n_prime, has_alive, expr_skel), out)
 
     # ------------------------------------------------------------- build
     @classmethod
@@ -439,6 +500,16 @@ class IVFIndex(VectorIndex):
         mask: Optional[jax.Array] = None,
         params: ParamsKey = (),
     ) -> Tuple[jax.Array, jax.Array]:
+        from ..search.filters import WindowMask, as_mask_array
+
+        wmask = None
+        if isinstance(mask, WindowMask):
+            # predicate over window-layout column mirrors: built once per
+            # call, consumed by contiguous window take inside the scan
+            wmask = mask.build().reshape(self.n_windows, WINDOW)
+            mask = None
+        else:
+            mask = as_mask_array(mask)
         nprobe = self._nprobe(params)
         nq = queries.shape[0]
         q = queries.astype(jnp.float32)
@@ -494,7 +565,10 @@ class IVFIndex(VectorIndex):
                 aux = jnp.take(paw, sl, axis=0).reshape(nq, -1)
                 scores = 2.0 * scores - aux
             valid = rows >= 0
-            if mask is not None:
+            if wmask is not None:
+                wv = jnp.take(wmask, sl, axis=0).reshape(nq, -1)
+                valid = jnp.logical_and(valid, wv)
+            elif mask is not None:
                 valid = jnp.logical_and(
                     valid, jnp.take(mask, jnp.maximum(rows, 0))
                 )

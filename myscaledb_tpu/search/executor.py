@@ -152,11 +152,14 @@ def _fused_multi_search(queries, searchers, masks, k, pkey):
     Returns (vals f32[Q,k], seg_tag int32[Q,k] — position in `searchers`,
     rows int32[Q,k]).
     """
-    from .filters import as_mask_array
+    from .filters import WindowMask, as_mask_array
 
     vs, rs, tags = [], [], []
     for i, (s, m) in enumerate(zip(searchers, masks)):
-        v, r = s.search_t(queries, k, mask=as_mask_array(m), params=pkey)
+        # WindowMask rides through raw: the index consumes it in its own
+        # layout; everything else materializes to a row-space bitmap here
+        mm = m if isinstance(m, WindowMask) else as_mask_array(m)
+        v, r = s.search_t(queries, k, mask=mm, params=pkey)
         vs.append(v)
         rs.append(r)
         tags.append(jnp.full(v.shape, i, jnp.int32))
@@ -403,6 +406,17 @@ class VectorSearchExecutor:
                     fexpr = None  # provably all pass: alive mask only
             mask = segment_mask(seg, fexpr)
             idx = t.loaded_index(seg.segment_id, column, metric)
+            if idx is not None and mask is not None:
+                from .filters import DeviceMask
+
+                if isinstance(mask, DeviceMask) and hasattr(
+                    idx, "to_window_mask"
+                ):
+                    # IVF-layout indexes test the predicate over their own
+                    # window-permuted column mirrors (no scattered gather)
+                    wm = idx.to_window_mask(mask, seg)
+                    if wm is not None:
+                        mask = wm
             must_two_stage = idx is not None and getattr(
                 idx, "requires_two_stage", lambda: False
             )()
@@ -485,11 +499,15 @@ class VectorSearchExecutor:
         segments searched normally and merged in; host-tier (beyond-HBM)
         segments stream-scanned."""
         from ..ops.bruteforce import stream_scan_topk
-        from .filters import as_mask_array
+        from .filters import WindowMask, as_mask_array
+
+        def _resolve(m):
+            # WindowMask is consumed inside the owning index's scan stage
+            return m if isinstance(m, WindowMask) else as_mask_array(m)
 
         pkey = params_key(params)
-        masks = [as_mask_array(m) for m in masks]
-        first_stage = [(s, i, as_mask_array(m)) for s, i, m in first_stage]
+        masks = [_resolve(m) for m in masks]
+        first_stage = [(s, i, _resolve(m)) for s, i, m in first_stage]
         per: List[Tuple[int, jax.Array, jax.Array]] = []
         for seg_id, seg, mask in host_scans:
             payload = seg.vector(column)

@@ -101,11 +101,24 @@ class DeviceMask:
         return out
 
 
+@jax.tree_util.register_pytree_node_class
+class WindowMask(DeviceMask):
+    """A DeviceMask re-expressed in an INDEX'S OWN ROW LAYOUT (e.g. the
+    IVF cluster-major window permutation): the column leaves are
+    layout-permuted mirrors, so the scan kernel tests candidates with a
+    contiguous window lookup instead of a per-row scattered gather from
+    the row-space bitmap (TPU gathers are the expensive op — ~4ms per
+    masked 1M-row IVF batch before this). skel n_rows == capacity == N'
+    (layout padding is excluded by the kernel's own row-validity test)."""
+
+
 def as_mask_array(mask):
     """Materialize a mask input (None | bool array | DeviceMask) to a
-    bool[capacity] device array (or None)."""
+    bool[capacity] device array (or None). WindowMask is NOT a row-space
+    mask — callers that can't consume one must never receive it."""
     if mask is None or not isinstance(mask, DeviceMask):
         return mask
+    assert not isinstance(mask, WindowMask), "window mask in a row-space path"
     return mask.build()
 
 
@@ -336,7 +349,9 @@ class Compare(Expr):
             return None
         # numpy leaf: jit converts it at dispatch time — an eager
         # jnp.asarray here would cost a ~0.5ms device round-trip PER CALL
-        return ("cmp", self.op), [col, np.asarray(self.value, col.dtype)]
+        # the column NAME rides in the static skel so index layouts can
+        # re-express the predicate over their own column mirrors
+        return ("cmp", self.op, self.column), [col, np.asarray(self.value, col.dtype)]
 
     def columns(self):
         return {self.column}
@@ -382,7 +397,7 @@ class In(Expr):
             if not _value_fits(segment, self.column, v):
                 return None
         vals = np.asarray(self.values, dtype=col.dtype)  # numpy leaf (see Compare)
-        return ("in", self.negate), [col, vals]
+        return ("in", self.negate, self.column), [col, vals]
 
     def columns(self):
         return {self.column}

@@ -56,11 +56,20 @@ class SearchServer:
         max_delay_ms: float = 2.0,
         max_inflight: int = 8,
     ):
+        from concurrent.futures import ThreadPoolExecutor
+
         self.db = db
         self.max_batch = int(max_batch)
         self.max_delay_s = float(max_delay_ms) / 1e3
         self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
+        # bounds device programs in flight: the dispatcher only BLOCKS on
+        # this semaphore, never on device results — host materialization
+        # happens in the resolver pool so the next group dispatches while
+        # the previous one is still executing (pipelined serving)
         self._sem = threading.Semaphore(max_inflight)
+        self._resolvers = ThreadPoolExecutor(
+            max_workers=max_inflight, thread_name_prefix="search-resolve"
+        )
         self._stop = False
         self._dispatcher = threading.Thread(
             target=self._run, name="search-dispatcher", daemon=True
@@ -113,6 +122,7 @@ class SearchServer:
         self._stop = True
         self._q.put(None)
         self._dispatcher.join(timeout=5)
+        self._resolvers.shutdown(wait=True)
 
     # --------------------------------------------------------- dispatcher
     def _run(self):
@@ -142,41 +152,70 @@ class SearchServer:
                     spill.append(r)
             for r in spill:  # different groups go back for the next round
                 self._q.put(r)
+            self._sem.acquire()
             try:
-                self._execute_group(batch)
+                t, res = self._execute_group(batch)
             except Exception as e:  # noqa: BLE001 — fail the whole group
+                self._sem.release()
                 for r in batch:
                     if not r.future.done():
                         r.future.set_exception(e)
+                continue
+            self._resolvers.submit(self._finish_group, batch, t, res)
+
+    @staticmethod
+    def _bucket(n: int) -> int:
+        """Coalesced group sizes pad up to a power of two (min 8) so the
+        jit cache holds a handful of shapes instead of one per observed
+        concurrency level (recompilation storms under varying load)."""
+        return max(8, 1 << (n - 1).bit_length())
+
+    def _pad_vecs(self, qs: np.ndarray, cap: int) -> np.ndarray:
+        if len(qs) >= cap:
+            return qs
+        return np.concatenate([qs, np.repeat(qs[-1:], cap - len(qs), 0)])
 
     def _execute_group(self, batch: List[_Request]):
+        """Dispatch ONE batched device program for the group; returns
+        device-lazy results (no host sync on the dispatcher thread)."""
         GLOBAL_COUNTERS.bump("ServerBatches")
         GLOBAL_COUNTERS.bump("ServerRequests", len(batch))
         kind = batch[0].kind
         t = self.db.table(batch[0].table)
+        cap = min(self._bucket(len(batch)), self.max_batch)
         if kind == "vec":
             _, k, params, final = batch[0].args
-            qs = np.stack([r.args[0] for r in batch])
+            qs = self._pad_vecs(np.stack([r.args[0] for r in batch]), cap)
             res = t.search(
                 batch[0].key[2], qs, k, params=params, final=final
             )
-            self._resolve(batch, t, res)
         elif kind == "text":
             _, k, operator, final = batch[0].args
             queries = [r.args[0] for r in batch]
+            queries += [queries[-1]] * (cap - len(queries))
             res = t.text_search(
                 batch[0].key[2], queries, k, operator=operator, final=final
             )
-            self._resolve(batch, t, res)
         else:  # hybrid
             _, _, k, fusion_type, final = batch[0].args
-            qs = np.stack([r.args[0] for r in batch])
+            qs = self._pad_vecs(np.stack([r.args[0] for r in batch]), cap)
             texts = [r.args[1] for r in batch]
+            texts += [texts[-1]] * (cap - len(texts))
             res = t.hybrid_search(
                 batch[0].key[2], batch[0].key[3], qs, texts, k,
                 fusion_type=fusion_type, final=final,
             )
+        return t, res
+
+    def _finish_group(self, batch: List[_Request], t, res):
+        try:
             self._resolve(batch, t, res)
+        except Exception as e:  # noqa: BLE001
+            for r in batch:
+                if not r.future.done():
+                    r.future.set_exception(e)
+        finally:
+            self._sem.release()
 
     def _resolve(self, batch: List[_Request], t, res):
         scores = res.scores

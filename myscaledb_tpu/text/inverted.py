@@ -80,7 +80,7 @@ BUDGET_CAP = 8192
 
 
 @functools.partial(
-    jax.jit, static_argnames=("budget", "capacity", "k", "approx")
+    jax.jit, static_argnames=("budget", "capacity", "k", "approx", "need_counts")
 )
 def _bm25_score_topk_batch(
     postings_rows: jax.Array,  # int32[nnz_pad]
@@ -97,14 +97,18 @@ def _bm25_score_topk_batch(
     capacity: int,
     k: int,
     approx: bool,
+    need_counts: bool,
 ) -> Tuple[jax.Array, jax.Array]:
     """Batched BM25: scatter-accumulate every query's term chunks into
     dense per-row scores, then per-query top-k. A term's chunks partition
     its posting rows, so the per-row matched-term count used for AND
-    semantics is unaffected by chunking."""
+    semantics is unaffected by chunking. need_counts=False (OR queries)
+    skips the matched-term-count scatter entirely — a BM25 contribution
+    is strictly positive (Lucene idf > 0, tf > 0), so score > 0 IS the
+    matched test; this halves the scatter updates, the kernel's cost."""
     nq, nt = starts.shape
     scores = jnp.zeros((nq, capacity), jnp.float32)
-    nmatch = jnp.zeros((nq, capacity), jnp.int32)
+    nmatch = jnp.zeros((nq, capacity), jnp.int32) if need_counts else None
     qidx = jnp.arange(nq, dtype=jnp.int32)[:, None]
     offs = jnp.arange(budget, dtype=jnp.int32)
 
@@ -125,11 +129,17 @@ def _bm25_score_topk_batch(
         contrib = idfs[:, t][:, None] * tf * (BM25_K1 + 1.0) / jnp.maximum(denom, 1e-9)
         contrib = jnp.where(valid, contrib, 0.0)
         scores = scores.at[qidx, rows].add(contrib, mode="drop")
-        nmatch = nmatch.at[qidx, rows].add(valid.astype(jnp.int32), mode="drop")
+        if nmatch is not None:
+            nmatch = nmatch.at[qidx, rows].add(valid.astype(jnp.int32), mode="drop")
         return scores, nmatch
 
     scores, nmatch = jax.lax.fori_loop(0, nt, body, (scores, nmatch))
-    hit = nmatch >= n_required[:, None]
+    if need_counts:
+        hit = nmatch >= n_required[:, None]
+    else:
+        # OR semantics with >=1 term present; empty queries are encoded by
+        # the caller as n_required > nt and must match nothing
+        hit = jnp.logical_and(scores > 0.0, n_required[:, None] <= nt)
     if mask is not None:
         # mask may be shared bool[capacity] or per-query bool[Q, capacity]
         hit = jnp.logical_and(hit, mask if mask.ndim == 2 else mask[None, :])
@@ -346,24 +356,36 @@ class InvertedIndex:
         from ..search.filters import as_mask_array
 
         mask = as_mask_array(mask)
-        budget = self.scan_budget
         require_all = operator.upper() == "AND"
         all_terms: List[List[str]] = []
-        chunk_lists: List[List[Tuple[int, int, float]]] = []
+        ranges: List[List[Tuple[int, int, float]]] = []
+        maxlen = 1
         for query in queries:
             terms = self.analyzer.tokenize(query)
             seen: set = set()
             terms = [t for t in terms if not (t in seen or seen.add(t))]
             all_terms.append(terms)
-            chunks: List[Tuple[int, int, float]] = []
+            rs: List[Tuple[int, int, float]] = []
             for t in terms:
                 s, ln = self.term_range(t)
-                idf = stats.idf(t)
                 if ln == 0:
                     continue  # absent here; still counts toward n_required
-                for off in range(0, ln, budget):
-                    chunks.append((s + off, min(budget, ln - off), idf))
-            chunk_lists.append(chunks)
+                rs.append((s, ln, stats.idf(t)))
+                maxlen = max(maxlen, ln)
+            ranges.append(rs)
+        # per-CALL budget: the scatter cost is #updates = nq*nt*budget, so
+        # padding every chunk to the index-wide max df multiplies the work
+        # of short-posting queries ~30x; pow2-bucketing the batch's own max
+        # keeps the jit signature count O(log)
+        budget = min(BUDGET_CAP, _round_pow2(maxlen, lo=128))
+        chunk_lists = [
+            [
+                (s + off, min(budget, ln - off), idf)
+                for (s, ln, idf) in rs
+                for off in range(0, ln, budget)
+            ]
+            for rs in ranges
+        ]
         nq = len(queries)
         nt = _pad_pow2(max((len(c) for c in chunk_lists), default=1))
         starts = np.zeros((nq, nt), np.int32)
@@ -393,6 +415,7 @@ class InvertedIndex:
             capacity=self.capacity,
             k=k,
             approx=approx,
+            need_counts=require_all and any(len(t) > 1 for t in all_terms),
         )
         return vals, rows, all_terms
 
