@@ -60,7 +60,7 @@ def measure_qps(search_fn, query_batches, nq_per_batch, *, repeats=5, min_calls=
 
     # ramp warm-up: compile + get the tunnel to steady state
     outs = [search_fn(query_batches[i % len(query_batches)]) for i in range(60)]
-    jax.device_get(jnp.stack([o.device_arrays()[0][:, 0] for o in outs]).sum())
+    jax.device_get(jnp.stack([o.device_arrays()[0] for o in outs]).sum())
     reps = max(1, -(-min_calls // len(query_batches)))
     best = 0.0
     for _ in range(repeats):
@@ -69,7 +69,9 @@ def measure_qps(search_fn, query_batches, nq_per_batch, *, repeats=5, min_calls=
         for _ in range(reps):
             for qb in query_batches:
                 r = search_fn(qb)
-                sinks.append(r.device_arrays()[0][:, 0])
+                # sink the WHOLE vals array: a per-call [:, 0] slice is an
+                # extra eager device program (~0.4-1 ms launch) per call
+                sinks.append(r.device_arrays()[0])
         float(jax.device_get(jnp.stack(sinks).sum()))
         dt = time.time() - t0
         best = max(best, reps * len(query_batches) * nq_per_batch / dt)

@@ -143,17 +143,36 @@ def merge_tagged_topk(vals_t, rows_t, k):
     return mv, mt, mr
 
 
-@functools.partial(jax.jit, static_argnames=("k", "pkey"))
-def _fused_multi_search(queries, searchers, masks, k, pkey):
-    """One device program: every segment's top-k + the global merge.
+@functools.partial(
+    jax.jit, static_argnames=("k", "pkey", "nq_pad", "dpad", "binary")
+)
+def _fused_multi_search(
+    queries, searchers, masks, k, pkey, nq_pad=None, dpad=None, binary=False
+):
+    """One device program: query prep + every segment's top-k + the global
+    merge. Per-launch overhead dominates search latency on a tunnel-
+    attached chip (~0.4-1.1 ms/launch vs ~0.5 ms of device work), so the
+    WHOLE per-call pipeline must be a single launch: with nq_pad set,
+    `queries` arrives RAW ([nq, dim], f32/uint8) and the cast + pad +
+    |q|^2 happen here instead of in a separate prep program.
 
     searchers: tuple of index pytrees (FlatIndex for scan segments, ANN
     indexes otherwise). masks: tuple of bool[capacity] or None.
     Returns (vals f32[Q,k], seg_tag int32[Q,k] — position in `searchers`,
-    rows int32[Q,k]).
+    rows int32[Q,k], qsq f32[nq]|None).
     """
     from .filters import WindowMask, as_mask_array
 
+    qsq = None
+    if nq_pad is not None:
+        if binary:
+            queries = jnp.pad(queries, ((0, nq_pad - queries.shape[0]), (0, 0)))
+        else:
+            q = queries.astype(jnp.float32)
+            qsq = jnp.sum(q * q, axis=1)
+            queries = jnp.pad(
+                q, ((0, nq_pad - q.shape[0]), (0, dpad - q.shape[1]))
+            )
     vs, rs, tags = [], [], []
     for i, (s, m) in enumerate(zip(searchers, masks)):
         # WindowMask rides through raw: the index consumes it in its own
@@ -178,7 +197,7 @@ def _fused_multi_search(queries, searchers, masks, k, pkey):
         mv = jnp.pad(mv, pad, constant_values=NEG_INF)
         mt = jnp.pad(mt, pad, constant_values=-1)
         mr = jnp.pad(mr, pad, constant_values=-1)
-    return mv, mt, mr
+    return mv, mt, mr, qsq
 
 
 def _as_query_batch(query, dim: int):
@@ -370,23 +389,18 @@ class VectorSearchExecutor:
             return SearchResult.empty(metric, nq, k, qsq)
 
         nq_pad = max(8, -(-nq // 8) * 8)
-        if is_binary:
-            if isinstance(qh, jax.Array):
-                qdev = _prep_binary_query(qh, nq_pad=nq_pad)
-            else:
-                qdev = jnp.asarray(
-                    np.pad(qh, ((0, nq_pad - nq), (0, 0))), dtype=jnp.uint8
-                )
-        else:
-            dpad = segments[0].vector(column).data.shape[1]
-            if isinstance(qh, jax.Array):
-                # Device-resident queries: ONE prep program (pad + |q|^2).
-                qdev, qsq = _prep_query(qh, nq_pad=nq_pad, dpad=dpad)
-            else:
-                # One padded device upload for the whole query batch.
-                qpad = np.zeros((nq_pad, dpad), np.float32)
-                qpad[:nq, : vtype.dim] = qh
-                qdev = jnp.asarray(qpad)
+        dpad = None if is_binary else segments[0].vector(column).data.shape[1]
+        # the raw [nq, dim] batch: cast/pad/|q|^2 are folded into the ONE
+        # fused search program (per-launch overhead dominates latency);
+        # only the two-stage/host-scan path preps eagerly below
+        qraw = qh if isinstance(qh, jax.Array) else jnp.asarray(qh)
+
+        def _prepped():
+            """(padded queries, qsq) for the multi-launch two-stage path."""
+            if is_binary:
+                return _prep_binary_query(qraw, nq_pad=nq_pad), qsq
+            qp, qs = _prep_query(qraw, nq_pad=nq_pad, dpad=dpad)
+            return qp, (qsq if qsq is not None else qs)
 
         use_two_stage = (
             st.query.two_stage_search if two_stage is None else bool(two_stage)
@@ -467,9 +481,10 @@ class VectorSearchExecutor:
             seg_ids.append(seg.segment_id)
 
         if first_stage or host_scans:
+            qdev, qsq2 = _prepped()
             return self._two_stage_run(
-                first_stage, searchers, masks, seg_ids, qdev, nq, qsq, k,
-                metric, st, params, column=column, host_scans=host_scans,
+                first_stage, searchers, masks, seg_ids, qdev, nq, qsq2,
+                k, metric, st, params, column=column, host_scans=host_scans,
             )
         if not searchers:  # every segment const-folded away
             if isinstance(qsq, jax.Array):
@@ -477,8 +492,9 @@ class VectorSearchExecutor:
             return SearchResult.empty(metric, nq, k, qsq)
 
         pkey = params_key(params)
-        mv, mt, mr = _fused_multi_search(
-            qdev, tuple(searchers), tuple(masks), k, pkey
+        mv, mt, mr, qsq_dev = _fused_multi_search(
+            qraw, tuple(searchers), tuple(masks), k, pkey,
+            nq_pad=nq_pad, dpad=dpad, binary=is_binary,
         )
         return SearchResult(
             metric,
@@ -486,7 +502,7 @@ class VectorSearchExecutor:
             seg_ids=np.asarray(seg_ids, dtype=np.int64),
             nq=nq,
             k=k,
-            query_sqnorm=qsq,
+            query_sqnorm=qsq if qsq is not None else qsq_dev,
         )
 
     # ------------------------------------------------------------ two-stage

@@ -528,10 +528,9 @@ class TextSearchExecutor:
         if not vals_t:
             return SearchResult.empty(Metric.IP, nq, k)
         if len(vals_t) == 1:
+            # tag column already produced inside the scoring program
             mv, mr = vals_t[0], rows_t[0]
-            import jax.numpy as jnp
-
-            mt = jnp.where(mr >= 0, 0, -1)
+            mt = store.last_tags
         else:
             from .executor import merge_tagged_topk
 

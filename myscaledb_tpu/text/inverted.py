@@ -146,7 +146,10 @@ def _bm25_score_topk_batch(
     scores = jnp.where(hit, scores, NEG_INF)
     vals, rows = topk_scores(scores, k, approx=approx)
     rows = jnp.where(jnp.isfinite(vals), rows, -1)
-    return vals, rows
+    # single-segment tag column (0 = this segment, -1 = empty slot): built
+    # HERE so the caller never needs a separate eager device op for it
+    tags = jnp.where(rows >= 0, 0, -1)
+    return vals, rows, tags
 
 
 def _pad_pow2(x: int, lo: int = 4) -> int:
@@ -351,7 +354,9 @@ class InvertedIndex:
         """Device BM25 top-k for a BATCH of query strings against this
         segment, using table-level `stats` (falls back to segment-local).
         One device program for the whole batch; terms whose posting lists
-        exceed the scan budget are split into chunks (never truncated)."""
+        exceed the scan budget are split into chunks (never truncated).
+        Returns (vals, rows, per-query terms); `last_tags` holds the
+        program's single-segment tag column for the same call."""
         stats = stats or self.stats
         from ..search.filters import as_mask_array
 
@@ -401,7 +406,7 @@ class InvertedIndex:
                 n_req[i] = max(len(all_terms[i]), 1)
             if not all_terms[i]:
                 n_req[i] = nt + 1  # empty query matches nothing
-        vals, rows = _bm25_score_topk_batch(
+        vals, rows, tags = _bm25_score_topk_batch(
             self.postings_rows,
             self.postings_tf,
             self.doc_len,
@@ -417,6 +422,7 @@ class InvertedIndex:
             approx=approx,
             need_counts=require_all and any(len(t) > 1 for t in all_terms),
         )
+        self.last_tags = tags  # this call's tag column (see docstring)
         return vals, rows, all_terms
 
     def bm25_topk(
