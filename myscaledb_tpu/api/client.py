@@ -46,6 +46,7 @@ class Database:
         event_log_path=None,
         replica_id: Optional[int] = None,
         n_replicas: int = 1,
+        replica_peers=None,
         remote_store=None,
     ):
         self.settings = settings or Settings()
@@ -60,7 +61,11 @@ class Database:
         if replica_id is not None and n_replicas > 1:
             from ..service.replication import ReplicaContext
 
-            self.replica = ReplicaContext(replica_id, n_replicas)
+            # replica_peers: list of peer IndexExchangeServer URLs by
+            # replica id -> index fetch over HTTP instead of a shared dir
+            self.replica = ReplicaContext(
+                replica_id, n_replicas, peers=replica_peers
+            )
         self.event_log = EventLog(path=event_log_path)
         self._tables: Dict[str, Table] = {}
         self._lock = threading.RLock()

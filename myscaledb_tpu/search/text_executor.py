@@ -54,6 +54,7 @@ class TextIndexDefinition:
         # on demand under the per-definition build lock)
         self._pending: Dict[int, Any] = {}
         self._build_lock = threading.Lock()
+        self._stats_cache = None  # (segment-id key, merged BM25Stats)
 
     def _build_store(self, segment) -> InvertedIndex:
         texts = [segment.scalar(c)[: segment.n_rows] for c in self.columns]
@@ -74,11 +75,13 @@ class TextIndexDefinition:
             with self._lock:
                 self._stores[segment.segment_id] = store
                 self._pending.pop(segment.segment_id, None)
+                self._stats_cache = None
             return
         sid = segment.segment_id
         with self._lock:
             self._pending[sid] = segment
             self._stores.pop(sid, None)  # a rebuild invalidates the old store
+            self._stats_cache = None
 
         def job():
             with self._build_lock:
@@ -90,6 +93,7 @@ class TextIndexDefinition:
                 with self._lock:
                     if self._pending.pop(sid, None) is not None:
                         self._stores[sid] = store
+                        self._stats_cache = None
 
         scheduler.submit(job)
 
@@ -97,6 +101,7 @@ class TextIndexDefinition:
         with self._lock:
             self._stores.pop(segment_id, None)
             self._pending.pop(segment_id, None)
+            self._stats_cache = None
 
     def on_deletes(self, segment) -> None:
         # deletes are applied at query time through the alive bitmap
@@ -119,6 +124,7 @@ class TextIndexDefinition:
             with self._lock:
                 self._pending.pop(segment_id, None)
                 self._stores[segment_id] = store
+                self._stats_cache = None
             return store
 
     def nlq_mask(self, segment, store, phrases, negs) -> np.ndarray:
@@ -152,14 +158,23 @@ class TextIndexDefinition:
         return m
 
     def merged_stats(self, segment_ids) -> BM25Stats:
+        key = tuple(segment_ids)
+        cached = self._stats_cache
+        with self._lock:
+            pending = bool(self._pending)
+        # the term-df dict merge is ~1 ms per call at real vocabulary
+        # sizes; cache per segment set (stores are immutable once built)
+        if not pending and cached is not None and cached[0] == key:
+            return cached[1]
         parts = []
         for s in segment_ids:
             st = self.store(s)  # forces any pending background build
             if st is not None:
                 parts.append(st.stats)
-        if not parts:
-            return BM25Stats(0, 0, {})
-        return BM25Stats.merge(parts)
+        out = BM25Stats.merge(parts) if parts else BM25Stats(0, 0, {})
+        if not pending:
+            self._stats_cache = (key, out)
+        return out
 
     @property
     def memory_bytes(self) -> int:
@@ -547,16 +562,22 @@ class TextSearchExecutor:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "fusion_type", "fusion_k", "fusion_weight", "vec_asc"),
+    static_argnames=(
+        "k", "fusion_type", "fusion_k", "fusion_weight", "vec_asc", "nq"
+    ),
 )
 def _fuse_device(
     vvals, vtags, vrows, vtag_map,
     tvals, ttags, trows, ttag_map,
-    k, fusion_type, fusion_k, fusion_weight, vec_asc,
+    k, fusion_type, fusion_k, fusion_weight, vec_asc, nq,
 ):
     """Device hybrid fusion: remap each leg's segment tags into a UNIFIED
-    tag space, fuse (RRF/RSF) over (tag, row) pairs."""
+    tag space, fuse (RRF/RSF) over (tag, row) pairs. Query-padding rows
+    are sliced off HERE (an eager [:nq] per leg array costs a launch)."""
     from .fusion import rrf_fuse_t, rsf_fuse_t
+
+    vvals, vtags, vrows = vvals[:nq], vtags[:nq], vrows[:nq]
+    tvals, ttags, trows = tvals[:nq], ttags[:nq], trows[:nq]
 
     def remap(tags, rows, tag_map):
         uni = jnp.where(tags >= 0, jnp.take(tag_map, jnp.maximum(tags, 0)), -1)
@@ -637,9 +658,8 @@ class HybridSearchExecutor:
 
         def leg(res):
             if res._device is not None:
-                v, tg, r = res._device
-                # vector results may be query-padded ([nq_pad, k]) — align
-                return v[:nq], tg[:nq], r[:nq]
+                # possibly query-padded ([nq_pad, k]) — sliced in the jit
+                return res._device
             # host result here means SearchResult.empty: all slots invalid
             return (
                 jnp.full((nq, res.k), -np.inf, jnp.float32),
@@ -663,6 +683,7 @@ class HybridSearchExecutor:
                 else fusion_weight
             ),
             score_ascending_better(vres.metric),
+            nq,
         )
         return SearchResult(
             Metric.IP, device=(fv, ftag, frow), seg_ids=uni, nq=nq, k=k

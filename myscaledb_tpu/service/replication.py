@@ -42,6 +42,7 @@ class ReplicaContext:
         *,
         fetch_timeout_s: float = 60.0,
         poll_interval_s: float = 0.1,
+        peers=None,
     ):
         if not (0 <= replica_id < n_replicas):
             raise ValueError(f"replica_id {replica_id} out of range 0..{n_replicas-1}")
@@ -49,6 +50,10 @@ class ReplicaContext:
         self.n_replicas = n_replicas
         self.fetch_timeout_s = fetch_timeout_s
         self.poll_interval_s = poll_interval_s
+        # peers[replica_id] -> IndexExchangeServer base URL (or None).
+        # When set, index fetch goes over HTTP (the DataPartsExchange
+        # network path, service/exchange.py) instead of shared-dir polling.
+        self.peers = list(peers) if peers is not None else None
 
     def i_build(self, table: str, segment_id: int, index_name: str) -> bool:
         return (

@@ -474,13 +474,28 @@ class Table:
     def _fetch_replica_index(self, seg, desc) -> None:
         """Non-builder replica: wait for the builder's files and load them
         (DataPartsExchange download side; timeout -> build locally)."""
-        from ..service.replication import wait_for_peer_index
+        from ..service.replication import pick_build_replica, wait_for_peer_index
         from .persistence import load_index
 
         key = (seg.segment_id, desc.name)
-        path = wait_for_peer_index(
-            self.storage_dir, seg.segment_id, desc.name, self.replica
-        )
+        if self.replica.peers is not None:
+            # network path: download from the building replica's exchange
+            # endpoint (DataPartsExchange.cpp:127-217)
+            from ..service.exchange import fetch_index
+
+            builder = pick_build_replica(
+                self.name, seg.segment_id, desc.name, self.replica.n_replicas
+            )
+            url = self.replica.peers[builder]
+            path = fetch_index(
+                url, self.name, seg.segment_id, desc.name, self.storage_dir,
+                timeout_s=self.replica.fetch_timeout_s,
+                poll_interval_s=self.replica.poll_interval_s,
+            ) if url else None
+        else:
+            path = wait_for_peer_index(
+                self.storage_dir, seg.segment_id, desc.name, self.replica
+            )
         if path is None:
             GLOBAL_COUNTERS.bump("ReplicatedPartVectorIndexFailedFetches")
             self._build_one(seg, desc)  # reference fallback: rebuild locally

@@ -86,10 +86,8 @@ def _bm25_score_topk_batch(
     postings_rows: jax.Array,  # int32[nnz_pad]
     postings_tf: jax.Array,  # f32[nnz_pad]
     doc_len: jax.Array,  # f32[capacity]
-    starts: jax.Array,  # int32[Q, T] posting CHUNK starts
-    lengths: jax.Array,  # int32[Q, T] chunk lengths (0 = inert pad)
+    qints: jax.Array,  # int32[Q, 2T+1]: starts | lengths | n_required
     idfs: jax.Array,  # f32[Q, T] idf of the chunk's term
-    n_required: jax.Array,  # int32[Q] min #matched terms (1=OR, n_terms=AND)
     avg_len: jax.Array,  # f32 scalar
     mask: Optional[jax.Array],  # bool[capacity] or None
     *,
@@ -105,8 +103,13 @@ def _bm25_score_topk_batch(
     semantics is unaffected by chunking. need_counts=False (OR queries)
     skips the matched-term-count scatter entirely — a BM25 contribution
     is strictly positive (Lucene idf > 0, tf > 0), so score > 0 IS the
-    matched test; this halves the scatter updates, the kernel's cost."""
-    nq, nt = starts.shape
+    matched test; this halves the scatter updates, the kernel's cost.
+    The three int operands ride in ONE packed array (one host->device
+    transfer per call instead of three)."""
+    nq, nt = idfs.shape
+    starts = qints[:, :nt]
+    lengths = qints[:, nt : 2 * nt]
+    n_required = qints[:, 2 * nt]
     scores = jnp.zeros((nq, capacity), jnp.float32)
     nmatch = jnp.zeros((nq, capacity), jnp.int32) if need_counts else None
     qidx = jnp.arange(nq, dtype=jnp.int32)[:, None]
@@ -393,27 +396,25 @@ class InvertedIndex:
         ]
         nq = len(queries)
         nt = _pad_pow2(max((len(c) for c in chunk_lists), default=1))
-        starts = np.zeros((nq, nt), np.int32)
-        lengths = np.zeros((nq, nt), np.int32)
+        # starts | lengths | n_required packed into ONE int32 upload
+        qints = np.zeros((nq, 2 * nt + 1), np.int32)
         idfs = np.zeros((nq, nt), np.float32)
-        n_req = np.ones(nq, np.int32)
+        qints[:, 2 * nt] = 1
         for i, chunks in enumerate(chunk_lists):
             for j, (s, ln, idf) in enumerate(chunks):
-                starts[i, j] = s
-                lengths[i, j] = ln
+                qints[i, j] = s
+                qints[i, nt + j] = ln
                 idfs[i, j] = idf
             if require_all:
-                n_req[i] = max(len(all_terms[i]), 1)
+                qints[i, 2 * nt] = max(len(all_terms[i]), 1)
             if not all_terms[i]:
-                n_req[i] = nt + 1  # empty query matches nothing
+                qints[i, 2 * nt] = nt + 1  # empty query matches nothing
         vals, rows, tags = _bm25_score_topk_batch(
             self.postings_rows,
             self.postings_tf,
             self.doc_len,
-            jnp.asarray(starts),
-            jnp.asarray(lengths),
-            jnp.asarray(idfs),
-            jnp.asarray(n_req),
+            qints,
+            idfs,
             jnp.float32(stats.avg_doc_len),
             mask,
             budget=budget,
