@@ -217,13 +217,23 @@ class _HNSWBase(VectorIndex):
         "centroids",  # f32[C, D'] entry routing
         "csq",
         "entry_rows",  # int32[C]
+        # SQ8 TRAVERSAL SHADOW (raw codec only): the beam search is
+        # scattered-gather-bound at high dims (~49 MB/step at 960-d), so
+        # frontier expansion scores against int8 codes — half the gather
+        # bytes — and the final k candidates are exactly re-scored against
+        # the raw payload. None on HNSWSQ/HNSWPQ (already compressed) and
+        # on indexes persisted before this field existed.
+        "tdata",  # int8[N', D'] traversal codes
+        "ta",  # sq8 lo[D']
+        "tb",  # sq8 scale[D']
+        "taux",  # f32[N'] |decode(tdata)|^2 (L2 only)
     )
     _static_fields = ("metric", "dim", "n_rows", "m", "ef_default", "codec")
     codec = "raw"
 
     def __init__(self, **kw):
         for f in self._array_fields + self._static_fields:
-            setattr(self, f, kw.pop(f))
+            setattr(self, f, kw.pop(f, None) if f in ("tdata", "ta", "tb", "taux") else kw.pop(f))
         assert not kw
 
     # ------------------------------------------------------------- build
@@ -302,6 +312,7 @@ class _HNSWBase(VectorIndex):
         # payload codec for scoring (encoded on device — the corpus never
         # round-trips to the host during a build)
         codec_a = codec_b = None
+        tdata = ta = tb = taux = None
         host_pl = getattr(payload, "is_host", False)
         store_dt = jnp.bfloat16 if host_pl else payload.data.dtype
         if codec == "raw":
@@ -314,6 +325,12 @@ class _HNSWBase(VectorIndex):
                 aux_arr = (
                     jnp.sum(rep * rep, axis=1) if metric == Metric.L2 else None
                 )
+            # int8 traversal shadow (see _array_fields)
+            ta, tb = quantize.sq8_train_dev(rep)
+            tdata = quantize.sq8_encode_dev(rep, ta, tb)
+            if metric == Metric.L2:
+                tdec = quantize.sq8_decode_dev(tdata, ta, tb).astype(jnp.float32)
+                taux = jnp.sum(tdec * tdec, axis=1)
         elif codec == "sq8":
             codec_a, codec_b = quantize.sq8_train_dev(rep)
             data = quantize.sq8_encode_dev(rep, codec_a, codec_b)
@@ -346,6 +363,10 @@ class _HNSWBase(VectorIndex):
             centroids=ivf.centroids,
             csq=ivf.csq,
             entry_rows=jnp.asarray(entry_rows),
+            tdata=tdata,
+            ta=ta,
+            tb=tb,
+            taux=taux,
             metric=metric,
             dim=dim,
             n_rows=n_rows,
@@ -363,11 +384,23 @@ class _HNSWBase(VectorIndex):
             return quantize.pq_decode_dev(g, self.codec_a)
         return g
 
-    def _score_rows(self, q_parts, rows: jax.Array) -> jax.Array:
+    def _score_rows(
+        self, q_parts, rows: jax.Array, traverse: bool = False
+    ) -> jax.Array:
         """scores f32[Q, R] for per-query row sets rows[Q, R]. Gathered-row
         scoring is f32/HIGHEST: the bf16 hi/lo split is unsafe inside XLA
-        fusions here (see ivf.IVFIndex._decode)."""
-        vecs = self._decode_rows(rows).astype(jnp.float32)  # [Q, R, D']
+        fusions here (see ivf.IVFIndex._decode). traverse=True scores
+        against the int8 shadow when present — half the gather bytes; the
+        search exactly re-scores its final candidates."""
+        if traverse and self.tdata is not None:
+            g = jnp.take(self.tdata, jnp.maximum(rows, 0), axis=0)
+            vecs = quantize.sq8_decode_dev(g, self.ta, self.tb).astype(
+                jnp.float32
+            )
+            aux = self.taux
+        else:
+            vecs = self._decode_rows(rows).astype(jnp.float32)  # [Q, R, D']
+            aux = self.aux
         d = vecs.shape[-1]
         s = jnp.zeros(rows.shape, jnp.float32)
         for p in range(q_parts.shape[0]):
@@ -379,7 +412,7 @@ class _HNSWBase(VectorIndex):
                 precision=exact_precision(),
             )[:, 0, :]
         if self.metric == Metric.L2:
-            s = 2.0 * s - jnp.take(self.aux, jnp.maximum(rows, 0))
+            s = 2.0 * s - jnp.take(aux, jnp.maximum(rows, 0))
         return jnp.where(rows >= 0, s, NEG_INF)
 
     def _q_parts(self, q: jax.Array) -> jax.Array:
@@ -412,7 +445,7 @@ class _HNSWBase(VectorIndex):
             cs = 2.0 * cs - self.csq[None, :]
         _, ecl = jax.lax.top_k(cs, n_entry)  # [Q, E]
         erows = jnp.take(self.entry_rows, ecl)  # [Q, E]
-        escores = self._score_rows(q_parts, erows)
+        escores = self._score_rows(q_parts, erows, traverse=True)
 
         def res_mask(rows, scores):
             ok = rows >= 0
@@ -420,18 +453,26 @@ class _HNSWBase(VectorIndex):
                 ok = jnp.logical_and(ok, jnp.take(mask, jnp.maximum(rows, 0)))
             return jnp.where(ok, scores, NEG_INF)
 
-        # frontier [Q, ef]: scores, rows, expanded
+        # frontier [Q, ef]: traverse-scores, rows, expanded flags.
+        # results accumulate as a WIDE pool of (approx score, row) pairs
+        # with no per-iteration dedup — duplicates are absorbed by the
+        # pool width and killed once at the end, where the pool is also
+        # EXACTLY re-scored (the traverse scores are int8-approximate).
+        rp = max(k, min(ef, 2 * k))
         pad = ef - n_entry if ef > n_entry else 0
         fv = jnp.pad(escores, ((0, 0), (0, pad)), constant_values=NEG_INF)[:, :ef]
         fr = jnp.pad(erows, ((0, 0), (0, pad)), constant_values=-1)[:, :ef]
         fe = jnp.zeros((nq, ef), bool)
-        iv, ir, _ = dedup_rows(res_mask(erows, escores), erows, None)
         rv, pos = jax.lax.top_k(
-            jnp.pad(iv, ((0, 0), (0, max(0, k - iv.shape[1]))), constant_values=NEG_INF),
-            k,
+            jnp.pad(
+                res_mask(erows, escores),
+                ((0, 0), (0, max(0, rp - erows.shape[1]))),
+                constant_values=NEG_INF,
+            ),
+            rp,
         )
         rr = jnp.take_along_axis(
-            jnp.pad(ir, ((0, 0), (0, max(0, k - ir.shape[1]))), constant_values=-1),
+            jnp.pad(erows, ((0, 0), (0, max(0, rp - erows.shape[1]))), constant_values=-1),
             pos,
             axis=1,
         )
@@ -450,16 +491,13 @@ class _HNSWBase(VectorIndex):
                 self.neighbors, jnp.maximum(exp_rows, 0), axis=0
             )  # [Q, BEAM, m]
             nbrs = jnp.where(exp_rows[..., None] >= 0, nbrs, -1).reshape(nq, -1)
-            ns = self._score_rows(q_parts, nbrs)  # [Q, BEAM*m]
-            # results: masked scores, deduped by row id before the cut
-            # (the frontier revisits nodes; without dedup the k result
-            # slots fill with copies of the best row)
+            ns = self._score_rows(q_parts, nbrs, traverse=True)  # [Q, BEAM*m]
+            # result pool: plain top-k merge (masked scores), dedup deferred
             cv = jnp.concatenate([rv, res_mask(nbrs, ns)], axis=1)
             cr = jnp.concatenate([rr, nbrs], axis=1)
-            cv, cr, _ = dedup_rows(cv, cr, None)
-            rv2, pos2 = jax.lax.top_k(cv, k)
+            rv2, pos2 = jax.lax.top_k(cv, rp)
             rr2 = jnp.take_along_axis(cr, pos2, axis=1)
-            # frontier merge with by-id dedup
+            # frontier merge with by-id dedup (prevents re-expansion)
             av = jnp.concatenate([fv, ns], axis=1)
             ar = jnp.concatenate([fr, nbrs], axis=1)
             ae = jnp.concatenate([fe2, jnp.zeros_like(ns, bool)], axis=1)
@@ -472,10 +510,14 @@ class _HNSWBase(VectorIndex):
         fv, fr, fe, rv, rr = jax.lax.fori_loop(
             0, iters, body, (fv, fr, fe, rv, rr)
         )
-        # final result dedup (duplicates can enter across iterations)
-        rv, rr, _ = dedup_rows(rv, rr, None)
-        rv, pos = jax.lax.top_k(rv, k)
-        rr = jnp.take_along_axis(rr, pos, axis=1)
+        # final cut: pool ∪ frontier, dedup by row id, EXACT re-score
+        # (raw payload / codec — the traversal used int8 approximations)
+        pool_r = jnp.concatenate([rr, fr], axis=1)
+        pool_v = jnp.concatenate([rv, res_mask(fr, fv)], axis=1)
+        _, pr, _ = dedup_rows(pool_v, pool_r, None)
+        ev = res_mask(pr, self._score_rows(q_parts, pr))
+        rv, pos = jax.lax.top_k(ev, k)
+        rr = jnp.take_along_axis(pr, pos, axis=1)
         rr = jnp.where(jnp.isfinite(rv), rr, -1)
         return rv, rr
 
