@@ -262,6 +262,7 @@ class Select:
     limit: Optional[int] = None
     offset: int = 0
     limit_by: Optional[Any] = None  # the LIMIT n BY expr column
+    group_by: Optional[str] = None  # GROUP BY key column (aggregates)
     final: bool = False  # FROM t FINAL (Replacing-engine dedup)
     table_func: Optional["TableFunc"] = None  # FROM full_text_search(...)
     source: Any = None  # ("sub", Select, alias) when FROM (subquery)
@@ -738,6 +739,20 @@ class Parser:
                 if self.accept_kw("as"):
                     alias = self.expect_name()
                 items.append(SelectItem(("count",), alias))
+            elif (
+                t.kind == "name"
+                and t.lower() in ("sum", "avg", "min", "max")
+                and self.peek(1).kind == "op"
+                and self.peek(1).value == "("
+            ):
+                fname = self.next().lower()
+                self.expect_op("(")
+                acol = self.expect_name()
+                self.expect_op(")")
+                alias = None
+                if self.accept_kw("as"):
+                    alias = self.expect_name()
+                items.append(SelectItem((fname, acol), alias))
             else:
                 name = self._qual_name()
                 alias = None
@@ -779,6 +794,8 @@ class Parser:
             sel.prewhere = self.where_expr()
         if self.accept_kw("where"):
             sel.where = self.where_expr()
+        if self.accept_kw("group", "by"):
+            sel.group_by = self.expect_name()
         if self.accept_kw("order", "by"):
             while True:
                 name = self.expect_name()

@@ -414,8 +414,8 @@ class SQLRunner:
                 out.append(it.expr.alias)
             elif it.expr == "*":
                 out.extend(t.schema.scalar_columns())
-            elif isinstance(it.expr, tuple) and it.expr[0] == "count":
-                raise SQLError("count() cannot be combined with search")
+            elif isinstance(it.expr, tuple):
+                raise SQLError("aggregates cannot be combined with search")
             else:
                 out.append(it.alias or it.expr)
         return out
@@ -581,9 +581,7 @@ class SQLRunner:
 
     # -------------------------------------------------------------- plain
     def _plain_scan(self, t, st: P.Select, filt):
-        want_count = any(
-            isinstance(it.expr, tuple) and it.expr[0] == "count" for it in st.items
-        )
+        agg_items = [it for it in st.items if isinstance(it.expr, tuple)]
         rows: List[Dict[str, Any]] = []
         total = 0
         cols: List[str] = []
@@ -592,6 +590,12 @@ class SQLRunner:
                 cols.extend(t.schema.scalar_columns())
             elif isinstance(it.expr, str):
                 cols.append(it.expr)
+        # aggregate mode: collect the needed columns as arrays per segment
+        agg_vals: Dict[str, List[np.ndarray]] = {
+            it.expr[1]: [] for it in agg_items if len(it.expr) > 1
+        }
+        if st.group_by:
+            agg_vals.setdefault(st.group_by, [])
         survivors = t._final_survivors() if st.final else None
         for seg in sorted(t.live_segments(), key=lambda s: s.segment_id):
             alive = ~seg.deleted_host()[: seg.n_rows]
@@ -608,16 +612,16 @@ class SQLRunner:
                 m = m & win
             idxs = np.nonzero(m)[0]
             total += len(idxs)
-            if not want_count:
+            if agg_items:
+                for c in agg_vals:
+                    agg_vals[c].append(seg.scalar(c)[idxs])
+            else:
                 for i in idxs:
                     rows.append(
                         {c: _pyval(seg.scalar(c)[i]) for c in cols}
                     )
-        if want_count:
-            it = next(
-                it for it in st.items if isinstance(it.expr, tuple)
-            )
-            return [{it.alias or "count()": total}]
+        if agg_items:
+            return self._aggregate(st, agg_items, agg_vals, total)
         if st.order_by:
             for expr, d in reversed(st.order_by):
                 name = expr[0] if isinstance(expr, tuple) else expr
@@ -625,6 +629,50 @@ class SQLRunner:
         lo = st.offset
         hi = None if st.limit is None else st.offset + st.limit
         return rows[lo:hi]
+
+    def _aggregate(self, st: P.Select, agg_items, agg_vals, total):
+        """count()/sum/avg/min/max [GROUP BY key] over the filtered rows
+        (aggregates outside the search contract — the reference inherits
+        full ClickHouse SQL; this covers the common introspection forms)."""
+
+        def name_of(it):
+            if it.expr[0] == "count":
+                return it.alias or "count()"
+            return it.alias or f"{it.expr[0]}({it.expr[1]})"
+
+        def compute(it, sel=slice(None), n=None):
+            if it.expr[0] == "count":
+                return int(n if n is not None else total)
+            fn, col = it.expr
+            v = np.concatenate(agg_vals[col]) if agg_vals[col] else np.zeros(0)
+            v = v[sel]
+            if len(v) == 0:
+                return None
+            out = {"sum": np.sum, "avg": np.mean, "min": np.min, "max": np.max}[
+                fn
+            ](v.astype(np.float64))
+            return _pyval(out) if fn in ("min", "max") else float(out)
+
+        if not st.group_by:
+            return [{name_of(it): compute(it) for it in agg_items}]
+        keys = (
+            np.concatenate(agg_vals[st.group_by])
+            if agg_vals[st.group_by]
+            else np.zeros(0)
+        )
+        out_rows = []
+        for kv in np.unique(keys) if len(keys) else []:
+            sel = keys == kv
+            row = {st.group_by: _pyval(kv)}
+            for it in agg_items:
+                row[name_of(it)] = compute(it, sel, n=int(sel.sum()))
+            out_rows.append(row)
+        if st.order_by:
+            for expr, d in reversed(st.order_by):
+                nm = expr[0] if isinstance(expr, tuple) else expr
+                out_rows.sort(key=lambda r: r.get(nm), reverse=(d == "desc"))
+        hi = None if st.limit is None else st.offset + st.limit
+        return out_rows[st.offset : hi]
 
     def _project_plain(self, rows: List[Dict[str, Any]], st: P.Select):
         filt = st.where

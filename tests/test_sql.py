@@ -174,3 +174,44 @@ def test_optimize_table(sdb):
     rows = sdb.sql("SELECT id, distance(vec, [9.0,9,9,9,9,9,9,9]) AS d "
                    "FROM docs ORDER BY d LIMIT 1")
     assert rows[0]["id"] == 100
+
+
+def test_sql_aggregates(db):
+    db.sql(
+        "CREATE TABLE agg (id UInt64, grp Int32, price Float32, "
+        "vec Array(Float32), CONSTRAINT c CHECK length(vec) = 4)"
+    )
+    for i in range(12):
+        db.sql(
+            f"INSERT INTO agg VALUES ({i}, {i % 3}, {float(i)}, "
+            "[0.0, 0.0, 0.0, 0.0])"
+        )
+    r = db.sql("SELECT count(*), sum(price), avg(price), min(price), max(price) FROM agg")
+    assert r == [
+        {
+            "count()": 12,
+            "sum(price)": 66.0,
+            "avg(price)": 5.5,
+            "min(price)": 0.0,
+            "max(price)": 11.0,
+        }
+    ]
+    r = db.sql("SELECT sum(price) AS s FROM agg WHERE id < 4")
+    assert r == [{"s": 6.0}]
+    r = db.sql(
+        "SELECT grp, count(*) AS n, max(price) AS mx FROM agg "
+        "GROUP BY grp ORDER BY grp ASC"
+    )
+    assert r == [
+        {"grp": 0, "n": 4, "mx": 9.0},
+        {"grp": 1, "n": 4, "mx": 10.0},
+        {"grp": 2, "n": 4, "mx": 11.0},
+    ]
+    r = db.sql(
+        "SELECT grp, avg(price) AS a FROM agg GROUP BY grp "
+        "ORDER BY a DESC LIMIT 1"
+    )
+    assert r == [{"grp": 2, "a": 6.5}]
+    # empty-result aggregates
+    r = db.sql("SELECT sum(price) FROM agg WHERE id > 100")
+    assert r == [{"sum(price)": None}]
