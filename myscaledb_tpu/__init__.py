@@ -35,6 +35,20 @@ from .storage.schema import (
 )
 from .storage.table import Table
 
+
+def __getattr__(name):
+    # heavyweight scale-out constructs load lazily (they import shard_map
+    # machinery; most single-chip users never touch them)
+    if name == "MeshTable":
+        from .parallel.mesh_table import MeshTable
+
+        return MeshTable
+    if name == "ShardedTable":
+        from .parallel.sharded_table import ShardedTable
+
+        return ShardedTable
+    raise AttributeError(name)
+
 # Index implementations register themselves on import.
 from .index import flat as _flat  # noqa: F401
 from .index import ivf as _ivf  # noqa: F401
@@ -71,4 +85,6 @@ __all__ = [
     "IndexNotReadyError",
     "QueryShapeError",
     "SQLError",
+    "MeshTable",
+    "ShardedTable",
 ]

@@ -77,10 +77,12 @@ def distributed_scan_topk(
     metric: Metric,
     rows_per_shard: int,
     approx: bool = False,
+    mask: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact scan over a corpus sharded on the "data" axis; queries sharded
     on the "query" axis. Returns globally-merged (scores, row_ids) sharded
-    over "query" — row ids are global.
+    over "query" — row ids are global. `mask` is an optional bool[N]
+    pre-filter (WHERE bitmap ∩ alive bitmap), row-sharded like the data.
 
     Per chip: local fused scan (Pallas/XLA) -> [Qs, k]. ICI: all_gather the
     per-chip top-k over "data" (k·S tiny rows) and merge locally — the
@@ -88,8 +90,11 @@ def distributed_scan_topk(
     """
     n_data = mesh.shape["data"]
     aux_in = aux if aux is not None else jnp.zeros((data.shape[0],), jnp.float32)
+    mask_in = (
+        mask if mask is not None else jnp.ones((data.shape[0],), jnp.bool_)
+    )
 
-    def local(q, x, a):
+    def local(q, x, a, m):
         my = jax.lax.axis_index("data")
         v, r = scan_topk_t(
             q,
@@ -99,6 +104,7 @@ def distributed_scan_topk(
             metric=metric,
             n_valid=rows_per_shard,
             approx=approx,
+            mask=m,
         )
         r = jnp.where(r >= 0, r + my * rows_per_shard, -1)
         # [S, Q, k] on every chip of the data axis (ICI all-gather)
@@ -114,11 +120,11 @@ def distributed_scan_topk(
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P("query", None), P("data", None), P("data")),
+        in_specs=(P("query", None), P("data", None), P("data"), P("data")),
         out_specs=(P("query", None), P("query", None)),
         check_vma=False,
     )
-    return fn(queries, data, aux_in)
+    return fn(queries, data, aux_in, mask_in)
 
 
 # --------------------------------------------------------------- k-means
