@@ -126,7 +126,11 @@ def save_segment(segment, dirpath: str) -> None:
             cols[name] = (
                 col.astype(str) if col.dtype == object else col
             )
-    np.savez_compressed(os.path.join(dirpath, "columns.npz"), **cols)
+    # uncompressed npz: embedding payloads are near-incompressible, and
+    # single-threaded zlib writes at ~3 MB/s — 100x slower than the disk.
+    # np.load reads STORED and DEFLATED members identically, so older
+    # compressed checkpoints keep loading (no format bump needed).
+    np.savez(os.path.join(dirpath, "columns.npz"), **cols)
     names = ["columns.npz", "meta.json"]
     deleted = segment.deleted_host()[: segment.n_rows]
     if deleted.any():
@@ -238,7 +242,7 @@ def save_index(instance, dirpath: str) -> None:
     names = ["meta.json"]
     arrays = state.get("arrays")
     if arrays:
-        np.savez_compressed(
+        np.savez(  # uncompressed: see save_segment
             os.path.join(tmp, "arrays.npz"), **_npz_encode(arrays)
         )
         names.append("arrays.npz")
