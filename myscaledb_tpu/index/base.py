@@ -169,12 +169,22 @@ class VectorIndex(abc.ABC):
 
     @classmethod
     def estimate_build_bytes(cls, payload, n_rows: int, params=None) -> int:
-        """Conservative device-memory estimate for building this index
+        """Conservative DEVICE-memory estimate for building this index
         over `payload` — checked against the build budget BEFORE any
         allocation (VIBuildMemoryUsageHelper::checkBuildMemory analogue).
         Default: an f32 scan-representation copy plus ~index-sized output
-        and transient buffers (~2 payload copies)."""
+        and transient buffers (~2 payload copies). Host-tier payloads
+        (beyond-HBM corpora) never materialize on device in full: only a
+        bounded training sample + the compressed index live in HBM, so
+        the estimate must not count the host-RAM footprint (that would
+        reject exactly the builds the host tier exists for)."""
         dpad = payload.data.shape[1]
+        if getattr(payload, "is_host", False):
+            # kmeans.training_sample* bound: ~centroids x 128 rows; 256k
+            # covers the largest default ncentroids comfortably
+            sample = min(n_rows, 256 * 1024)
+            # training sample (f32) + compressed windows (~1 byte/dim) x2
+            return 4 * sample * dpad + 2 * n_rows * dpad
         rep_f32 = 4 * n_rows * dpad
         return rep_f32 + 2 * int(payload.nbytes)
 

@@ -186,17 +186,18 @@ class MeshTable:
         mask = self._mask_for(filter, alive_d, cols_d)
         nprobe = int((params or {}).get("nprobe", 0))
         if self._ivf is not None and nprobe > 0:
-            cents, csq, pdata, paux, prows, cstart, bpad = self._ivf
-            v, r = distributed_ivf_topk(
-                self.mesh, qdev, cents, csq, pdata, paux, prows, cstart,
-                k=k, nprobe=nprobe, bucket_pad=bpad, rows_per_shard=rps,
-            )
-            # IVF path applies no filter mask: reject to keep semantics exact
+            # IVF path applies no filter mask: reject BEFORE dispatching
+            # the SPMD program, to keep semantics exact
             if filter is not None or self._deleted:
                 raise QueryShapeError(
                     "MeshTable IVF search does not support filters/deletes "
                     "yet — use the exact path (omit nprobe)"
                 )
+            cents, csq, pdata, paux, prows, cstart, bpad = self._ivf
+            v, r = distributed_ivf_topk(
+                self.mesh, qdev, cents, csq, pdata, paux, prows, cstart,
+                k=k, nprobe=nprobe, bucket_pad=bpad, rows_per_shard=rps,
+            )
         else:
             v, r = distributed_scan_topk(
                 self.mesh, qdev, data, aux_d,

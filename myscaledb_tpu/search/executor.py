@@ -118,11 +118,12 @@ class SearchResult:
         return np.where(self.valid, d, np.inf).astype(np.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def merge_tagged_topk(vals_t, rows_t, k):
-    """Global top-k across per-segment (vals, rows) lists: one tiny device
-    program (the k-way merge, getTotalTopSearchResultImpl analogue).
-    Returns (vals f32[Q,k], tag int32[Q,k] — position in the tuple, rows)."""
+def _merge_tagged_body(vals_t, rows_t, k):
+    """Traced body of the global tagged top-k merge across per-segment
+    (vals, rows) lists (the k-way merge, getTotalTopSearchResultImpl
+    analogue). Shared by merge_tagged_topk, _fused_multi_search and the
+    two-stage path. Returns (vals f32[Q,k], tag int32[Q,k] — position in
+    the tuple, rows int32[Q,k])."""
     vals = jnp.concatenate(vals_t, axis=-1)
     rows = jnp.concatenate(rows_t, axis=-1)
     tag = jnp.concatenate(
@@ -141,6 +142,12 @@ def merge_tagged_topk(vals_t, rows_t, k):
         mt = jnp.pad(mt, pad, constant_values=-1)
         mr = jnp.pad(mr, pad, constant_values=-1)
     return mv, mt, mr
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def merge_tagged_topk(vals_t, rows_t, k):
+    """One tiny device program over _merge_tagged_body (host callers)."""
+    return _merge_tagged_body(vals_t, rows_t, k)
 
 
 @functools.partial(
@@ -173,30 +180,15 @@ def _fused_multi_search(
             queries = jnp.pad(
                 q, ((0, nq_pad - q.shape[0]), (0, dpad - q.shape[1]))
             )
-    vs, rs, tags = [], [], []
-    for i, (s, m) in enumerate(zip(searchers, masks)):
+    vs, rs = [], []
+    for s, m in zip(searchers, masks):
         # WindowMask rides through raw: the index consumes it in its own
         # layout; everything else materializes to a row-space bitmap here
         mm = m if isinstance(m, WindowMask) else as_mask_array(m)
         v, r = s.search_t(queries, k, mask=mm, params=pkey)
         vs.append(v)
         rs.append(r)
-        tags.append(jnp.full(v.shape, i, jnp.int32))
-    vals = jnp.concatenate(vs, axis=-1)
-    rows = jnp.concatenate(rs, axis=-1)
-    tag = jnp.concatenate(tags, axis=-1)
-    kk = min(k, vals.shape[-1])
-    mv, pos = jax.lax.top_k(vals, kk)
-    mr = jnp.take_along_axis(rows, pos, axis=-1)
-    mt = jnp.take_along_axis(tag, pos, axis=-1)
-    bad = jnp.logical_or(~jnp.isfinite(mv), mr < 0)
-    mt = jnp.where(bad, -1, mt)
-    mr = jnp.where(bad, -1, mr)
-    if kk < k:
-        pad = ((0, 0), (0, k - kk))
-        mv = jnp.pad(mv, pad, constant_values=NEG_INF)
-        mt = jnp.pad(mt, pad, constant_values=-1)
-        mr = jnp.pad(mr, pad, constant_values=-1)
+    mv, mt, mr = _merge_tagged_body(tuple(vs), tuple(rs), k)
     return mv, mt, mr, qsq
 
 
@@ -561,19 +553,10 @@ class VectorSearchExecutor:
             v, r = idx_obj.search(qdev, k, params=params, mask=mask)
             per.append((sid, v, r))
         # host-side merge of the few per-segment lists
-        vals = jnp.concatenate([v for _, v, _ in per], axis=-1)
-        rows = jnp.concatenate([r for _, _, r in per], axis=-1)
-        tags = jnp.concatenate(
-            [jnp.full(v.shape, i, jnp.int32) for i, (_, v, _) in enumerate(per)],
-            axis=-1,
+        kk = min(k, sum(v.shape[-1] for _, v, _ in per))
+        mv, mt, mr = merge_tagged_topk(
+            tuple(v for _, v, _ in per), tuple(r for _, _, r in per), kk
         )
-        kk = min(k, vals.shape[-1])
-        mv, pos = jax.lax.top_k(vals, kk)
-        mr = jnp.take_along_axis(rows, pos, axis=-1)
-        mt = jnp.take_along_axis(tags, pos, axis=-1)
-        bad = jnp.logical_or(~jnp.isfinite(mv), mr < 0)
-        mt = jnp.where(bad, -1, mt)
-        mr = jnp.where(bad, -1, mr)
         return SearchResult(
             metric,
             device=(mv, mt, mr),

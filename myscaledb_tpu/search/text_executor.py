@@ -514,6 +514,7 @@ class TextSearchExecutor:
 
         vals_t: List = []
         rows_t: List = []
+        tags_t: List = []
         tags: List[int] = []
         for seg in segments:
             store = tdef.store(seg.segment_id)
@@ -534,18 +535,18 @@ class TextSearchExecutor:
                 mask = jnp.asarray(extra)
                 if base is not None:
                     mask = jnp.logical_and(mask, base[None, :])
-            vals, rows, _terms = store.bm25_topk_batch(
+            vals, rows, seg_tags, _terms = store.bm25_topk_batch(
                 bm25_queries, k, stats=stats, operator=operator, mask=mask
             )
             vals_t.append(vals)
             rows_t.append(rows)
+            tags_t.append(seg_tags)
             tags.append(seg.segment_id)
         if not vals_t:
             return SearchResult.empty(Metric.IP, nq, k)
         if len(vals_t) == 1:
             # tag column already produced inside the scoring program
-            mv, mr = vals_t[0], rows_t[0]
-            mt = store.last_tags
+            mv, mr, mt = vals_t[0], rows_t[0], tags_t[0]
         else:
             from .executor import merge_tagged_topk
 

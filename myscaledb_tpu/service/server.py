@@ -128,13 +128,14 @@ class SearchServer:
     def _run(self):
         import time
 
-        while not self._stop:
+        while True:
             first = self._q.get()
             if first is None:
-                return
+                break
             batch = [first]
             deadline = time.monotonic() + self.max_delay_s
             spill: List[_Request] = []
+            saw_sentinel = False
             while len(batch) < self.max_batch:
                 timeout = deadline - time.monotonic()
                 if timeout <= 0:
@@ -144,7 +145,7 @@ class SearchServer:
                 except queue.Empty:
                     break
                 if r is None:
-                    self._stop = True
+                    saw_sentinel = True  # keep draining accepted requests
                     break
                 if r.key == first.key:
                     batch.append(r)
@@ -152,6 +153,8 @@ class SearchServer:
                     spill.append(r)
             for r in spill:  # different groups go back for the next round
                 self._q.put(r)
+            if saw_sentinel:
+                self._q.put(None)  # re-arm shutdown AFTER the spilled work
             self._sem.acquire()
             try:
                 t, res = self._execute_group(batch)
@@ -162,6 +165,15 @@ class SearchServer:
                         r.future.set_exception(e)
                 continue
             self._resolvers.submit(self._finish_group, batch, t, res)
+        # drain: fail anything that arrived after close() so no caller
+        # blocks forever on an unresolved future
+        while True:
+            try:
+                r = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if r is not None and not r.future.done():
+                r.future.set_exception(RuntimeError("SearchServer closed"))
 
     @staticmethod
     def _bucket(n: int) -> int:

@@ -488,14 +488,17 @@ class SQLRunner:
         res = t.search(pcol, pq, k, filter=filt, params=primary.params or None,
                        final=st.final)
         rows = self._emit_search_rows(t, st, res, primary.alias)
-        # secondary distance columns, joined by label onto the same rows
+        # secondary distance columns, joined by label onto the same rows.
+        # _emit_search_rows already applied OFFSET/LIMIT, so the valid-hit
+        # positions must be sliced identically before zipping
+        live = [j for j in range(res.k) if res.valid[0, j]]
+        live = live[st.offset : st.offset + st.limit if st.limit else None]
         for c in calls:
             if c is primary:
                 continue
             scol = [a[1] for a in c.args if a[0] == "col"][0]
             sq = np.asarray([a[1] for a in c.args if a[0] == "lit"][0], np.float32)
             d = t.compute_distances(scol, sq, res)
-            live = [j for j in range(res.k) if res.valid[0, j]]
             for row, j in zip(rows, live):
                 row[c.alias] = float(d[0, j])
         return rows

@@ -99,8 +99,11 @@ class LocalStore(ObjectStore):
         self.root = root
 
     def _path(self, key: str) -> str:
-        p = os.path.normpath(os.path.join(self.root, key))
-        if not p.startswith(os.path.normpath(self.root)):
+        root = os.path.normpath(self.root)
+        p = os.path.normpath(os.path.join(root, key))
+        # commonpath, not a string prefix: '/data/store-other' shares the
+        # prefix '/data/store' but is NOT inside it
+        if p != root and os.path.commonpath([p, root]) != root:
             raise PersistenceError(f"key escapes store root: {key}")
         return p
 

@@ -353,13 +353,13 @@ class InvertedIndex:
         operator: str = "OR",
         mask: Optional[jax.Array] = None,
         approx: bool = False,
-    ) -> Tuple[jax.Array, jax.Array, List[List[str]]]:
+    ) -> Tuple[jax.Array, jax.Array, jax.Array, List[List[str]]]:
         """Device BM25 top-k for a BATCH of query strings against this
         segment, using table-level `stats` (falls back to segment-local).
         One device program for the whole batch; terms whose posting lists
         exceed the scan budget are split into chunks (never truncated).
-        Returns (vals, rows, per-query terms); `last_tags` holds the
-        program's single-segment tag column for the same call."""
+        Returns (vals, rows, tags, per-query terms) — tags is the
+        program's single-segment tag column (0 valid / -1 empty)."""
         stats = stats or self.stats
         from ..search.filters import as_mask_array
 
@@ -423,8 +423,7 @@ class InvertedIndex:
             approx=approx,
             need_counts=require_all and any(len(t) > 1 for t in all_terms),
         )
-        self.last_tags = tags  # this call's tag column (see docstring)
-        return vals, rows, all_terms
+        return vals, rows, tags, all_terms
 
     def bm25_topk(
         self,
@@ -437,7 +436,7 @@ class InvertedIndex:
         approx: bool = False,
     ) -> Tuple[jax.Array, jax.Array, List[str]]:
         """Single-query convenience wrapper over bm25_topk_batch."""
-        vals, rows, terms = self.bm25_topk_batch(
+        vals, rows, _tags, terms = self.bm25_topk_batch(
             [query], k, stats=stats, operator=operator, mask=mask, approx=approx
         )
         return vals, rows, terms[0]

@@ -38,7 +38,7 @@ def test_bm25_batch_matches_single():
     ]
     idx = InvertedIndex.build([np.asarray(docs, dtype=object)], capacity=8)
     queries = ["quick fox", "dog", "brown bear fish", ""]
-    bv, br, _ = idx.bm25_topk_batch(queries, 3)
+    bv, br, _tags, _ = idx.bm25_topk_batch(queries, 3)
     bv, br = np.asarray(bv), np.asarray(br)
     for i, q in enumerate(queries):
         sv, sr, _ = idx.bm25_topk(q, 3)
