@@ -171,5 +171,30 @@ class Settings:
     table: TableSettings = dataclasses.field(default_factory=TableSettings)
     server: ServerSettings = dataclasses.field(default_factory=ServerSettings)
 
+    def override(self, kv) -> "Settings":
+        """Copy with flat name=value overrides resolved across the three
+        layers — the per-query `SETTINGS k=v` clause. Unknown names raise
+        (the reference rejects unknown settings)."""
+        out = Settings(
+            query=dataclasses.replace(self.query),
+            table=dataclasses.replace(self.table),
+            server=dataclasses.replace(self.server),
+        )
+        for name, value in dict(kv).items():
+            for layer in (out.query, out.table, out.server):
+                if hasattr(layer, name):
+                    cur = getattr(layer, name)
+                    if isinstance(cur, bool):
+                        value = bool(int(value)) if not isinstance(value, str) else value.lower() in ("1", "true")
+                    elif isinstance(cur, int):
+                        value = int(value)
+                    elif isinstance(cur, float):
+                        value = float(value)
+                    setattr(layer, name, value)
+                    break
+            else:
+                raise ValueError(f"unknown setting {name!r}")
+        return out
+
 
 DEFAULT_SETTINGS = Settings()

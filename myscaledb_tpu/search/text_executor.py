@@ -475,6 +475,7 @@ class TextSearchExecutor:
         operator: str = "OR",
         stats_override: Optional[BM25Stats] = None,
         enable_nlq: bool = False,
+        settings=None,
     ) -> SearchResult:
         """textsearch() analogue: BM25 top-k, scores descending.
 
@@ -485,7 +486,7 @@ class TextSearchExecutor:
         replaces the local table stats so scores are comparable across
         shards. The result is device-lazy like vector search."""
         t = self.table
-        st = t.settings
+        st = settings or t.settings
         queries = [query] if isinstance(query, str) else list(query)
         nq = len(queries)
         if nq == 0:
@@ -613,6 +614,7 @@ class HybridSearchExecutor:
         filter: Optional[Expr] = None,
         operator: str = "OR",
         params: Optional[Dict[str, Any]] = None,
+        settings=None,
     ) -> SearchResult:
         """hybridsearch() analogue: both legs fetch k×multiple_base
         candidates, fused ON DEVICE (RRF: Σ1/(k+rank); RSF: direction-aware
@@ -622,14 +624,15 @@ class HybridSearchExecutor:
         of Q strings (or one string shared by all). The whole hybrid query
         is device-lazy — no host sync until results are read."""
         t = self.table
-        st = t.settings
+        st = settings or t.settings
         k = int(k if k is not None else st.query.default_topk)
         n_cand = min(
             k * st.query.hybrid_search_top_k_multiple_base,
             st.query.max_search_result_window,
         )
 
-        vres = t.search(vector_column, vector_query, n_cand, filter=filter, params=params)
+        vres = t.search(vector_column, vector_query, n_cand, filter=filter,
+                        params=params, settings=st)
         nq = vres.nq
         GLOBAL_COUNTERS.bump("HybridSearchQueries", nq)
         tq = [text_query] * nq if isinstance(text_query, str) else list(text_query)
@@ -638,7 +641,8 @@ class HybridSearchExecutor:
                 f"text_query batch ({len(tq)}) must match vector batch ({nq})"
             )
         tres = TextSearchExecutor(t).run(
-            text_column_or_index, tq, n_cand, filter=filter, operator=operator
+            text_column_or_index, tq, n_cand, filter=filter, operator=operator,
+            settings=st,
         )
 
         ftype = fusion_type.lower()

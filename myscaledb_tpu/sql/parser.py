@@ -263,6 +263,7 @@ class Select:
     offset: int = 0
     limit_by: Optional[Any] = None  # the LIMIT n BY expr column
     group_by: Optional[str] = None  # GROUP BY key column (aggregates)
+    settings: Dict[str, Any] = dataclasses.field(default_factory=dict)
     final: bool = False  # FROM t FINAL (Replacing-engine dedup)
     table_func: Optional["TableFunc"] = None  # FROM full_text_search(...)
     source: Any = None  # ("sub", Select, alias) when FROM (subquery)
@@ -831,6 +832,22 @@ class Parser:
             if self.accept_kw("offset"):
                 o = self.next()
                 sel.offset = o.value
+        if self.accept_kw("settings"):
+            # per-query SETTINGS k=v, ... (Settings.h query settings)
+            while True:
+                name = self.expect_name()
+                self.expect_op("=")
+                t = self.next()
+                if t.kind in ("int", "float"):
+                    sel.settings[name] = t.value
+                elif t.kind == "str":
+                    sel.settings[name] = t.value
+                elif t.kind == "name":
+                    sel.settings[name] = t.value
+                else:
+                    self.error("SETTINGS expects name = literal")
+                if not self.accept_op(","):
+                    break
         return sel
 
 

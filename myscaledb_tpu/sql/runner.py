@@ -397,6 +397,15 @@ class SQLRunner:
         raise SQLError(f"unknown search function {search.func}")  # pragma: no cover
 
     # ------------------------------------------------------------ helpers
+    def _eff_settings(self, st: P.Select, t):
+        """Per-statement settings: table settings + the SETTINGS clause."""
+        if not st.settings:
+            return t.settings
+        try:
+            return t.settings.override(st.settings)
+        except ValueError as e:
+            raise SQLError(str(e)) from None
+
     def _topk(self, st: P.Select, settings) -> int:
         if st.limit is None:
             raise QueryShapeError("vector search requires LIMIT")
@@ -452,11 +461,13 @@ class SQLRunner:
         lits = [a[1] for a in call.args if a[0] == "lit"]
         if len(cols) != 1 or len(lits) != 1:
             raise SQLError("distance() takes (vector_column, [query...])")
-        k = self._topk(st, t.settings)
+        eff = self._eff_settings(st, t)
+        k = self._topk(st, eff)
         metric = t.index_metric_for(cols[0])
         self._check_direction(st, call.alias, metric_direction(metric))
         res = t.search(cols[0], np.asarray(lits[0], np.float32), k, filter=filt,
-                       params=call.params or None, final=st.final)
+                       params=call.params or None, final=st.final,
+                       settings=eff)
         return self._emit_search_rows(t, st, res, call.alias)
 
     def _multi_distance(self, t, st: P.Select, calls, filt):
@@ -477,7 +488,8 @@ class SQLRunner:
             lits = [a[1] for a in c.args if a[0] == "lit"]
             if len(cols) != 1 or len(lits) != 1:
                 raise SQLError("distance() takes (vector_column, [query...])")
-        k = self._topk(st, t.settings)
+        eff = self._eff_settings(st, t)
+        k = self._topk(st, eff)
         pcol = [a[1] for a in primary.args if a[0] == "col"][0]
         pq = np.asarray(
             [a[1] for a in primary.args if a[0] == "lit"][0], np.float32
@@ -486,7 +498,7 @@ class SQLRunner:
             st, primary.alias, metric_direction(t.index_metric_for(pcol))
         )
         res = t.search(pcol, pq, k, filter=filt, params=primary.params or None,
-                       final=st.final)
+                       final=st.final, settings=eff)
         rows = self._emit_search_rows(t, st, res, primary.alias)
         # secondary distance columns, joined by label onto the same rows.
         # _emit_search_rows already applied OFFSET/LIMIT, so the valid-hit
@@ -514,7 +526,8 @@ class SQLRunner:
         if queries.ndim != 2:
             raise SQLError("batch_distance query must be a list of vectors")
         res = t.search(cols[0], queries, st.limit, filter=filt,
-                       params=call.params or None, final=st.final)
+                       params=call.params or None, final=st.final,
+                       settings=self._eff_settings(st, t))
         out_cols = [
             c
             for c in self._out_columns(st, t, call.alias)
@@ -537,7 +550,8 @@ class SQLRunner:
         lits = [a[1] for a in call.args if a[0] == "lit"]
         if len(cols) != 1 or len(lits) != 1:
             raise SQLError("textsearch() takes (text_column, 'query')")
-        k = self._topk(st, t.settings)
+        eff = self._eff_settings(st, t)
+        k = self._topk(st, eff)
         self._check_direction(st, call.alias, "desc")
         if not any(
             (e[0] if isinstance(e, tuple) else e) == call.alias for e, _ in st.order_by
@@ -546,7 +560,7 @@ class SQLRunner:
         op = str(call.params.get("operator", "OR"))
         nlq = str(call.params.get("enable_nlq", 0)).lower() in ("1", "true", "yes")
         res = t.text_search(cols[0], str(lits[0]), k, filter=filt, operator=op,
-                            final=st.final, enable_nlq=nlq)
+                            final=st.final, enable_nlq=nlq, settings=eff)
         rows = self._emit_search_rows(t, st, res, call.alias)
         for r in rows:  # BM25 column is the raw score (bigger better)
             r[call.alias] = float(r[call.alias])
@@ -559,7 +573,8 @@ class SQLRunner:
             raise SQLError(
                 "hybridsearch() takes (vector_col, text_col, [query...], 'text')"
             )
-        k = self._topk(st, t.settings)
+        eff = self._eff_settings(st, t)
+        k = self._topk(st, eff)
         self._check_direction(st, call.alias, "desc")
         p = dict(call.params)
         fusion_type = str(p.pop("fusion_type", "rsf"))
@@ -575,7 +590,7 @@ class SQLRunner:
             np.asarray(lits[0], np.float32), str(lits[1]), k,
             fusion_type=fusion_type, fusion_weight=fusion_weight,
             fusion_k=fusion_k, filter=filt, operator=operator, params=vec_params,
-            final=st.final,
+            final=st.final, settings=eff,
         )
         rows = self._emit_search_rows(t, st, res, call.alias)
         for r in rows:

@@ -821,15 +821,17 @@ class Table:
         stats_override=None,
         final: bool = False,
         enable_nlq: bool = False,
+        settings=None,
     ):
         """textsearch()(col, 'query') analogue: BM25 top-k, descending.
         enable_nlq activates the natural-language subset: quoted phrases
         must match adjacently, '-term' excludes (VSDescription.h:80-88)."""
         from ..search.text_executor import TextSearchExecutor
 
+        st = settings or self.settings
         if final and self.engine == "MergeTree":
             raise SchemaError("FINAL requires a Replacing/Collapsing engine table")
-        k_eff = int(k if k is not None else self.settings.query.default_topk)
+        k_eff = int(k if k is not None else st.query.default_topk)
         res = TextSearchExecutor(self).run(
             column_or_index,
             query,
@@ -838,6 +840,7 @@ class Table:
             operator=operator,
             stats_override=stats_override,
             enable_nlq=enable_nlq,
+            settings=st,
         )
         if final:
             res = self._apply_final(res, k_eff)
@@ -858,13 +861,15 @@ class Table:
         operator: str = "OR",
         params: Optional[Dict[str, Any]] = None,
         final: bool = False,
+        settings=None,
     ):
         """hybridsearch('fusion_type=…')(vec, text, [q], 'text') analogue."""
         from ..search.text_executor import HybridSearchExecutor
 
+        st = settings or self.settings
         if final and self.engine == "MergeTree":
             raise SchemaError("FINAL requires a Replacing/Collapsing engine table")
-        k_eff = int(k if k is not None else self.settings.query.default_topk)
+        k_eff = int(k if k is not None else st.query.default_topk)
         res = HybridSearchExecutor(self).run(
             vector_column,
             text_column,
@@ -877,6 +882,7 @@ class Table:
             filter=filter,
             operator=operator,
             params=params,
+            settings=st,
         )
         if final:
             res = self._apply_final(res, k_eff)

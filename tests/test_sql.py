@@ -215,3 +215,37 @@ def test_sql_aggregates(db):
     # empty-result aggregates
     r = db.sql("SELECT sum(price) FROM agg WHERE id > 100")
     assert r == [{"sum(price)": None}]
+
+
+def test_sql_settings_clause(db, rng):
+    d = 8
+    db.sql(
+        "CREATE TABLE sset (id UInt64, vec Array(Float32), "
+        "CONSTRAINT c CHECK length(vec) = 8)"
+    )
+    t = db.table("sset")
+    v = rng.standard_normal((300, d)).astype(np.float32)
+    t.insert({"id": np.arange(300, dtype=np.uint64), "vec": v})
+    ql = ", ".join(str(float(x)) for x in v[7])
+    rows = db.sql(
+        f"SELECT id, distance(vec, [{ql}]) AS dd FROM sset "
+        "ORDER BY dd ASC LIMIT 3 SETTINGS max_search_result_window=10000, "
+        "use_approx_topk=0"
+    )
+    assert rows[0]["id"] == 7
+    # a window cap below LIMIT must reject via the per-query setting
+    from myscaledb_tpu.errors import QueryShapeError
+
+    with pytest.raises(QueryShapeError):
+        db.sql(
+            f"SELECT id, distance(vec, [{ql}]) AS dd FROM sset "
+            "ORDER BY dd ASC LIMIT 50 SETTINGS max_search_result_window=10"
+        )
+    # unknown settings are rejected like the reference
+    from myscaledb_tpu.errors import SQLError
+
+    with pytest.raises(SQLError):
+        db.sql(
+            f"SELECT id, distance(vec, [{ql}]) AS dd FROM sset "
+            "ORDER BY dd ASC LIMIT 3 SETTINGS no_such_setting=1"
+        )
