@@ -20,6 +20,17 @@ import jax
 # JAX_PLATFORMS; the config update always wins.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite compiles hundreds of program
+# shapes; warm runs skip nearly all of it.
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # noqa: BLE001 — older jax: feature is best-effort
+    pass
+
 import numpy as np
 import pytest
 
