@@ -162,6 +162,106 @@ def _pad_pow2(x: int, lo: int = 4) -> int:
     return p
 
 
+# Sparse-path cap: total candidate postings per query (nt * budget) at or
+# below this use the sort-based kernel; above it, the dense scatter kernel.
+SPARSE_CAP = 16384
+# below this capacity the dense buffer is small enough that the scatter
+# kernel wins (no sort, fewer passes)
+SPARSE_MIN_CAPACITY = 256 * 1024
+
+
+@functools.partial(
+    jax.jit, static_argnames=("budget", "capacity", "k", "approx")
+)
+def _bm25_sparse_topk_batch(
+    postings_rows: jax.Array,  # int32[nnz_pad]
+    postings_tf: jax.Array,  # f32[nnz_pad]
+    doc_len: jax.Array,  # f32[capacity]
+    qints: jax.Array,  # int32[Q, 2T+1]: starts | lengths | n_required
+    idfs: jax.Array,  # f32[Q, T]
+    avg_len: jax.Array,  # f32 scalar
+    mask: Optional[jax.Array],  # bool[capacity] | bool[Q, capacity] | None
+    *,
+    budget: int,
+    capacity: int,
+    k: int,
+    approx: bool,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """CANDIDATE-SPARSE BM25: instead of scatter-adding into a dense
+    [Q, capacity] score buffer (whose zero-init + top-k scan scale with
+    the segment size), gather every query's candidate postings
+    ([Q, T*budget] rows + contributions), sort by row id, segment-sum
+    runs of equal rows, and top-k the run totals. Work scales with the
+    query's own posting mass, not the corpus. A term's chunks partition
+    its postings, so a run's LENGTH equals its distinct matched terms —
+    which is exactly the AND-semantics counter."""
+    nq, nt = idfs.shape
+    starts = qints[:, :nt]
+    lengths = qints[:, nt : 2 * nt]
+    n_required = qints[:, 2 * nt]
+    offs = jnp.arange(budget, dtype=jnp.int32)
+
+    def gather_q(st_row, ln_row, idf_row):
+        rows = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(postings_rows, (s,), (budget,))
+        )(st_row)  # [T, B]
+        tf = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(postings_tf, (s,), (budget,))
+        )(st_row)
+        valid = offs[None, :] < ln_row[:, None]
+        rows = jnp.where(valid, rows, capacity)  # pad -> sentinel (sorts last)
+        dl = jnp.take(doc_len, jnp.minimum(rows, capacity - 1))
+        denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avg_len)
+        contrib = idf_row[:, None] * tf * (BM25_K1 + 1.0) / jnp.maximum(denom, 1e-9)
+        contrib = jnp.where(valid, contrib, 0.0)
+        return rows.reshape(-1), contrib.reshape(-1)
+
+    rows, contrib = jax.vmap(gather_q)(starts, lengths, idfs)  # [Q, T*B]
+    order = jnp.argsort(rows, axis=-1)
+    r_s = jnp.take_along_axis(rows, order, axis=-1)
+    c_s = jnp.take_along_axis(contrib, order, axis=-1)
+    # run totals via prefix sums: score(run) = csum[end] - csum[start-1]
+    csum = jnp.cumsum(c_s, axis=-1)
+    is_end = jnp.concatenate(
+        [r_s[:, 1:] != r_s[:, :-1], jnp.ones((nq, 1), bool)], axis=-1
+    )
+    is_start = jnp.concatenate(
+        [jnp.ones((nq, 1), bool), r_s[:, 1:] != r_s[:, :-1]], axis=-1
+    )
+    pos = jnp.arange(r_s.shape[-1], dtype=jnp.int32)
+    # for every position, the index of ITS run's start (max start pos <= i)
+    start_pos = jax.lax.cummax(
+        jnp.where(is_start, pos[None, :], -1), axis=1
+    )
+    csum_before = jnp.where(
+        start_pos > 0,
+        jnp.take_along_axis(csum, jnp.maximum(start_pos - 1, 0), axis=-1),
+        0.0,
+    )
+    run_score = csum - csum_before  # valid at run ends
+    run_len = pos[None, :] - start_pos + 1
+    hit = jnp.logical_and(is_end, r_s < capacity)
+    hit = jnp.logical_and(hit, run_len >= n_required[:, None])
+    if mask is not None:
+        mrow = jnp.minimum(r_s, capacity - 1)
+        if mask.ndim == 2:
+            mv = jnp.take_along_axis(mask, mrow, axis=-1)
+        else:
+            mv = jnp.take(mask, mrow)
+        hit = jnp.logical_and(hit, mv)
+    scores = jnp.where(hit, run_score, NEG_INF)
+    kk = min(k, scores.shape[-1])
+    vals, pos2 = jax.lax.top_k(scores, kk)
+    out_rows = jnp.take_along_axis(r_s, pos2, axis=-1)
+    out_rows = jnp.where(jnp.isfinite(vals), out_rows, -1)
+    if kk < k:
+        pad = ((0, 0), (0, k - kk))
+        vals = jnp.pad(vals, pad, constant_values=NEG_INF)
+        out_rows = jnp.pad(out_rows, pad, constant_values=-1)
+    tags = jnp.where(out_rows >= 0, 0, -1)
+    return vals, out_rows, tags
+
+
 class InvertedIndex:
     """Built per (segment, text columns) — the TantivyIndexStore analogue.
     Multi-column: tokens of all indexed columns are concatenated per row
@@ -409,20 +509,38 @@ class InvertedIndex:
                 qints[i, 2 * nt] = max(len(all_terms[i]), 1)
             if not all_terms[i]:
                 qints[i, 2 * nt] = nt + 1  # empty query matches nothing
-        vals, rows, tags = _bm25_score_topk_batch(
-            self.postings_rows,
-            self.postings_tf,
-            self.doc_len,
-            qints,
-            idfs,
-            jnp.float32(stats.avg_doc_len),
-            mask,
-            budget=budget,
-            capacity=self.capacity,
-            k=k,
-            approx=approx,
-            need_counts=require_all and any(len(t) > 1 for t in all_terms),
-        )
+        if nt * budget <= SPARSE_CAP and self.capacity >= SPARSE_MIN_CAPACITY:
+            # candidate-sparse path: work scales with the batch's own
+            # posting mass instead of the segment size — a clear win once
+            # the dense [Q, capacity] buffer outgrows the posting mass
+            vals, rows, tags = _bm25_sparse_topk_batch(
+                self.postings_rows,
+                self.postings_tf,
+                self.doc_len,
+                qints,
+                idfs,
+                jnp.float32(stats.avg_doc_len),
+                mask,
+                budget=budget,
+                capacity=self.capacity,
+                k=k,
+                approx=approx,
+            )
+        else:
+            vals, rows, tags = _bm25_score_topk_batch(
+                self.postings_rows,
+                self.postings_tf,
+                self.doc_len,
+                qints,
+                idfs,
+                jnp.float32(stats.avg_doc_len),
+                mask,
+                budget=budget,
+                capacity=self.capacity,
+                k=k,
+                approx=approx,
+                need_counts=require_all and any(len(t) > 1 for t in all_terms),
+            )
         return vals, rows, tags, all_terms
 
     def bm25_topk(

@@ -143,7 +143,9 @@ def test_text_search_batched():
         res = t.text_search("doc", ["beta3", "beta4 alpha"], k=4)
         assert res.nq == 2
         one = t.text_search("doc", "beta3", k=4)
-        np.testing.assert_allclose(one.scores[0], res.scores[0], rtol=1e-6)
+        # kernels pick per-call posting budgets; f32 summation order may
+        # differ between call shapes -> scores match to ~1e-5, not bitwise
+        np.testing.assert_allclose(one.scores[0], res.scores[0], rtol=1e-4)
         rows3 = res.rows[0][res.valid[0]]
         assert all(r % 5 == 3 for r in rows3)
     finally:

@@ -214,3 +214,66 @@ def test_fts_index_ddl_errors(db, rng):
     t.drop_fts_index("fts")
     with pytest.raises(ms.SchemaError):
         t.text_search("body", "hello")
+
+
+def test_sparse_dense_bm25_agree(rng):
+    """The candidate-sparse kernel must rank identically to the dense
+    scatter kernel (scores to f32 summation tolerance), incl. AND
+    semantics and masks."""
+    import jax.numpy as jnp
+
+    from myscaledb_tpu.text import inverted as inv
+
+    words = [f"w{i}" for i in range(50)]
+    docs = np.array(
+        [" ".join(rng.choice(words, 8)) for _ in range(3000)], dtype=object
+    )
+    idx = inv.InvertedIndex.build([docs], capacity=3072, use_native=False)
+    queries = [" ".join(rng.choice(words, 3)) for _ in range(7)] + ["w0", ""]
+    mask = np.zeros(3072, bool)
+    mask[: 1500] = True
+    for op in ("OR", "AND"):
+        for m in (None, jnp.asarray(mask)):
+            sp = inv.SPARSE_CAP
+            try:
+                inv.SPARSE_CAP = 1 << 30  # force sparse
+                v1, r1, _, _ = idx.bm25_topk_batch(queries, 5, operator=op, mask=m)
+                inv.SPARSE_CAP = 0  # force dense
+                v2, r2, _, _ = idx.bm25_topk_batch(queries, 5, operator=op, mask=m)
+            finally:
+                inv.SPARSE_CAP = sp
+            v1, v2 = np.asarray(v1), np.asarray(v2)
+            r1, r2 = np.asarray(r1), np.asarray(r2)
+            fin = np.isfinite(v1)
+            assert np.array_equal(fin, np.isfinite(v2))
+            # identical score ladders (row sets may differ on exact ties)
+            np.testing.assert_allclose(v1[fin], v2[fin], rtol=1e-4)
+            # every returned row genuinely achieves its reported score
+            an = idx.analyzer
+            doc_toks = [an.tokenize(str(d)) for d in docs]
+            stats = idx.stats
+            k1, b = inv.BM25_K1, inv.BM25_B
+            for rr, vv in ((r1, v1), (r2, v2)):
+                for q, qtext in enumerate(queries):
+                    terms = list(dict.fromkeys(an.tokenize(qtext)))
+                    for j in range(5):
+                        row = int(rr[q, j])
+                        if row < 0:
+                            continue
+                        if m is not None and not mask[row]:
+                            raise AssertionError((q, row, "masked row returned"))
+                        dl = len(doc_toks[row])
+                        want = 0.0
+                        nmatch = 0
+                        for term in terms:
+                            tf = doc_toks[row].count(term)
+                            if tf:
+                                nmatch += 1
+                                want += stats.idf(term) * tf * (k1 + 1) / (
+                                    tf + k1 * (1 - b + b * dl / stats.avg_doc_len)
+                                )
+                        if op == "AND" and nmatch < len(terms):
+                            raise AssertionError((q, row, "AND violated"))
+                        assert abs(want - vv[q, j]) < 1e-3 * (1 + abs(want)), (
+                            q, row, want, vv[q, j],
+                        )
