@@ -254,7 +254,28 @@ class IVFIndex(VectorIndex):
         n_prime = int(self.perm_rows.shape[0])
         # n_rows == capacity: layout padding is masked by the kernel's own
         # rows>=0 test, not by an arange tail
-        return WindowMask(("root", n_prime, n_prime, has_alive, expr_skel), out)
+        wm = WindowMask(("root", n_prime, n_prime, has_alive, expr_skel), out)
+        # materialized-bitmap cache: a REPEATED filter (the serving norm)
+        # skips the in-program mask arithmetic entirely — the scan takes a
+        # prebuilt bool[N'] leaf. Key = skeleton + the comparison-constant
+        # bytes + generation (mirrors are generation-keyed already).
+        try:
+            vals_key = tuple(
+                v.tobytes() for v in out if isinstance(v, np.ndarray)
+            )
+        except Exception:  # noqa: BLE001 — unhashable leaf: skip the cache
+            return wm
+        ck = (expr_skel, has_alive, vals_key, gen)
+        cache = getattr(self, "_win_mask_built", None)
+        if cache is None:
+            cache = self._win_mask_built = {}
+        hit = cache.get(ck)
+        if hit is None:
+            if len(cache) > 32:
+                cache.clear()
+            hit = jax.jit(lambda m: m.build())(wm)
+            cache[ck] = hit
+        return WindowMask(("prebuilt", n_prime, n_prime, False, None), [hit])
 
     # ------------------------------------------------------------- build
     @classmethod

@@ -109,7 +109,16 @@ class WindowMask(DeviceMask):
     contiguous window lookup instead of a per-row scattered gather from
     the row-space bitmap (TPU gathers are the expensive op — ~4ms per
     masked 1M-row IVF batch before this). skel n_rows == capacity == N'
-    (layout padding is excluded by the kernel's own row-validity test)."""
+    (layout padding is excluded by the kernel's own row-validity test).
+
+    A "prebuilt" skeleton carries the bool[N'] bitmap itself as the only
+    leaf: repeated filters hit an index-side cache of the materialized
+    window bitmap, so the scan program does no mask arithmetic at all."""
+
+    def build(self) -> jnp.ndarray:
+        if self.skel[0] == "prebuilt":
+            return self.leaves[0]
+        return super().build()
 
 
 def as_mask_array(mask):
