@@ -78,27 +78,14 @@ def measure_qps(search_fn, query_batches, nq_per_batch, *, repeats=5, min_calls=
     return best
 
 
-def _enable_compile_cache():
-    """Persistent XLA compile cache: a warm rerun (e.g. the driver's next
-    round on the same checkout) skips the 20-40s first-compiles."""
+def main():
     import os
 
     import jax
 
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:  # noqa: BLE001
-        pass
+    from myscaledb_tpu.config import enable_compile_cache
 
-
-def main():
-    import jax
-
-    _enable_compile_cache()
+    enable_compile_cache(os.path.dirname(os.path.abspath(__file__)))
     import jax.numpy as jnp
 
     import myscaledb_tpu as ms

@@ -185,11 +185,28 @@ class Settings:
                 if hasattr(layer, name):
                     cur = getattr(layer, name)
                     if isinstance(cur, bool):
-                        value = bool(int(value)) if not isinstance(value, str) else value.lower() in ("1", "true")
+                        if isinstance(value, str):
+                            low = value.lower()
+                            if low in ("1", "true"):
+                                value = True
+                            elif low in ("0", "false"):
+                                value = False
+                            else:
+                                raise ValueError(
+                                    f"setting {name!r} expects a boolean, got {value!r}"
+                                )
+                        else:
+                            value = bool(int(value))
                     elif isinstance(cur, int):
                         value = int(value)
                     elif isinstance(cur, float):
                         value = float(value)
+                    elif cur is None and isinstance(value, str):
+                        # Optional numeric fields: digits coerce, rest stays
+                        try:
+                            value = int(value)
+                        except ValueError:
+                            pass
                     setattr(layer, name, value)
                     break
             else:
@@ -198,3 +215,24 @@ class Settings:
 
 
 DEFAULT_SETTINGS = Settings()
+
+
+def enable_compile_cache(root_dir: str) -> None:
+    """Persistent XLA compile cache under `root_dir`, keyed by host
+    platform+machine: AOT artifacts are NOT portable across CPU feature
+    sets (XLA warns of SIGILL), so a checkout shared between hosts must
+    not share cache entries. One helper for tests/bench/driver entry."""
+    import os
+    import platform
+
+    import jax
+
+    tag = f"{platform.machine()}-{platform.node()}"
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(root_dir, ".jax_cache", tag),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # noqa: BLE001 — best-effort on older jax
+        pass

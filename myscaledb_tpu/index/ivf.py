@@ -52,6 +52,11 @@ from .registry import register
 DEFAULT_NPROBE = 16
 WINDOW = 512  # rows per scan window
 
+# one jitted mask builder for ALL filters: constants are traced leaves,
+# so a new comparison value reuses the compiled program (a per-miss
+# jax.jit(lambda ...) would retrace+recompile per constant)
+_build_window_mask = jax.jit(lambda m: m.build())
+
 
 def default_ncentroids(n_rows: int) -> int:
     """~4*sqrt(N), power-of-two-ish, clamped (FAISS-style heuristic)."""
@@ -273,7 +278,7 @@ class IVFIndex(VectorIndex):
         if hit is None:
             if len(cache) > 32:
                 cache.clear()
-            hit = jax.jit(lambda m: m.build())(wm)
+            hit = _build_window_mask(wm)
             cache[ck] = hit
         return WindowMask(("prebuilt", n_prime, n_prime, False, None), [hit])
 

@@ -837,15 +837,14 @@ class Parser:
             while True:
                 name = self.expect_name()
                 self.expect_op("=")
+                neg = self.accept_op("-")
                 t = self.next()
-                if t.kind in ("int", "float"):
-                    sel.settings[name] = t.value
-                elif t.kind == "str":
-                    sel.settings[name] = t.value
-                elif t.kind == "name":
-                    sel.settings[name] = t.value
-                else:
+                if t.kind not in ("int", "float", "str", "name"):
                     self.error("SETTINGS expects name = literal")
+                v = -t.value if neg and t.kind in ("int", "float") else t.value
+                if neg and t.kind not in ("int", "float"):
+                    self.error("SETTINGS '-' needs a numeric literal")
+                sel.settings[name] = v
                 if not self.accept_op(","):
                     break
         return sel

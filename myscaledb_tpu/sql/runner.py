@@ -382,6 +382,10 @@ class SQLRunner:
         elif wfilt is not None:
             filt = wfilt
 
+        if st.settings:
+            # validate the SETTINGS clause on EVERY select path (unknown
+            # settings must be rejected even on plain scans/aggregates)
+            self._eff_settings(st, t)
         if search is None:
             return self._plain_scan(t, st, filt)
         if len(searches) > 1:

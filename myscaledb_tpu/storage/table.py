@@ -835,7 +835,7 @@ class Table:
         res = TextSearchExecutor(self).run(
             column_or_index,
             query,
-            self._final_fetch_k(k_eff) if final else k,
+            self._final_fetch_k(k_eff, st) if final else k,
             filter=filter,
             operator=operator,
             stats_override=stats_override,
@@ -875,7 +875,7 @@ class Table:
             text_column,
             vector_query,
             text_query,
-            self._final_fetch_k(k_eff) if final else k,
+            self._final_fetch_k(k_eff, st) if final else k,
             fusion_type=fusion_type,
             fusion_weight=fusion_weight,
             fusion_k=fusion_k,
@@ -1046,11 +1046,12 @@ class Table:
             query_sqnorm=res.query_sqnorm,
         )
 
-    def _final_fetch_k(self, k: int) -> int:
+    def _final_fetch_k(self, k: int, settings=None) -> int:
+        st = settings or self.settings
         return int(
             min(
-                max(k * self.settings.query.final_topk_multiple, k),
-                self.settings.query.max_search_result_window,
+                max(k * st.query.final_topk_multiple, k),
+                st.query.max_search_result_window,
             )
         )
 
@@ -1090,7 +1091,7 @@ class Table:
         res = self._executor.run(
             column,
             query,
-            self._final_fetch_k(k_eff) if final else k,
+            self._final_fetch_k(k_eff, settings) if final else k,
             filter=filter,
             params=params,
             metric=m,

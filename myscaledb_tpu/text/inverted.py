@@ -171,7 +171,7 @@ SPARSE_MIN_CAPACITY = 256 * 1024
 
 
 @functools.partial(
-    jax.jit, static_argnames=("budget", "capacity", "k", "approx")
+    jax.jit, static_argnames=("budget", "capacity", "k")
 )
 def _bm25_sparse_topk_batch(
     postings_rows: jax.Array,  # int32[nnz_pad]
@@ -185,7 +185,6 @@ def _bm25_sparse_topk_batch(
     budget: int,
     capacity: int,
     k: int,
-    approx: bool,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """CANDIDATE-SPARSE BM25: instead of scatter-adding into a dense
     [Q, capacity] score buffer (whose zero-init + top-k scan scale with
@@ -523,8 +522,7 @@ class InvertedIndex:
                 mask,
                 budget=budget,
                 capacity=self.capacity,
-                k=k,
-                approx=approx,
+                k=k,  # exact top-k: run totals are tiny, approx irrelevant
             )
         else:
             vals, rows, tags = _bm25_score_topk_batch(

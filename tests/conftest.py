@@ -21,15 +21,13 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the suite compiles hundreds of program
-# shapes; warm runs skip nearly all of it.
-try:
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-except Exception:  # noqa: BLE001 — older jax: feature is best-effort
-    pass
+# shapes; warm runs skip nearly all of it (host-keyed — see config helper).
+import sys as _sys
+
+_sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from myscaledb_tpu.config import enable_compile_cache
+
+enable_compile_cache(os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 import pytest

@@ -234,14 +234,14 @@ def test_sparse_dense_bm25_agree(rng):
     mask[: 1500] = True
     for op in ("OR", "AND"):
         for m in (None, jnp.asarray(mask)):
-            sp = inv.SPARSE_CAP
+            sp, smc = inv.SPARSE_CAP, inv.SPARSE_MIN_CAPACITY
             try:
-                inv.SPARSE_CAP = 1 << 30  # force sparse
+                inv.SPARSE_CAP, inv.SPARSE_MIN_CAPACITY = 1 << 30, 0  # sparse
                 v1, r1, _, _ = idx.bm25_topk_batch(queries, 5, operator=op, mask=m)
                 inv.SPARSE_CAP = 0  # force dense
                 v2, r2, _, _ = idx.bm25_topk_batch(queries, 5, operator=op, mask=m)
             finally:
-                inv.SPARSE_CAP = sp
+                inv.SPARSE_CAP, inv.SPARSE_MIN_CAPACITY = sp, smc
             v1, v2 = np.asarray(v1), np.asarray(v2)
             r1, r2 = np.asarray(r1), np.asarray(r2)
             fin = np.isfinite(v1)
