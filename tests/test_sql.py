@@ -249,3 +249,19 @@ def test_sql_settings_clause(db, rng):
             f"SELECT id, distance(vec, [{ql}]) AS dd FROM sset "
             "ORDER BY dd ASC LIMIT 3 SETTINGS no_such_setting=1"
         )
+
+
+def test_settings_override_coercion():
+    st = ms.Settings()
+    out = st.override({"use_approx_topk": "true", "default_topk": "50",
+                       "hybrid_search_fusion_weight": "0.25",
+                       "vector_index_cache_size": "1000"})
+    assert out.query.use_approx_topk is True
+    assert out.query.default_topk == 50
+    assert abs(out.query.hybrid_search_fusion_weight - 0.25) < 1e-9
+    assert out.server.vector_index_cache_size == 1000
+    assert st.query.default_topk != 50  # original untouched
+    with pytest.raises(ValueError):
+        st.override({"no_such": 1})
+    with pytest.raises(ValueError):
+        st.override({"use_approx_topk": "yes"})  # ambiguous bool string
