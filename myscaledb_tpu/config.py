@@ -59,6 +59,18 @@ class QuerySettings:
     # dedup drops superseded rows (performFinal candidate head-room).
     final_topk_multiple: int = 4
 
+    # Over-selective pre-filters fall back from the ANN index to the exact
+    # masked scan: when the filter passes fewer than this fraction of a
+    # segment's rows, index traversal (graph routing through filtered-out
+    # nodes, IVF probes missing the survivors' clusters) loses recall while
+    # the masked exact scan is both correct and cheap. The flat-fallback
+    # idea mirrors the reference's fallbackToFlat
+    # (src/VectorIndex/Common/VICommon.h:173, VIWithDataPart.cpp:168-175 /
+    # params cleared at :912); the selectivity trigger is ours — the
+    # reference's bitmap-into-index behavior silently degrades here.
+    # 0 disables the fallback.
+    filter_fallback_selectivity: float = 0.01
+
     # Two-stage search (approximate first pass + exact re-rank). The
     # reference ships the machinery gated off (SURVEY.md §3.5); here it is a
     # real setting.

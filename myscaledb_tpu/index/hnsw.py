@@ -236,6 +236,22 @@ class _HNSWBase(VectorIndex):
             setattr(self, f, kw.pop(f, None) if f in ("tdata", "ta", "tb", "taux") else kw.pop(f))
         assert not kw
 
+    @classmethod
+    def estimate_build_bytes(cls, payload, n_rows: int, params=None) -> int:
+        """Graph builds are device-resident even for host-tier payloads:
+        `_build_common` uploads the FULL f32 scan rep (rep = jnp.asarray)
+        plus a bf16 IVF payload, the stored data, and the int8 traversal
+        shadow — the base class's host-tier sample-only estimate would
+        approve beyond-HBM builds that then OOM at step 1. Count the real
+        footprint for both tiers: f32 rep + ~2 payload-sized transients +
+        shadow/codes (~2 bytes/dim/row)."""
+        dpad = payload.data.shape[1]
+        rep_f32 = 4 * n_rows * dpad
+        if getattr(payload, "is_host", False):
+            # bf16 IVF payload copy + stored bf16 data + int8 shadow
+            return rep_f32 + (2 + 2 + 1) * n_rows * dpad
+        return rep_f32 + 2 * int(payload.nbytes) + n_rows * dpad
+
     # ------------------------------------------------------------- build
     @classmethod
     def _build_common(

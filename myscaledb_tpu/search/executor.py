@@ -319,6 +319,38 @@ def _walk_filter(expr):
             yield from _walk_filter(child)
 
 
+# (segment uid, predicate repr, mutation generation) -> passing-row count.
+# Filled once per predicate (host numpy evaluation over scalar columns —
+# those are host-resident by design) and consulted on every query to decide
+# the over-selective-filter fallback without any device sync.
+_SELECTIVITY_CACHE: dict = {}
+_SELECTIVITY_CACHE_CAP = 512
+
+
+def estimate_selectivity(segment, filter_expr: Optional[Expr]) -> Optional[float]:
+    """Fraction of the segment's rows passing `filter_expr` (ignoring
+    deletes), or None when it cannot be costed cheaply (Lambda closures).
+    Cached per (segment, predicate, mutation generation): the one-time
+    numpy evaluation is amortized across all queries with the predicate."""
+    if filter_expr is None:
+        return 1.0
+    if segment.n_rows == 0:
+        return 0.0
+    from .filters import Lambda as _Lambda
+
+    if any(isinstance(e, _Lambda) for e in _walk_filter(filter_expr)):
+        return None
+    key = (segment.uid, repr(filter_expr), segment.mutation_generation)
+    hit = _SELECTIVITY_CACHE.get(key)
+    if hit is None:
+        host = filter_expr.evaluate(segment)
+        hit = float(np.count_nonzero(host)) / float(segment.n_rows)
+        if len(_SELECTIVITY_CACHE) >= _SELECTIVITY_CACHE_CAP:
+            _SELECTIVITY_CACHE.pop(next(iter(_SELECTIVITY_CACHE)))
+        _SELECTIVITY_CACHE[key] = hit
+    return hit
+
+
 class VectorSearchExecutor:
     """Executes a vector search over a table's segments.
 
@@ -412,6 +444,20 @@ class VectorSearchExecutor:
                     fexpr = None  # provably all pass: alive mask only
             mask = segment_mask(seg, fexpr)
             idx = t.loaded_index(seg.segment_id, column, metric)
+            forced_exact = False
+            if (
+                idx is not None
+                and fexpr is not None
+                and st.query.filter_fallback_selectivity > 0
+            ):
+                sel = estimate_selectivity(seg, fexpr)
+                if sel is not None and sel < st.query.filter_fallback_selectivity:
+                    # over-selective filter: the exact masked scan is both
+                    # correct (index traversal loses recall on sparse
+                    # masks) and cheap (few survivors) — fallbackToFlat
+                    idx = None
+                    forced_exact = True
+                    GLOBAL_COUNTERS.bump("VectorIndexFallbackToFlat")
             if idx is not None and mask is not None:
                 from .filters import DeviceMask
 
@@ -435,6 +481,8 @@ class VectorSearchExecutor:
                 continue
             if idx is None:
                 small = seg.n_rows < st.table.min_rows_to_build_vector_index
+                if forced_exact:
+                    small = True  # correctness fallback: always scan
                 if not small and not st.query.enable_brute_force_vector_search:
                     raise IndexNotReadyError(
                         f"segment {seg.segment_id} has no built index for "

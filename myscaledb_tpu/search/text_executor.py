@@ -55,6 +55,9 @@ class TextIndexDefinition:
         self._pending: Dict[int, Any] = {}
         self._build_lock = threading.Lock()
         self._stats_cache = None  # (segment-id key, merged BM25Stats)
+        self._stats_gen = 0  # bumped on every invalidation: a stats
+        # computation that straddles an invalidation must not re-install
+        # its (stale) result (TOCTOU between snapshot and cache write)
 
     def _build_store(self, segment) -> InvertedIndex:
         texts = [segment.scalar(c)[: segment.n_rows] for c in self.columns]
@@ -76,12 +79,14 @@ class TextIndexDefinition:
                 self._stores[segment.segment_id] = store
                 self._pending.pop(segment.segment_id, None)
                 self._stats_cache = None
+                self._stats_gen += 1
             return
         sid = segment.segment_id
         with self._lock:
             self._pending[sid] = segment
             self._stores.pop(sid, None)  # a rebuild invalidates the old store
             self._stats_cache = None
+            self._stats_gen += 1
 
         def job():
             with self._build_lock:
@@ -94,6 +99,7 @@ class TextIndexDefinition:
                     if self._pending.pop(sid, None) is not None:
                         self._stores[sid] = store
                         self._stats_cache = None
+                        self._stats_gen += 1
 
         scheduler.submit(job)
 
@@ -102,6 +108,7 @@ class TextIndexDefinition:
             self._stores.pop(segment_id, None)
             self._pending.pop(segment_id, None)
             self._stats_cache = None
+            self._stats_gen += 1
 
     def on_deletes(self, segment) -> None:
         # deletes are applied at query time through the alive bitmap
@@ -125,6 +132,7 @@ class TextIndexDefinition:
                 self._pending.pop(segment_id, None)
                 self._stores[segment_id] = store
                 self._stats_cache = None
+                self._stats_gen += 1
             return store
 
     def nlq_mask(self, segment, store, phrases, negs) -> np.ndarray:
@@ -159,9 +167,10 @@ class TextIndexDefinition:
 
     def merged_stats(self, segment_ids) -> BM25Stats:
         key = tuple(segment_ids)
-        cached = self._stats_cache
         with self._lock:
+            cached = self._stats_cache
             pending = bool(self._pending)
+            gen = self._stats_gen
         # the term-df dict merge is ~1 ms per call at real vocabulary
         # sizes; cache per segment set (stores are immutable once built)
         if not pending and cached is not None and cached[0] == key:
@@ -172,8 +181,11 @@ class TextIndexDefinition:
             if st is not None:
                 parts.append(st.stats)
         out = BM25Stats.merge(parts) if parts else BM25Stats(0, 0, {})
-        if not pending:
-            self._stats_cache = (key, out)
+        with self._lock:
+            # only install if no invalidation raced this computation —
+            # otherwise stale idf/avg_len would serve until the next one
+            if not pending and self._stats_gen == gen and not self._pending:
+                self._stats_cache = (key, out)
         return out
 
     @property

@@ -147,6 +147,19 @@ def fetch_index(
     os.makedirs(tmp)
     try:
         for fname in files:
+            # Peer-supplied names must be plain file names: a malicious
+            # manifest entry like '../../x' or an absolute path would
+            # escape the staging dir BEFORE checksum verification runs
+            # (mirror of the server-side path sanitization above).
+            if (
+                not fname
+                or os.path.isabs(fname)
+                or "/" in fname
+                or os.sep in fname
+                or (os.altsep and os.altsep in fname)
+                or fname in (".", "..")
+            ):
+                raise ValueError(f"unsafe manifest entry: {fname!r}")
             with urllib.request.urlopen(f"{prefix}/{fname}", timeout=60) as r:
                 with open(os.path.join(tmp, fname), "wb") as f:
                     shutil.copyfileobj(r, f)

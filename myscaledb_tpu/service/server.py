@@ -35,14 +35,18 @@ from .event_log import GLOBAL_COUNTERS
 
 
 class _Request:
-    __slots__ = ("kind", "table", "args", "key", "future")
+    __slots__ = ("kind", "table", "args", "key", "group", "future")
 
-    def __init__(self, kind, table, args, key):
+    def __init__(self, kind, table, args, key, group):
         self.kind = kind
         self.table = table
         self.args = args
         self.future: Future = Future()
-        self.key = key
+        self.key = key        # exact coalescing key (params included)
+        self.group = group    # compatibility key: batches MAY merge across
+        # differing params by running the group at the widest params
+        # (recall is monotone in nprobe/ef_s — a request never gets less
+        # than it asked for)
 
 
 class SearchServer:
@@ -77,24 +81,30 @@ class SearchServer:
         self._dispatcher.start()
 
     # ------------------------------------------------------------- client
+    def _put(self, req: _Request) -> Future:
+        if self._stop:
+            req.future.set_exception(RuntimeError("SearchServer closed"))
+            return req.future
+        self._q.put(req)
+        return req.future
+
     def submit_search(
         self, table: str, column: str, vector, k: int,
         *, params: Optional[Dict[str, Any]] = None, final: bool = False,
     ) -> Future:
         v = np.asarray(vector, np.float32)
         key = ("vec", table, column, k, _freeze(params), final)
-        req = _Request("vec", table, (v, k, params, final), key)
-        self._q.put(req)
-        return req.future
+        group = ("vec", table, column, k, final)
+        req = _Request("vec", table, (v, k, params, final), key, group)
+        return self._put(req)
 
     def submit_text_search(
         self, table: str, column_or_index: str, query: str, k: int,
         *, operator: str = "OR", final: bool = False,
     ) -> Future:
         key = ("text", table, column_or_index, k, operator, final)
-        req = _Request("text", table, (str(query), k, operator, final), key)
-        self._q.put(req)
-        return req.future
+        req = _Request("text", table, (str(query), k, operator, final), key, key)
+        return self._put(req)
 
     def submit_hybrid_search(
         self, table: str, vector_column: str, text_column: str, vector,
@@ -104,10 +114,9 @@ class SearchServer:
         v = np.asarray(vector, np.float32)
         key = ("hyb", table, vector_column, text_column, k, fusion_type, final)
         req = _Request(
-            "hyb", table, (v, str(text_query), k, fusion_type, final), key
+            "hyb", table, (v, str(text_query), k, fusion_type, final), key, key
         )
-        self._q.put(req)
-        return req.future
+        return self._put(req)
 
     def search(self, *a, **kw):
         return self.submit_search(*a, **kw).result()
@@ -122,6 +131,16 @@ class SearchServer:
         self._stop = True
         self._q.put(None)
         self._dispatcher.join(timeout=5)
+        # close the submit-vs-close race: a request that slipped past the
+        # _stop check in _put after the dispatcher's drain finished would
+        # otherwise block its caller forever
+        while True:
+            try:
+                r = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if r is not None and not r.future.done():
+                r.future.set_exception(RuntimeError("SearchServer closed"))
         self._resolvers.shutdown(wait=True)
 
     # --------------------------------------------------------- dispatcher
@@ -147,7 +166,7 @@ class SearchServer:
                 if r is None:
                     saw_sentinel = True  # keep draining accepted requests
                     break
-                if r.key == first.key:
+                if r.group == first.group:
                     batch.append(r)
                 else:
                     spill.append(r)
@@ -197,6 +216,8 @@ class SearchServer:
         cap = min(self._bucket(len(batch)), self.max_batch)
         if kind == "vec":
             _, k, params, final = batch[0].args
+            if len(batch) > 1:
+                params = _widest_params([r.args[2] for r in batch])
             qs = self._pad_vecs(np.stack([r.args[0] for r in batch]), cap)
             res = t.search(
                 batch[0].key[2], qs, k, params=params, final=final
@@ -249,6 +270,22 @@ class SearchServer:
 
 def _freeze(params):
     return tuple(sorted(params.items())) if params else ()
+
+
+def _widest_params(param_dicts) -> Optional[Dict[str, Any]]:
+    """Merge a compatible group's search params into the WIDEST setting:
+    numeric values take the max (recall is monotone in nprobe / ef_s /
+    alpha — every member gets at least what it asked for), non-numeric
+    values take the first seen. One batched program replaces per-params
+    serial rounds under heterogeneous load."""
+    merged: Dict[str, Any] = {}
+    for p in param_dicts:
+        for name, val in (p or {}).items():
+            if name in merged and isinstance(val, (int, float)) and not isinstance(val, bool):
+                merged[name] = max(merged[name], val)
+            elif name not in merged:
+                merged[name] = val
+    return merged or None
 
 
 # ------------------------------------------------------------------- HTTP
