@@ -296,6 +296,10 @@ class Database:
             from ..service.tracing import GLOBAL_SPAN_LOG
 
             return GLOBAL_SPAN_LOG.rows()
+        if which == "query_log":
+            from ..service.event_log import GLOBAL_QUERY_LOG
+
+            return GLOBAL_QUERY_LOG.rows()
         if which == "profile_events":
             return [
                 {"event": k, "value": v} for k, v in sorted(self.counters.snapshot().items())

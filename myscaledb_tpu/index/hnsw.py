@@ -182,7 +182,8 @@ def _graph_chunk(
 
 
 def _graph_candidates(
-    ivf, n_rows: int, ck: int, m: int, alpha: float, cancel_cb=None
+    ivf, n_rows: int, ck: int, m: int, alpha: float, cancel_cb=None,
+    progress_cb=None,
 ) -> jax.Array:
     """Pruned forward neighbor lists int32[n_rows, m] for every row, via
     cluster-blocked candidate generation over the throwaway IVF. Runs in a
@@ -199,6 +200,8 @@ def _graph_candidates(
     neighbors = jnp.full((n_rows + 1, m), -1, jnp.int32)
     for ci in range(n_chunks):
         check_cancel(cancel_cb)
+        if progress_cb is not None:
+            progress_cb(0.45 + 0.4 * ci / n_chunks)
         neighbors = _graph_chunk(
             ivf, neighbors, jnp.int32(ci * per), per=per, ck=ck, m=m,
             alpha=alpha, nprobe=nprobe,
@@ -256,7 +259,7 @@ class _HNSWBase(VectorIndex):
     @classmethod
     def _build_common(
         cls, payload, n_rows, *, metric, dim, params, settings, codec,
-        cancel_cb=None,
+        progress_cb=None, cancel_cb=None,
     ) -> "_HNSWBase":
         if metric not in (Metric.L2, Metric.IP, Metric.COSINE):
             raise IndexParameterError(f"HNSW does not support metric {metric}")
@@ -289,14 +292,22 @@ class _HNSWBase(VectorIndex):
             settings=settings,
             codec="raw",
             two_stage=False,
+            progress_cb=(
+                (lambda f: progress_cb(0.45 * f)) if progress_cb else None
+            ),
             cancel_cb=cancel_cb,
         )
         # 2) cluster-blocked candidate gen + robust prune, all on device
         ck = min(2 * m + 1, n_rows)
         neighbors = np.array(
-            _graph_candidates(ivf, n_rows, ck, m, PRUNE_ALPHA, cancel_cb)
+            _graph_candidates(
+                ivf, n_rows, ck, m, PRUNE_ALPHA, cancel_cb,
+                progress_cb=progress_cb,
+            )
         )
         check_cancel(cancel_cb)
+        if progress_cb is not None:
+            progress_cb(0.9)  # graph built; codecs/shadow remain
 
         # 3) reverse edges into free slots (vectorized host pass): sort all
         # (v, u) reverse edges by target, then scatter each target's first
@@ -601,7 +612,8 @@ class HNSWFlatIndex(_HNSWBase):
     def build(cls, payload, n_rows, *, metric, dim, params=None, settings=None, progress_cb=None, cancel_cb=None):
         return cls._build_common(
             payload, n_rows, metric=metric, dim=dim, params=params,
-            settings=settings, codec="raw", cancel_cb=cancel_cb,
+            settings=settings, codec="raw",
+            progress_cb=progress_cb, cancel_cb=cancel_cb,
         )
 
 
@@ -612,7 +624,8 @@ class HNSWSQIndex(_HNSWBase):
     def build(cls, payload, n_rows, *, metric, dim, params=None, settings=None, progress_cb=None, cancel_cb=None):
         return cls._build_common(
             payload, n_rows, metric=metric, dim=dim, params=params,
-            settings=settings, codec="sq8", cancel_cb=cancel_cb,
+            settings=settings, codec="sq8",
+            progress_cb=progress_cb, cancel_cb=cancel_cb,
         )
 
 
@@ -623,5 +636,6 @@ class HNSWPQIndex(_HNSWBase):
     def build(cls, payload, n_rows, *, metric, dim, params=None, settings=None, progress_cb=None, cancel_cb=None):
         return cls._build_common(
             payload, n_rows, metric=metric, dim=dim, params=params,
-            settings=settings, codec="pq", cancel_cb=cancel_cb,
+            settings=settings, codec="pq",
+            progress_cb=progress_cb, cancel_cb=cancel_cb,
         )

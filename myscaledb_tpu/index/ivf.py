@@ -295,9 +295,14 @@ class IVFIndex(VectorIndex):
         settings,
         codec: str,
         two_stage: bool,
+        progress_cb=None,
         cancel_cb=None,
         force_host_raw: bool = False,
     ) -> "IVFIndex":
+        def _report(frac):
+            if progress_cb is not None:
+                progress_cb(frac)
+
         if metric not in (Metric.L2, Metric.IP, Metric.COSINE):
             raise IndexParameterError(f"IVF does not support metric {metric}")
         c = int(params.get("ncentroids", default_ncentroids(n_rows)))
@@ -320,11 +325,13 @@ class IVFIndex(VectorIndex):
             max_train = max(
                 settings.query.max_build_index_train_block_bytes // (dpad * 4), c
             )
+        _report(0.05)
         cents, assign = balanced_kmeans(
             rep, rep_h, n_rows, c, seed=0,
             max_train_rows=max_train, cancel_cb=cancel_cb,
         )
         check_cancel(cancel_cb)
+        _report(0.6)  # k-means dominates the IVF build
         c = int(cents.shape[0])
         npad = round_up(max(n_rows, WINDOW), WINDOW)
 
@@ -414,6 +421,7 @@ class IVFIndex(VectorIndex):
                 jnp.full(npad, jnp.inf, jnp.float32).at[:n_rows].set(dec_sq)
             )
         check_cancel(cancel_cb)
+        _report(0.9)  # windows permuted + encoded
 
         wpp = int(math.ceil((n_rows / max(c, 1)) / WINDOW)) + 1
         out = cls(
@@ -783,7 +791,8 @@ class IVFFlatIndex(IVFIndex):
     def build(cls, payload, n_rows, *, metric, dim, params=None, settings=None, progress_cb=None, cancel_cb=None):
         return cls._build_common(
             payload, n_rows, metric=metric, dim=dim, params=dict(params or {}),
-            settings=settings, codec="raw", two_stage=False, cancel_cb=cancel_cb,
+            settings=settings, codec="raw", two_stage=False,
+            progress_cb=progress_cb, cancel_cb=cancel_cb,
         )
 
 
@@ -794,7 +803,8 @@ class IVFSQIndex(IVFIndex):
     def build(cls, payload, n_rows, *, metric, dim, params=None, settings=None, progress_cb=None, cancel_cb=None):
         return cls._build_common(
             payload, n_rows, metric=metric, dim=dim, params=dict(params or {}),
-            settings=settings, codec="sq8", two_stage=False, cancel_cb=cancel_cb,
+            settings=settings, codec="sq8", two_stage=False,
+            progress_cb=progress_cb, cancel_cb=cancel_cb,
         )
 
 
@@ -805,7 +815,8 @@ class IVFPQIndex(IVFIndex):
     def build(cls, payload, n_rows, *, metric, dim, params=None, settings=None, progress_cb=None, cancel_cb=None):
         return cls._build_common(
             payload, n_rows, metric=metric, dim=dim, params=dict(params or {}),
-            settings=settings, codec="pq", two_stage=False, cancel_cb=cancel_cb,
+            settings=settings, codec="pq", two_stage=False,
+            progress_cb=progress_cb, cancel_cb=cancel_cb,
         )
 
 
@@ -825,6 +836,7 @@ class MSTGIndex(IVFIndex):
         disk = params.pop("disk_mode", 0)
         return cls._build_common(
             payload, n_rows, metric=metric, dim=dim, params=params,
-            settings=settings, codec="sq8", two_stage=True, cancel_cb=cancel_cb,
+            settings=settings, codec="sq8", two_stage=True,
+            progress_cb=progress_cb, cancel_cb=cancel_cb,
             force_host_raw=bool(int(disk or 0)),
         )

@@ -120,3 +120,51 @@ class Counters:
 
 
 GLOBAL_COUNTERS = Counters()
+
+
+class QueryLog:
+    """Per-query accounting ring (system.query_log analogue,
+    src/Interpreters/SystemLog.cpp / QueryLog.cpp): one row per search or
+    SQL statement with duration, rows read, and the effective knobs. The
+    span log covers STAGES; this covers QUERIES."""
+
+    def __init__(self, max_entries: int = 100_000):
+        self._rows: collections.deque = collections.deque(maxlen=max_entries)
+        self._lock = threading.Lock()
+
+    def record(
+        self,
+        kind: str,
+        *,
+        table: str = "",
+        column: str = "",
+        query_text: str = "",
+        nq: int = 1,
+        k: int = 0,
+        rows_read: int = 0,
+        duration_ms: float = 0.0,
+        settings: Optional[Dict[str, Any]] = None,
+        error: str = "",
+    ) -> None:
+        row = {
+            "event_time": time.time(),
+            "kind": kind,  # vector_search | text_search | hybrid_search | sql
+            "table": table,
+            "column": column,
+            "query": query_text,
+            "nq": int(nq),
+            "k": int(k),
+            "rows_read": int(rows_read),
+            "duration_ms": float(duration_ms),
+            "settings": dict(settings or {}),
+            "error": error,
+        }
+        with self._lock:
+            self._rows.append(row)
+
+    def rows(self) -> List[Dict[str, Any]]:
+        with self._lock:
+            return [dict(r) for r in self._rows]
+
+
+GLOBAL_QUERY_LOG = QueryLog()

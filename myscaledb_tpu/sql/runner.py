@@ -109,6 +109,10 @@ class SQLRunner:
 
     # ------------------------------------------------------------ execute
     def execute(self, sql: str):
+        import time as _time
+
+        from ..service.event_log import GLOBAL_QUERY_LOG
+
         stmt = P.parse(sql)
         handler = {
             P.CreateTable: self._create_table,
@@ -124,7 +128,25 @@ class SQLRunner:
         }.get(type(stmt))
         if handler is None:  # pragma: no cover
             raise SQLError(f"no handler for {type(stmt).__name__}")
-        return handler(stmt)
+        t0 = _time.time()
+        try:
+            out = handler(stmt)
+        except Exception as e:
+            GLOBAL_QUERY_LOG.record(
+                "sql", query_text=sql[:500],
+                table=getattr(stmt, "table", "") or "",
+                duration_ms=(_time.time() - t0) * 1e3,
+                error=f"{type(e).__name__}: {e}"[:200],
+            )
+            raise
+        GLOBAL_QUERY_LOG.record(
+            "sql", query_text=sql[:500],
+            table=getattr(stmt, "table", "") or "",
+            k=len(out) if isinstance(out, list) else 0,
+            duration_ms=(_time.time() - t0) * 1e3,
+            settings=dict(getattr(stmt, "settings", None) or {}),
+        )
+        return out
 
     # --------------------------------------------------------------- DDL
     def _create_table(self, st: P.CreateTable):
@@ -618,19 +640,14 @@ class SQLRunner:
         }
         if st.group_by:
             agg_vals.setdefault(st.group_by, [])
-        survivors = t._final_survivors() if st.final else None
+        survivors = t._final_survivor_bitmaps() if st.final else None
         for seg in sorted(t.live_segments(), key=lambda s: s.segment_id):
             alive = ~seg.deleted_host()[: seg.n_rows]
             m = filt.evaluate(seg) & alive if filt is not None else alive
             if survivors is not None:
-                win = np.fromiter(
-                    (
-                        (seg.segment_id, i) in survivors
-                        for i in range(seg.n_rows)
-                    ),
-                    dtype=bool,
-                    count=seg.n_rows,
-                )
+                win = survivors.get(seg.segment_id)
+                if win is None:
+                    continue
                 m = m & win
             idxs = np.nonzero(m)[0]
             total += len(idxs)

@@ -65,6 +65,10 @@ class IndexSlot:
     instance: Optional[VectorIndex] = None
     error: str = ""
     elapsed_s: float = 0.0
+    # build progress in [0, 1], fed by the builder's progress_cb — the
+    # reference's `progress` column in system.vector_indices
+    # (StorageSystemVIsWithPart.cpp setColumns block)
+    progress: float = 0.0
     retries: int = 0
     path: str = ""  # on-disk dir when persisted (lazy reload target)
     # set to stop an in-flight build at the next chunk boundary
@@ -350,6 +354,9 @@ class Table:
             with _span("index_build", table=self.name, index=desc.name,
                        kind=desc.kind.value, segment=seg.segment_id,
                        rows=seg.n_rows):
+                def _progress(frac: float) -> None:
+                    slot_ref.progress = min(max(float(frac), 0.0), 1.0)
+
                 instance = impl.build(
                     payload,
                     seg.n_rows,
@@ -357,6 +364,7 @@ class Table:
                     dim=desc.dim,
                     params=desc.params,
                     settings=self.settings,
+                    progress_cb=_progress,
                     cancel_cb=_canceled,
                 )
             elapsed = time.time() - t0
@@ -368,6 +376,7 @@ class Table:
                 slot.status = IndexStatus.LOADED
                 slot.elapsed_s = elapsed
                 slot.error = ""
+                slot.progress = 1.0
             if self._index_cache is not None:
                 self._index_cache.put(
                     (self.name, desc.name, seg.segment_id),
@@ -828,6 +837,7 @@ class Table:
         must match adjacently, '-term' excludes (VSDescription.h:80-88)."""
         from ..search.text_executor import TextSearchExecutor
 
+        t0 = time.time()
         st = settings or self.settings
         if final and self.engine == "MergeTree":
             raise SchemaError("FINAL requires a Replacing/Collapsing engine table")
@@ -844,6 +854,11 @@ class Table:
         )
         if final:
             res = self._apply_final(res, k_eff)
+        nq = len(query) if isinstance(query, (list, tuple)) else 1
+        self._log_query(
+            "text_search", column_or_index, nq, k_eff, t0,
+            query_text=str(query)[:200],
+        )
         return res
 
     def hybrid_search(
@@ -866,6 +881,7 @@ class Table:
         """hybridsearch('fusion_type=…')(vec, text, [q], 'text') analogue."""
         from ..search.text_executor import HybridSearchExecutor
 
+        t0 = time.time()
         st = settings or self.settings
         if final and self.engine == "MergeTree":
             raise SchemaError("FINAL requires a Replacing/Collapsing engine table")
@@ -886,6 +902,11 @@ class Table:
         )
         if final:
             res = self._apply_final(res, k_eff)
+        nq = len(text_query) if isinstance(text_query, (list, tuple)) else 1
+        self._log_query(
+            "hybrid_search", vector_column, nq, k_eff, t0,
+            query_text=str(text_query)[:200],
+        )
         return res
 
     def _survivor_positions(self, allk, allv, allsgn) -> np.ndarray:
@@ -991,12 +1012,13 @@ class Table:
                 sorted((s.uid, s.mutation_generation) for s in self._segments.values())
             )
 
-    def _final_survivors(self) -> set:
-        """Set of (segment_id, row) of the globally surviving ALIVE rows
-        under the engine's merging algorithm (Replacing: max-version
-        winner per key; Collapsing: uncancelled state rows). This is the
-        merging-algorithm view the reference re-reads candidates through
-        in performFinal. Cached per table generation (any
+    def _final_survivor_bitmaps(self) -> Dict[int, np.ndarray]:
+        """Per-segment winner bitmaps {segment_id: bool[n_rows]} of the
+        globally surviving ALIVE rows under the engine's merging algorithm
+        (Replacing: max-version winner per key; Collapsing: uncancelled
+        state rows). This is the merging-algorithm view the reference
+        re-reads candidates through in performFinal. Array-form end to
+        end: no per-row Python. Cached per table generation (any
         insert/delete/update invalidates)."""
         if self.engine == "MergeTree":
             raise SchemaError("FINAL requires a Replacing/Collapsing engine table")
@@ -1005,42 +1027,60 @@ class Table:
         if cached is not None and cached[0] == gen:
             return cached[1]
         segs = sorted(self.live_segments(), key=lambda s: s.segment_id)
+        bitmaps = {
+            seg.segment_id: np.zeros(seg.n_rows, bool) for seg in segs
+        }
         alive = [~seg.deleted_host()[: seg.n_rows] for seg in segs]
-        survivors: set = set()
         got = self._collect_engine_rows(segs, alive)
         if got is not None:
             allk, allv, allsgn, tags = got
             sid = np.array([seg.segment_id for seg in segs], np.int64)
-            for si, row in tags[self._survivor_positions(allk, allv, allsgn)]:
-                survivors.add((int(sid[si]), int(row)))
-        self._winners_cache = (gen, survivors)
-        return survivors
+            win = tags[self._survivor_positions(allk, allv, allsgn)]
+            for si in np.unique(win[:, 0]):
+                rows = win[win[:, 0] == si, 1]
+                bitmaps[int(sid[si])][rows] = True
+        self._winners_cache = (gen, bitmaps)
+        return bitmaps
+
+    def _final_survivors(self) -> set:
+        """Set-of-(segment_id, row) view of _final_survivor_bitmaps (tests
+        and tools; the engine paths consume the bitmaps directly)."""
+        return {
+            (sid, int(r))
+            for sid, bm in self._final_survivor_bitmaps().items()
+            for r in np.nonzero(bm)[0]
+        }
 
     def _apply_final(self, res: SearchResult, k: int) -> SearchResult:
         """Drop candidates the merging algorithm would discard (superseded
         by a newer same-key row / collapsed by a cancel row), then cut to
-        k (performFinal on the candidate set)."""
-        survivors = self._final_survivors()
+        k (performFinal on the candidate set). Vectorized: candidate
+        survival is one bitmap gather + a stable keep-first compaction."""
+        bitmaps = self._final_survivor_bitmaps()
         scores, segs, rows = res.scores, res.segments, res.rows
         nq = res.nq
-        out_v = np.full((nq, k), float("-inf"), np.float32)
-        out_s = np.full((nq, k), -1, np.int64)
-        out_r = np.full((nq, k), -1, np.int32)
-        for qi in range(nq):
-            j = 0
-            for ci in range(res.k):
-                if j >= k or rows[qi, ci] < 0:
-                    break
-                hit = (int(segs[qi, ci]), int(rows[qi, ci]))
-                if hit not in survivors:
-                    continue  # superseded / collapsed
-                out_v[qi, j] = scores[qi, ci]
-                out_s[qi, j] = hit[0]
-                out_r[qi, j] = hit[1]
-                j += 1
+        # keep[qi, ci]: candidate is valid AND survives the merge
+        keep = np.zeros((nq, res.k), bool)
+        for sid, bm in bitmaps.items():
+            in_seg = (segs == sid) & (rows >= 0)
+            if in_seg.any():
+                r = np.where(in_seg, rows, 0)
+                keep |= in_seg & bm[np.minimum(r, len(bm) - 1)]
+        # stable compaction: survivors first, original (score) order kept
+        order = np.argsort(~keep, axis=1, kind="stable")
+        n_keep = keep.sum(axis=1)
+        take = order[:, :k]
+        pos_ok = np.arange(k)[None, :] < np.minimum(n_keep, k)[:, None]
+        out_v = np.where(
+            pos_ok, np.take_along_axis(scores, take, axis=1), float("-inf")
+        ).astype(np.float32)
+        out_s = np.where(pos_ok, np.take_along_axis(segs, take, axis=1), -1)
+        out_r = np.where(
+            pos_ok, np.take_along_axis(rows, take, axis=1), -1
+        ).astype(np.int32)
         return SearchResult(
             res.metric,
-            host=(out_v, out_s, out_r),
+            host=(out_v, out_s.astype(np.int64), out_r),
             nq=nq,
             k=k,
             query_sqnorm=res.query_sqnorm,
@@ -1053,6 +1093,21 @@ class Table:
                 max(k * st.query.final_topk_multiple, k),
                 st.query.max_search_result_window,
             )
+        )
+
+    def _log_query(self, kind, column, nq, k, t0, query_text="", error=""):
+        from ..service.event_log import GLOBAL_QUERY_LOG
+
+        GLOBAL_QUERY_LOG.record(
+            kind,
+            table=self.name,
+            column=column,
+            query_text=query_text,
+            nq=nq,
+            k=k,
+            rows_read=self.n_rows,
+            duration_ms=(time.time() - t0) * 1e3,
+            error=error,
         )
 
     # -------------------------------------------------------------- search
@@ -1074,6 +1129,7 @@ class Table:
         A [D] query is one search; an [Q, D] batch is the batch_distance
         semantics (per-query top-k, SURVEY.md §2.7). final=True applies
         Replacing-engine dedup to the candidates (SELECT ... FINAL)."""
+        t0 = time.time()
         if final and self.engine == "MergeTree":
             raise SchemaError("FINAL requires a Replacing/Collapsing engine table")
         m = None
@@ -1100,6 +1156,7 @@ class Table:
         )
         if final:
             res = self._apply_final(res, k_eff)
+        self._log_query("vector_search", column, res.nq, k_eff, t0)
         return res
 
     def compute_distances(
@@ -1424,6 +1481,11 @@ class Table:
                             slot.instance.memory_bytes if slot.instance else 0
                         ),
                         "elapsed": slot.elapsed_s,
+                        "progress": (
+                            1.0
+                            if slot.status in (IndexStatus.LOADED, IndexStatus.BUILT)
+                            else slot.progress
+                        ),
                         "error": slot.error,
                     }
                 )

@@ -203,3 +203,47 @@ def test_replacing_persist_roundtrip(tmp_path):
         assert (got["ver"][res.valid][sel] == 9).all()
     finally:
         d2.close()
+
+
+def test_final_at_scale_within_2x(db):
+    """performFinal must not degrade to per-row Python: at 1M rows the
+    FINAL search (winner bitmaps cached per table generation) stays
+    within 2x of the plain search wall time."""
+    import time
+
+    n, dim = 1_000_000, 8
+    t = db.create_table(
+        "big_final",
+        ms.Schema({"id": ms.UInt64(), "ver": ms.UInt64(), "vec": ms.FloatVector(dim)}),
+        engine="ReplacingMergeTree",
+        key_column="id",
+        version_column="ver",
+    )
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    ids = np.arange(n, dtype=np.uint64)
+    ids[: n // 2] = ids[n // 2 : ]  # half the keys are duplicated
+    t.insert({"id": ids, "ver": np.arange(n, dtype=np.uint64), "vec": vecs})
+    q = rng.standard_normal((4, dim)).astype(np.float32)
+    # warm both paths (compile + winner-bitmap build)
+    t.search("vec", q, 10)
+    t.search("vec", q, 10, final=True).rows
+    t0 = time.perf_counter()
+    base = t.search("vec", q, 10)
+    base.rows
+    t_plain = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    fin = t.search("vec", q, 10, final=True)
+    fin.rows
+    t_final = time.perf_counter() - t0
+    # every returned row is a winner: its key's max version
+    got = t.gather(fin, ["id", "ver"])
+    winner_ver = {}
+    for i, v in zip(ids.tolist(), range(n)):
+        winner_ver[i] = max(winner_ver.get(i, -1), v)
+    for qi in range(len(q)):
+        for j in range(10):
+            if fin.rows[qi, j] < 0:
+                continue
+            assert int(got["ver"][qi, j]) == winner_ver[int(got["id"][qi, j])]
+    assert t_final <= max(2.0 * t_plain, t_plain + 0.25), (t_final, t_plain)

@@ -81,3 +81,50 @@ def test_table_functions(db, rng):
     assert stats["total_docs"] == 20
     assert stats["doc_freq"]["beta"] == 10 and stats["doc_freq"]["gamma"] == 10
     assert stats["avg_doc_len"] == 2.0
+
+
+def test_query_log_records_searches(db, rng):
+    t = db.create_table(
+        "ql",
+        ms.Schema({"id": ms.UInt64(), "body": ms.String(), "vec": ms.FloatVector(8)}),
+    )
+    n = 50
+    t.insert(
+        {
+            "id": np.arange(n, dtype=np.uint64),
+            "body": np.array(["alpha beta"] * n, dtype=object),
+            "vec": rng.standard_normal((n, 8)).astype(np.float32),
+        }
+    )
+    t.add_fts_index("ft", "body")
+    t.search("vec", rng.standard_normal(8).astype(np.float32), k=5)
+    t.text_search("ft", "alpha", k=3)
+    db.sql("SELECT id FROM ql LIMIT 2")
+    rows = db.system_table("query_log")
+    kinds = [r["kind"] for r in rows if r["table"] == "ql"]
+    assert "vector_search" in kinds and "text_search" in kinds and "sql" in kinds
+    vrow = next(r for r in rows if r["table"] == "ql" and r["kind"] == "vector_search")
+    assert vrow["k"] == 5 and vrow["nq"] == 1 and vrow["rows_read"] == n
+    assert vrow["duration_ms"] >= 0
+    # SQL-queryable (system.query_log surface)
+    out = db.sql("SELECT kind, table FROM system.query_log")
+    assert any(r.get("kind") == "vector_search" for r in out)
+
+
+def test_build_progress_column(db, rng):
+    st = ms.Settings()
+    st.table.min_rows_to_build_vector_index = 100
+    t = db.create_table(
+        "qp", ms.Schema({"id": ms.UInt64(), "vec": ms.FloatVector(16)}), settings=st
+    )
+    n = 4000
+    t.insert(
+        {
+            "id": np.arange(n, dtype=np.uint64),
+            "vec": rng.standard_normal((n, 16)).astype(np.float32),
+        }
+    )
+    t.add_vector_index("v", "vec", type="IVFFLAT", metric_type="L2")
+    assert t.wait_index_built()
+    rows = [r for r in db.system_table("vector_index_segments") if r["table"] == "qp"]
+    assert rows and all(r["progress"] == 1.0 for r in rows)
