@@ -61,6 +61,24 @@ BEAM = 8  # nodes expanded per iteration per query: the frontier loop is
 # the step count at identical total gather traffic, and breadth costs no
 # recall at the ef values the reference benchmarks (50-400)
 PRUNE_ALPHA = 1.2
+# Traversal projection width: reps wider than this are PCA-projected for
+# ALL routing work (build candidate generation, query-time frontier
+# scoring). Distances used for routing are approximations anyway (int8
+# shadow); the exact final re-score absorbs the projection error, and the
+# gather traffic — the beam search's binding cost at high dims — drops by
+# dpad/TRAVERSE_DIM (3.75x at 960-d).
+TRAVERSE_DIM = 256
+# Node-block neighbor payload: store every node's m neighbor CODE VECTORS
+# contiguously so one frontier expansion is Q*BEAM contiguous [m, Dt]
+# block reads instead of Q*BEAM*m scattered row gathers. Costs
+# n_rows*m*Dt bytes of HBM; disabled above this cap (the row-gather
+# shadow path remains).
+NODE_BLOCK_CAP_BYTES = 4 << 30
+# Projection policy: prefer FULL-dimension int8 blocks when they fit the
+# cap (no routing distortion — on isotropic corpora PCA cannot compress
+# and costs recall); project only when full-dim blocks would not fit
+# (e.g. 1M x 960: routing quality traded for feasibility, absorbed by the
+# exact final re-score).
 
 
 def _prune_chunk(
@@ -217,26 +235,31 @@ class _HNSWBase(VectorIndex):
         "codec_a",
         "codec_b",
         "neighbors",  # int32[N', m]
-        "centroids",  # f32[C, D'] entry routing
+        "centroids",  # f32[C, Dt] entry routing (TRAVERSAL space)
         "csq",
         "entry_rows",  # int32[C]
-        # SQ8 TRAVERSAL SHADOW (raw codec only): the beam search is
-        # scattered-gather-bound at high dims (~49 MB/step at 960-d), so
-        # frontier expansion scores against int8 codes — half the gather
-        # bytes — and the final k candidates are exactly re-scored against
-        # the raw payload. None on HNSWSQ/HNSWPQ (already compressed) and
-        # on indexes persisted before this field existed.
-        "tdata",  # int8[N', D'] traversal codes
-        "ta",  # sq8 lo[D']
-        "tb",  # sq8 scale[D']
+        # SQ8 TRAVERSAL SHADOW in the (PCA-projected) traversal space: the
+        # beam search is scattered-gather-bound at high dims (~49 MB/step
+        # at 960-d f32), so frontier expansion scores int8 codes of a
+        # TRAVERSE_DIM projection — dpad/Dt * 4 fewer gather bytes — and
+        # the final candidates are exactly re-scored against the payload.
+        # None only on indexes persisted before this field existed.
+        "tdata",  # int8/uint8[N', Dt] traversal codes
+        "ta",  # sq8 lo[Dt]
+        "tb",  # sq8 scale[Dt]
         "taux",  # f32[N'] |decode(tdata)|^2 (L2 only)
+        "tproj",  # f32[D', Dt] PCA projection (None = identity)
+        # node-block neighbor payload (see NODE_BLOCK_CAP_BYTES)
+        "nbdata",  # codes[N', m, Dt] — node i's neighbor codes, contiguous
+        "nbaux",  # f32[N', m] neighbor |x|^2 (L2 only)
     )
+    _optional_fields = ("tdata", "ta", "tb", "taux", "tproj", "nbdata", "nbaux")
     _static_fields = ("metric", "dim", "n_rows", "m", "ef_default", "codec")
     codec = "raw"
 
     def __init__(self, **kw):
         for f in self._array_fields + self._static_fields:
-            setattr(self, f, kw.pop(f, None) if f in ("tdata", "ta", "tb", "taux") else kw.pop(f))
+            setattr(self, f, kw.pop(f, None) if f in self._optional_fields else kw.pop(f))
         assert not kw
 
     @classmethod
@@ -250,10 +273,14 @@ class _HNSWBase(VectorIndex):
         shadow/codes (~2 bytes/dim/row)."""
         dpad = payload.data.shape[1]
         rep_f32 = 4 * n_rows * dpad
+        dt_w = min(dpad, TRAVERSE_DIM)
+        m = int((params or {}).get("m", DEFAULT_M))
+        nb = n_rows * m * dt_w
+        blocks = nb if nb <= NODE_BLOCK_CAP_BYTES else 0
         if getattr(payload, "is_host", False):
             # bf16 IVF payload copy + stored bf16 data + int8 shadow
-            return rep_f32 + (2 + 2 + 1) * n_rows * dpad
-        return rep_f32 + 2 * int(payload.nbytes) + n_rows * dpad
+            return rep_f32 + (2 + 2 + 1) * n_rows * dpad + blocks
+        return rep_f32 + 2 * int(payload.nbytes) + n_rows * dt_w + blocks
 
     # ------------------------------------------------------------- build
     @classmethod
@@ -271,23 +298,43 @@ class _HNSWBase(VectorIndex):
         if isinstance(rep, np.ndarray):
             rep = jnp.asarray(rep)  # graph builds are device-resident
 
-        # 1) candidate generation via a throwaway IVF over the SCAN
-        # REPRESENTATION (normalized rows for Cosine — graph geometry must
-        # match search-time scoring)
+        # 0) traversal projection: PCA to TRAVERSE_DIM when wider. All
+        # routing — build candidate generation AND query-time frontier
+        # expansion — runs in this space; only the final re-score touches
+        # full-dim data. PCA beats a random (JL) projection here because
+        # real embedding spectra are steep (GIST-960 keeps ~95% variance
+        # in 256 dims). Uncentered PCA: L2 differences are translation-
+        # invariant, so the mean term only rotates the tail components.
+        tproj = None
+        rep_t = rep
+        if dpad > TRAVERSE_DIM and n_rows * m * dpad > NODE_BLOCK_CAP_BYTES:
+            sample = rep[: min(n_rows, 131072)]
+            cov = jax.device_get(
+                jnp.dot(sample.T, sample, preferred_element_type=jnp.float32)
+            )
+            check_cancel(cancel_cb)
+            w, v = np.linalg.eigh(cov.astype(np.float64))
+            tproj = jnp.asarray(
+                np.ascontiguousarray(v[:, ::-1][:, :TRAVERSE_DIM]),
+                dtype=jnp.float32,
+            )
+            rep_t = jnp.dot(rep, tproj, preferred_element_type=jnp.float32)
+
+        # 1) candidate generation via a throwaway IVF over the TRAVERSAL
+        # representation (normalized rows for Cosine — graph geometry must
+        # match search-time scoring space)
         from ..storage.segment import VectorPayload
 
-        ivf_payload = payload
-        if metric == Metric.COSINE or getattr(payload, "is_host", False):
-            ivf_payload = VectorPayload(
-                data=rep.astype(jnp.bfloat16),
-                sqnorm=jnp.sum(rep * rep, axis=1),
-                invnorm=jnp.ones((n_rows,), jnp.float32),
-            )
+        ivf_payload = VectorPayload(
+            data=rep_t.astype(jnp.bfloat16),
+            sqnorm=jnp.sum(rep_t * rep_t, axis=1),
+            invnorm=jnp.ones((n_rows,), jnp.float32),
+        )
         ivf = IVFFlatIndex._build_common(
             ivf_payload,
             n_rows,
             metric=Metric.L2 if metric != Metric.IP else Metric.IP,
-            dim=dim,
+            dim=int(rep_t.shape[1]),
             params={"ncentroids": default_ncentroids(n_rows)},
             settings=settings,
             codec="raw",
@@ -336,10 +383,32 @@ class _HNSWBase(VectorIndex):
         # 4) entry points = IVF centroid representatives
         entry_rows = np.asarray(ivf.cluster_heads())
 
+        # traversal shadow: int8 codes of the traversal-space rep (ALL
+        # codecs — routing always uses the cheapest representation)
+        ta, tb = quantize.sq8_train_dev(rep_t)
+        tdata = quantize.sq8_encode_dev(rep_t, ta, tb)
+        taux = None
+        if metric in (Metric.L2, Metric.COSINE):
+            # Cosine too: projection breaks unit norms, so traversal uses
+            # the L2 form (monotone in cosine for normalized full-dim
+            # inputs); the exact final re-score restores true cosine.
+            tdec = quantize.sq8_decode_dev(tdata, ta, tb).astype(jnp.float32)
+            taux = jnp.sum(tdec * tdec, axis=1)
+
+        # node-block neighbor payload: contiguous [m, Dt] code blocks per
+        # node — a frontier expansion becomes BEAM contiguous reads
+        nbdata = nbaux = None
+        neigh_dev = jnp.asarray(neighbors)
+        dt_w = int(tdata.shape[1])
+        if n_rows * m * dt_w <= NODE_BLOCK_CAP_BYTES:
+            safe_n = jnp.maximum(neigh_dev, 0)
+            nbdata = jnp.take(tdata, safe_n, axis=0)  # [N, m, Dt]
+            if taux is not None:
+                nbaux = jnp.take(taux, safe_n)  # [N, m]
+
         # payload codec for scoring (encoded on device — the corpus never
         # round-trips to the host during a build)
         codec_a = codec_b = None
-        tdata = ta = tb = taux = None
         host_pl = getattr(payload, "is_host", False)
         store_dt = jnp.bfloat16 if host_pl else payload.data.dtype
         if codec == "raw":
@@ -352,12 +421,6 @@ class _HNSWBase(VectorIndex):
                 aux_arr = (
                     jnp.sum(rep * rep, axis=1) if metric == Metric.L2 else None
                 )
-            # int8 traversal shadow (see _array_fields)
-            ta, tb = quantize.sq8_train_dev(rep)
-            tdata = quantize.sq8_encode_dev(rep, ta, tb)
-            if metric == Metric.L2:
-                tdec = quantize.sq8_decode_dev(tdata, ta, tb).astype(jnp.float32)
-                taux = jnp.sum(tdec * tdec, axis=1)
         elif codec == "sq8":
             codec_a, codec_b = quantize.sq8_train_dev(rep)
             data = quantize.sq8_encode_dev(rep, codec_a, codec_b)
@@ -386,7 +449,7 @@ class _HNSWBase(VectorIndex):
             aux=aux_arr,
             codec_a=codec_a,
             codec_b=codec_b,
-            neighbors=jnp.asarray(neighbors),
+            neighbors=neigh_dev,
             centroids=ivf.centroids,
             csq=ivf.csq,
             entry_rows=jnp.asarray(entry_rows),
@@ -394,6 +457,9 @@ class _HNSWBase(VectorIndex):
             ta=ta,
             tb=tb,
             taux=taux,
+            tproj=tproj,
+            nbdata=nbdata,
+            nbaux=nbaux,
             metric=metric,
             dim=dim,
             n_rows=n_rows,
@@ -411,23 +477,12 @@ class _HNSWBase(VectorIndex):
             return quantize.pq_decode_dev(g, self.codec_a)
         return g
 
-    def _score_rows(
-        self, q_parts, rows: jax.Array, traverse: bool = False
-    ) -> jax.Array:
-        """scores f32[Q, R] for per-query row sets rows[Q, R]. Gathered-row
-        scoring is f32/HIGHEST: the bf16 hi/lo split is unsafe inside XLA
-        fusions here (see ivf.IVFIndex._decode). traverse=True scores
-        against the int8 shadow when present — half the gather bytes; the
-        search exactly re-scores its final candidates."""
-        if traverse and self.tdata is not None:
-            g = jnp.take(self.tdata, jnp.maximum(rows, 0), axis=0)
-            vecs = quantize.sq8_decode_dev(g, self.ta, self.tb).astype(
-                jnp.float32
-            )
-            aux = self.taux
-        else:
-            vecs = self._decode_rows(rows).astype(jnp.float32)  # [Q, R, D']
-            aux = self.aux
+    def _score_rows(self, q_parts, rows: jax.Array) -> jax.Array:
+        """EXACT scores f32[Q, R] for per-query row sets rows[Q, R]
+        against the payload codec. Gathered-row scoring is f32/HIGHEST:
+        the bf16 hi/lo split is unsafe inside XLA fusions here (see
+        ivf.IVFIndex._decode)."""
+        vecs = self._decode_rows(rows).astype(jnp.float32)  # [Q, R, D']
         d = vecs.shape[-1]
         s = jnp.zeros(rows.shape, jnp.float32)
         for p in range(q_parts.shape[0]):
@@ -439,8 +494,53 @@ class _HNSWBase(VectorIndex):
                 precision=exact_precision(),
             )[:, 0, :]
         if self.metric == Metric.L2:
-            s = 2.0 * s - jnp.take(aux, jnp.maximum(rows, 0))
+            s = 2.0 * s - jnp.take(self.aux, jnp.maximum(rows, 0))
         return jnp.where(rows >= 0, s, NEG_INF)
+
+    def _score_traverse(self, qt: jax.Array, rows: jax.Array) -> jax.Array:
+        """Traversal-space scores f32[Q, R] via the int8 shadow (row
+        gather). qt is the projected query [Q, Dt]."""
+        g = jnp.take(self.tdata, jnp.maximum(rows, 0), axis=0)
+        vecs = quantize.sq8_decode_dev(g, self.ta, self.tb).astype(jnp.float32)
+        s = jax.lax.dot_general(
+            qt[:, None, :],
+            vecs,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )[:, 0, :]
+        if self.taux is not None:
+            s = 2.0 * s - jnp.take(self.taux, jnp.maximum(rows, 0))
+        return jnp.where(rows >= 0, s, NEG_INF)
+
+    def _score_blocks(
+        self, qt: jax.Array, exp_rows: jax.Array
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Frontier expansion via node blocks: gather each expanded node's
+        CONTIGUOUS [m, Dt] neighbor-code block (BEAM block reads per query
+        instead of BEAM*m scattered rows) and score in traversal space.
+        Returns (scores f32[Q, BEAM*m], neighbor rows int32[Q, BEAM*m])."""
+        nq, beam = exp_rows.shape
+        safe = jnp.maximum(exp_rows, 0)
+        nbrs = jnp.take(self.neighbors, safe, axis=0)  # [Q, B, m]
+        nbrs = jnp.where(exp_rows[..., None] >= 0, nbrs, -1)
+        g = jnp.take(self.nbdata, safe, axis=0)  # [Q, B, m, Dt]
+        vecs = quantize.sq8_decode_dev(g, self.ta, self.tb).astype(jnp.float32)
+        s = jnp.einsum(
+            "qd,qbmd->qbm", qt, vecs, preferred_element_type=jnp.float32
+        )
+        if self.nbaux is not None:
+            s = 2.0 * s - jnp.take(self.nbaux, safe, axis=0)
+        nbrs = nbrs.reshape(nq, -1)
+        s = s.reshape(nq, -1)
+        return jnp.where(nbrs >= 0, s, NEG_INF), nbrs
+
+    def _project_query(self, q: jax.Array) -> jax.Array:
+        if self.tproj is None:
+            return q
+        d = self.tproj.shape[0]
+        return jnp.dot(
+            q[:, :d], self.tproj, preferred_element_type=jnp.float32
+        )
 
     def _q_parts(self, q: jax.Array) -> jax.Array:
         return q.astype(jnp.float32)[None]
@@ -464,15 +564,27 @@ class _HNSWBase(VectorIndex):
             nrm = jnp.linalg.norm(q, axis=1, keepdims=True)
             q = q / jnp.where(nrm > 0, nrm, 1.0)
         q_parts = self._q_parts(q)
+        qt = self._project_query(q)  # traversal space
 
-        # entry: representatives of the nearest centroids
+        if self.tdata is not None:
+            score_t = lambda rows: self._score_traverse(qt, rows)
+        else:  # pre-shadow persisted index: route on exact scores
+            score_t = lambda rows: self._score_rows(q_parts, rows)
+
+        # entry: representatives of the nearest centroids. Centroids live
+        # in TRAVERSAL space (the throwaway IVF was built there).
         n_entry = min(max(BEAM, 8), self.centroids.shape[0])
-        cs = jnp.dot(q, self.centroids.T, preferred_element_type=jnp.float32)
+        cdim = self.centroids.shape[1]
+        cs = jnp.dot(
+            qt[:, :cdim] if qt.shape[1] >= cdim else q[:, :cdim],
+            self.centroids.T,
+            preferred_element_type=jnp.float32,
+        )
         if self.metric in (Metric.L2, Metric.COSINE):
             cs = 2.0 * cs - self.csq[None, :]
         _, ecl = jax.lax.top_k(cs, n_entry)  # [Q, E]
         erows = jnp.take(self.entry_rows, ecl)  # [Q, E]
-        escores = self._score_rows(q_parts, erows, traverse=True)
+        escores = score_t(erows)
 
         def res_mask(rows, scores):
             ok = rows >= 0
@@ -480,16 +592,22 @@ class _HNSWBase(VectorIndex):
                 ok = jnp.logical_and(ok, jnp.take(mask, jnp.maximum(rows, 0)))
             return jnp.where(ok, scores, NEG_INF)
 
-        # frontier [Q, ef]: traverse-scores, rows, expanded flags.
-        # results accumulate as a WIDE pool of (approx score, row) pairs
-        # with no per-iteration dedup — duplicates are absorbed by the
-        # pool width and killed once at the end, where the pool is also
-        # EXACTLY re-scored (the traverse scores are int8-approximate).
+        # frontier [Q, ef]: traverse-scores + rows. Re-expansion is
+        # prevented by a VISITED BITMAP (one scatter + two gathers per
+        # iteration) instead of a per-iteration sort-dedup — the sort was
+        # the loop's binding cost once node-block gathers made expansion
+        # cheap. Duplicate unexpanded entries can coexist in the frontier;
+        # once one copy expands, the bitmap silences the others. Results
+        # accumulate as a WIDE pool of (approx score, row) pairs, deduped
+        # once at the end where the pool is EXACTLY re-scored (the
+        # traverse scores are int8-approximate).
+        npad = self.neighbors.shape[0]
+        qidx = jnp.arange(nq, dtype=jnp.int32)[:, None]
+        visited = jnp.zeros((nq, npad + 1), bool)  # last col = -1 sink
         rp = max(k, min(ef, 2 * k))
         pad = ef - n_entry if ef > n_entry else 0
         fv = jnp.pad(escores, ((0, 0), (0, pad)), constant_values=NEG_INF)[:, :ef]
         fr = jnp.pad(erows, ((0, 0), (0, pad)), constant_values=-1)[:, :ef]
-        fe = jnp.zeros((nq, ef), bool)
         rv, pos = jax.lax.top_k(
             jnp.pad(
                 res_mask(erows, escores),
@@ -505,44 +623,56 @@ class _HNSWBase(VectorIndex):
         )
 
         def body(_, state):
-            fv, fr, fe, rv, rr = state
-            # expand best BEAM unexpanded frontier nodes
-            sel = jnp.where(jnp.logical_or(fe, fr < 0), NEG_INF, fv)
-            _, bpos = jax.lax.top_k(sel, BEAM)  # positions in frontier
-            onehot = jnp.zeros_like(fe).at[
-                jnp.arange(nq)[:, None], bpos
-            ].set(True)
-            fe2 = jnp.logical_or(fe, onehot)
+            fv, fr, rv, rr, visited = state
+            # expand best BEAM unexpanded (= unvisited) frontier nodes
+            vis_fr = jnp.take_along_axis(
+                visited, jnp.where(fr >= 0, fr, npad), axis=1
+            )
+            sel = jnp.where(jnp.logical_or(vis_fr, fr < 0), NEG_INF, fv)
+            bv, bpos = jax.lax.top_k(sel, BEAM)  # positions in frontier
             exp_rows = jnp.take_along_axis(fr, bpos, axis=1)  # [Q, BEAM]
-            nbrs = jnp.take(
-                self.neighbors, jnp.maximum(exp_rows, 0), axis=0
-            )  # [Q, BEAM, m]
-            nbrs = jnp.where(exp_rows[..., None] >= 0, nbrs, -1).reshape(nq, -1)
-            ns = self._score_rows(q_parts, nbrs, traverse=True)  # [Q, BEAM*m]
+            exp_rows = jnp.where(bv > NEG_INF, exp_rows, -1)
+            visited = visited.at[
+                qidx, jnp.where(exp_rows >= 0, exp_rows, npad)
+            ].set(True)
+            if self.nbdata is not None:
+                # contiguous node-block expansion (the gather-bound step)
+                ns, nbrs = self._score_blocks(qt, exp_rows)
+            else:
+                nbrs = jnp.take(
+                    self.neighbors, jnp.maximum(exp_rows, 0), axis=0
+                )  # [Q, BEAM, m]
+                nbrs = jnp.where(
+                    exp_rows[..., None] >= 0, nbrs, -1
+                ).reshape(nq, -1)
+                ns = score_t(nbrs)  # [Q, BEAM*m]
+            # silence already-visited neighbors (they are in the pool and
+            # the frontier from their first scoring)
+            seen = jnp.take_along_axis(
+                visited, jnp.where(nbrs >= 0, nbrs, npad), axis=1
+            )
+            ns = jnp.where(seen, NEG_INF, ns)
             # result pool: plain top-k merge (masked scores), dedup deferred
             cv = jnp.concatenate([rv, res_mask(nbrs, ns)], axis=1)
             cr = jnp.concatenate([rr, nbrs], axis=1)
             rv2, pos2 = jax.lax.top_k(cv, rp)
             rr2 = jnp.take_along_axis(cr, pos2, axis=1)
-            # frontier merge with by-id dedup (prevents re-expansion)
+            # frontier merge: no sort-dedup (see visited bitmap above)
             av = jnp.concatenate([fv, ns], axis=1)
             ar = jnp.concatenate([fr, nbrs], axis=1)
-            ae = jnp.concatenate([fe2, jnp.zeros_like(ns, bool)], axis=1)
-            av, ar, ae = dedup_rows(av, ar, ae)
             nv, npos = jax.lax.top_k(av, ef)
             nr = jnp.take_along_axis(ar, npos, axis=1)
-            ne = jnp.take_along_axis(ae, npos, axis=1)
-            return nv, nr, ne, rv2, rr2
+            return nv, nr, rv2, rr2, visited
 
-        fv, fr, fe, rv, rr = jax.lax.fori_loop(
-            0, iters, body, (fv, fr, fe, rv, rr)
+        fv, fr, rv, rr, visited = jax.lax.fori_loop(
+            0, iters, body, (fv, fr, rv, rr, visited)
         )
         # final cut: pool ∪ frontier, dedup by row id, EXACT re-score
         # (raw payload / codec — the traversal used int8 approximations)
         pool_r = jnp.concatenate([rr, fr], axis=1)
         pool_v = jnp.concatenate([rv, res_mask(fr, fv)], axis=1)
         _, pr, _ = dedup_rows(pool_v, pool_r, None)
-        ev = res_mask(pr, self._score_rows(q_parts, pr))
+        ev = res_mask(pr, self._score_rows(q_parts, pr))  # exact re-score
         rv, pos = jax.lax.top_k(ev, k)
         rr = jnp.take_along_axis(pr, pos, axis=1)
         rr = jnp.where(jnp.isfinite(rv), rr, -1)
