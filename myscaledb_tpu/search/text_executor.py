@@ -145,6 +145,15 @@ class TextIndexDefinition:
             toks = self.analyzer.tokenize(ph)
             if not toks:
                 continue
+            if len(toks) > 1:
+                # device path: adjacency over the token stream (the stream
+                # concatenates this index's columns — exactly the join the
+                # host verifier builds below)
+                bm = store.phrase_bitmap(toks)
+                if bm is not None:
+                    GLOBAL_COUNTERS.bump("FTSDevicePhraseChecks")
+                    m &= bm
+                    continue
             cand = store.term_bitmap(toks[0])
             for tk in toks[1:]:
                 cand = cand & store.term_bitmap(tk)
@@ -382,6 +391,18 @@ class _PhraseFilter(_FtsFilterBase):
     def evaluate(self, segment):
         if not self._toks:
             return np.ones(segment.n_rows, bool)
+        tdef = self._tdef()
+        # device path: adjacency over the store's token stream — valid
+        # when the index covers exactly this column (a multi-column store
+        # concatenates columns into one stream)
+        if tdef is not None and list(tdef.columns) == [self.column]:
+            store = tdef.store(segment.segment_id)
+            if store is not None:
+                bm = store.phrase_bitmap(self._toks)
+                if bm is not None:
+                    GLOBAL_COUNTERS.bump("FTSAcceleratedFilters")
+                    GLOBAL_COUNTERS.bump("FTSDevicePhraseChecks")
+                    return bm
         return super().evaluate(segment)
 
     def __repr__(self):

@@ -261,6 +261,43 @@ def _bm25_sparse_topk_batch(
     return vals, out_rows, tags
 
 
+@functools.partial(jax.jit, static_argnames=("m",))
+def _phrase_doc_counts(
+    stream: jax.Array,      # int32[Lpad] (padding = -1)
+    tids: jax.Array,        # int32[m] phrase term ids (-1 = absent term)
+    doc_bounds: jax.Array,  # int32[capacity + 1] token offsets per doc
+    *,
+    m: int,
+) -> jax.Array:
+    """Streaming phrase match over the document-ordered token stream:
+    position p starts the phrase iff stream[p+i] == tids[i] for all i and
+    no document boundary falls inside (p, p+m-1] — boundary containment
+    follows from doc_bounds, so no per-token doc-id array is needed.
+    Returns int32[capacity] phrase-occurrence counts per row. All ops are
+    aligned slices + one prefix sum + one sorted gather: the kernel
+    streams at memory bandwidth, independent of how common the terms are
+    (the reference's tantivy phrase query walks per-doc position lists —
+    a host-side pointer chase this replaces)."""
+    lp = stream.shape[0]
+    lw = lp - m + 1  # phrase-start window
+    match = jnp.ones((lw,), bool)
+    for i in range(m):
+        match = jnp.logical_and(
+            match, jax.lax.slice_in_dim(stream, i, i + lw) == tids[i]
+        )
+    # M0[p] = number of phrase starts strictly before token p
+    csum = jnp.cumsum(match.astype(jnp.int32))
+    m0 = jnp.concatenate([jnp.zeros(1, jnp.int32), csum])  # [lw + 1]
+    # A phrase starting in doc r lies at p in [bounds[r], bounds[r+1] - m + 1);
+    # counting starts in [bounds[r], min(bounds[r+1], lw)) both confines the
+    # phrase to the doc (starts past len-m+1 can't match: padding is -1 and
+    # the next doc's tokens would have to match the tail, which the
+    # boundary clamp below excludes) ... clamp handles the cross-doc case:
+    lo = jnp.minimum(doc_bounds[:-1], lw)
+    hi = jnp.maximum(jnp.minimum(doc_bounds[1:] - (m - 1), lw), lo)
+    return jnp.take(m0, hi) - jnp.take(m0, lo)
+
+
 class InvertedIndex:
     """Built per (segment, text columns) — the TantivyIndexStore analogue.
     Multi-column: tokens of all indexed columns are concatenated per row
@@ -278,6 +315,7 @@ class InvertedIndex:
         doc_len: jax.Array,
         stats: BM25Stats,
         analyzer: Analyzer,
+        token_stream: Optional[np.ndarray] = None,
     ):
         self.capacity = capacity
         self.n_rows = n_rows
@@ -288,6 +326,13 @@ class InvertedIndex:
         self.doc_len = doc_len
         self.stats = stats
         self.analyzer = analyzer
+        # Token-id stream in document order (filtered tokens only) — the
+        # device-side phrase representation: adjacency in the stream IS
+        # adjacency after analysis, exactly the host verifier's semantics.
+        # None on indexes persisted before this field existed (phrase
+        # verification then falls back to the host path).
+        self._stream_host = token_stream  # int32[total_tokens] or None
+        self._stream_dev = None  # (padded stream, doc_bounds) lazy upload
 
     # ------------------------------------------------------------- build
     @classmethod
@@ -307,10 +352,9 @@ class InvertedIndex:
                 return native_out
         vocab: Dict[str, int] = {}
         # first pass: tokenize, count tf per (term, row)
-        row_tokens: List[List[int]] = []
         doc_len = np.zeros(capacity, np.float32)
-        df_counts: List[int] = []
         tf_maps: List[Dict[int, int]] = []
+        stream: List[int] = []
         total_tokens = 0
         for row in range(n_rows):
             tf: Dict[int, int] = {}
@@ -318,6 +362,7 @@ class InvertedIndex:
                 for tok in analyzer.tokenize(str(col[row])):
                     tid = vocab.setdefault(tok, len(vocab))
                     tf[tid] = tf.get(tid, 0) + 1
+                    stream.append(tid)
             ntok = sum(tf.values())
             doc_len[row] = ntok
             total_tokens += ntok
@@ -356,6 +401,7 @@ class InvertedIndex:
             jnp.asarray(doc_len),
             stats,
             analyzer,
+            token_stream=np.asarray(stream, np.int32),
         )
 
     @classmethod
@@ -385,7 +431,7 @@ class InvertedIndex:
         )
         if out is None:
             return None
-        vocab, offsets, rows, tf, doc_len, total_tokens = out
+        vocab, offsets, rows, tf, doc_len, total_tokens, stream = out
         v = len(vocab)
         df_arr = (offsets[1:] - offsets[:-1]) if v else np.zeros(0, np.int64)
         max_df = int(df_arr.max()) if v else 1
@@ -410,6 +456,7 @@ class InvertedIndex:
             jnp.asarray(dl),
             stats,
             analyzer,
+            token_stream=np.asarray(stream, np.int32),
         )
 
     # ------------------------------------------------------------- query
@@ -420,6 +467,54 @@ class InvertedIndex:
         return int(self.term_offsets[tid]), int(
             self.term_offsets[tid + 1] - self.term_offsets[tid]
         )
+
+    def _stream_arrays(self):
+        """(padded device stream, device doc_bounds) for phrase kernels,
+        uploaded once per store; None when the stream is unavailable
+        (pre-stream persisted indexes)."""
+        if self._stream_host is None:
+            return None
+        if self._stream_dev is None:
+            st = self._stream_host
+            # NOT _round_pow2: its 1<<20 cap is a posting-budget bound;
+            # the stream (== total tokens) routinely exceeds it
+            lp = 128
+            while lp < len(st) + 1:
+                lp <<= 1
+            padded = np.full(lp, -1, np.int32)
+            padded[: len(st)] = st
+            dl = np.asarray(self.doc_len[: self.n_rows]).astype(np.int64)
+            bounds = np.zeros(self.capacity + 1, np.int64)
+            np.cumsum(dl, out=bounds[1 : self.n_rows + 1])
+            bounds[self.n_rows + 1 :] = bounds[self.n_rows]
+            self._stream_dev = (
+                jnp.asarray(padded),
+                jnp.asarray(bounds.astype(np.int32)),
+            )
+        return self._stream_dev
+
+    def phrase_counts_device(self, tokens: Sequence[str]) -> Optional[jax.Array]:
+        """int32[capacity] per-row occurrence counts of the analyzed
+        phrase `tokens` (adjacent in the filtered stream), or None when
+        the store predates token streams. Runs entirely on device."""
+        got = self._stream_arrays()
+        if got is None or not tokens:
+            return None
+        stream, bounds = got
+        tids = np.asarray(
+            [self.vocab.get(t, -1) for t in tokens], np.int32
+        )
+        if (tids < 0).any():  # absent term: phrase matches nothing
+            return jnp.zeros(self.capacity, jnp.int32)
+        return _phrase_doc_counts(stream, jnp.asarray(tids), bounds, m=len(tids))
+
+    def phrase_bitmap(self, tokens: Sequence[str]) -> Optional[np.ndarray]:
+        """bool[n_rows] rows containing the phrase (host view), or None
+        when unavailable (caller falls back to host verification)."""
+        counts = self.phrase_counts_device(tokens)
+        if counts is None:
+            return None
+        return np.asarray(counts[: self.n_rows]) > 0
 
     def term_bitmap(self, term: str) -> np.ndarray:
         """bool[n_rows] rows containing the term — the ffi_query_term_bitmap
@@ -581,6 +676,11 @@ class InvertedIndex:
                 "postings_tf": np.asarray(self.postings_tf),
                 "doc_len": np.asarray(self.doc_len),
                 "terms": np.asarray(terms, dtype=str),
+                **(
+                    {"token_stream": np.asarray(self._stream_host)}
+                    if self._stream_host is not None
+                    else {}
+                ),
             },
         }
 
@@ -598,6 +698,7 @@ class InvertedIndex:
             cfg["stop_words"] = list(cfg["stop_words"])
         else:
             cfg.pop("stop_words", None)
+        ts = a.get("token_stream")
         return cls(
             m["capacity"],
             m["n_rows"],
@@ -608,4 +709,5 @@ class InvertedIndex:
             jnp.asarray(a["doc_len"]),
             stats,
             Analyzer(cfg),
+            token_stream=None if ts is None else np.asarray(ts, np.int32),
         )

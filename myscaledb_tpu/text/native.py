@@ -34,10 +34,12 @@ def _load() -> Optional[ctypes.CDLL]:
             return _lib
         _tried = True
         try:
-            if not os.path.exists(_SO_PATH) and os.path.isdir(_NATIVE_DIR):
+            if os.path.isdir(_NATIVE_DIR):
+                # always run make: a stale .so (older ABI) must be rebuilt;
+                # an up-to-date one makes this a no-op
                 subprocess.run(
                     ["make", "-C", _NATIVE_DIR],
-                    check=True,
+                    check=not os.path.exists(_SO_PATH),
                     capture_output=True,
                     timeout=120,
                 )
@@ -76,6 +78,14 @@ def _load() -> Optional[ctypes.CDLL]:
         ]
         lib.msql_fts_free.restype = None
         lib.msql_fts_free.argtypes = [ctypes.c_void_p]
+        try:
+            lib.msql_fts_export_stream.restype = None
+            lib.msql_fts_export_stream.argtypes = [
+                ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_int32),
+            ]
+        except AttributeError:
+            return None  # stale library without the stream ABI: fall back
         _lib = lib
         return _lib
 
@@ -105,8 +115,9 @@ def build_csr(
     stop_words=(),
 ):
     """Native CSR build. Returns (vocab dict, term_offsets int64[V+1],
-    rows int32[nnz], tf f32[nnz], doc_len f32[n], total_tokens) or None
-    when the native library is unavailable."""
+    rows int32[nnz], tf f32[nnz], doc_len f32[n], total_tokens,
+    token_stream int32[total_tokens]) or None when the native library is
+    unavailable."""
     lib = _load()
     if lib is None:
         return None
@@ -145,10 +156,22 @@ def build_csr(
             vocab_buf,
             vocab_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         )
+        stream = np.zeros(max(int(total_tokens), 1), np.int32)
+        lib.msql_fts_export_stream(
+            h, stream.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        )
     finally:
         lib.msql_fts_free(h)
     raw = vocab_buf.raw[:vb]
     vocab: Dict[str, int] = {}
     for i in range(v):
         vocab[raw[vocab_offsets[i] : vocab_offsets[i + 1]].decode("utf-8")] = i
-    return vocab, term_offsets, rows[:nnz], tf[:nnz], doc_len[: len(docs)], int(total_tokens)
+    return (
+        vocab,
+        term_offsets,
+        rows[:nnz],
+        tf[:nnz],
+        doc_len[: len(docs)],
+        int(total_tokens),
+        stream[: int(total_tokens)],
+    )

@@ -29,6 +29,9 @@ struct BuildResult {
   // vocabulary: concatenated UTF-8 + offsets
   std::string vocab_buf;
   std::vector<int64_t> vocab_offsets;
+  // filtered token-id stream in document order (doc boundaries follow
+  // from doc_len): the device-side phrase/adjacency representation
+  std::vector<int32_t> stream;
   int64_t total_tokens = 0;
 };
 
@@ -109,6 +112,7 @@ void* msql_fts_build(const char* buf, const int64_t* doc_offsets,
         id = it->second;
       }
       ++doc_tf[id];
+      out->stream.push_back(id);
       ++ntok;
     }
     out->doc_len[static_cast<size_t>(d)] = static_cast<float>(ntok);
@@ -157,6 +161,13 @@ int64_t msql_fts_vocab_bytes(void* h) {
 }
 int64_t msql_fts_total_tokens(void* h) {
   return static_cast<BuildResult*>(h)->total_tokens;
+}
+
+// Token-id stream in document order (length == total_tokens).
+void msql_fts_export_stream(void* h, int32_t* out_stream) {
+  auto* r = static_cast<BuildResult*>(h);
+  std::memcpy(out_stream, r->stream.data(),
+              r->stream.size() * sizeof(int32_t));
 }
 
 void msql_fts_export(void* h, int32_t* rows, float* tf, int64_t* term_offsets,
