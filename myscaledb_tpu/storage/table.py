@@ -147,6 +147,22 @@ class Table:
         self._slots: Dict[tuple, IndexSlot] = {}  # (segment_id, index_name)
         self._executor = VectorSearchExecutor(self)
         self._text_indexes: Dict[str, Any] = {}  # name -> TextIndexDefinition
+        # Commit listeners: called AFTER a local commit (insert / deletes /
+        # mutate / merge) — the hook data replication publishes through
+        # (the ReplicatedMergeTree log-entry write,
+        # StorageReplicatedMergeTree.cpp:3183). Listeners run outside the
+        # table locks; they must not mutate the table synchronously.
+        self._commit_listeners: List[Any] = []
+
+    def add_commit_listener(self, fn) -> None:
+        self._commit_listeners.append(fn)
+
+    def _notify_commit(self, op: str, **kw) -> None:
+        for fn in list(self._commit_listeners):
+            try:
+                fn(self, op, **kw)
+            except Exception:  # noqa: BLE001 — replication must not fail DML
+                GLOBAL_COUNTERS.bump("CommitListenerErrors")
 
     # ------------------------------------------------------------- ingest
     def insert(self, columns: Dict[str, Any], *, _schedule_builds: bool = True) -> int:
@@ -178,6 +194,7 @@ class Table:
             tdef.on_new_segment(seg, scheduler=self._scheduler)
         GLOBAL_COUNTERS.bump("InsertedSegments")
         GLOBAL_COUNTERS.bump("InsertedRows", seg.n_rows)
+        self._notify_commit("insert", segment=seg)
         return seg_id
 
     def update(self, filter: Expr, assignments: Dict[str, Any]) -> int:
@@ -197,6 +214,7 @@ class Table:
                     "mutations that keep the vector column intact)"
                 )
         n = 0
+        touched = []
         with self._dml_lock:
             for seg in self.live_segments():
                 m = filter.evaluate(seg) & ~seg.deleted_host()[: seg.n_rows]
@@ -216,21 +234,28 @@ class Table:
                     if any(c in tdef.columns for c in assignments):
                         tdef.on_new_segment(seg)
                 n += len(rows)
+                touched.append(seg)
         GLOBAL_COUNTERS.bump("MutatedRows", n)
+        for seg in touched:
+            self._notify_commit("mutate", segment=seg)
         return n
 
     def delete(self, filter: Expr) -> int:
         """Lightweight DELETE: set delete-bitmap bits on matching rows."""
         n = 0
+        touched = []
         with self._dml_lock:
             for seg in self.live_segments():
                 mask = filter.evaluate(seg)
                 rows = np.nonzero(mask)[0]
                 if len(rows):
                     n += seg.delete_rows(rows)
+                    touched.append(seg)
                     for tdef in self._text_indexes.values():
                         tdef.on_deletes(seg)
         GLOBAL_COUNTERS.bump("DeletedRows", n)
+        for seg in touched:
+            self._notify_commit("deletes", segment=seg)
         return n
 
     # -------------------------------------------------------------- index
@@ -1402,7 +1427,24 @@ class Table:
                 for desc in list(self._index_descs.values()):
                     self._index_cache.force_expire((self.name, desc.name, i))
         GLOBAL_COUNTERS.bump("SegmentMerges")
+        self._notify_commit("merge", segment=new_seg, dropped_ids=list(ids))
         return new_id
+
+    def _drop_segments(self, segment_ids: List[int]) -> None:
+        """Remove segments without merging (replication: applying a peer's
+        merge swaps in the fetched merged part and drops the sources)."""
+        with self._dml_lock, self._lock:
+            for i in segment_ids:
+                self._segments.pop(i, None)
+                for key in [k for k in self._slots if k[0] == i]:
+                    del self._slots[key]
+        for tdef in self._text_indexes.values():
+            for i in segment_ids:
+                tdef.on_segment_dropped(i)
+        if self._index_cache is not None:
+            for i in segment_ids:
+                for desc in list(self._index_descs.values()):
+                    self._index_cache.force_expire((self.name, desc.name, i))
 
     # ----------------------------------------------------------- introspect
     def system_vector_indices(self) -> List[Dict[str, Any]]:

@@ -1,0 +1,147 @@
+"""Replicated DATA path: rows inserted on replica A are searchable on
+replica B after sync; deletes/mutations/merges converge; a restarted
+replica resumes from its persisted state (the vidx_info/autoload
+analogue). Mirrors DataPartsExchange part fetch + the ZK op log."""
+
+import numpy as np
+import pytest
+
+import myscaledb_tpu as ms
+from myscaledb_tpu import F
+from myscaledb_tpu.service.data_replication import ReplicatedNode
+
+DIM = 16
+
+
+def _mk_node(tmp_path, name):
+    db = ms.connect()
+    t = db.create_table(
+        f"rt", ms.Schema({"id": ms.UInt64(), "score": ms.Float32(), "vec": ms.FloatVector(DIM)})
+    )
+    node = ReplicatedNode(db, name, str(tmp_path / name))
+    node.attach(t)
+    return db, t, node
+
+
+def _pair(tmp_path):
+    db_a, t_a, a = _mk_node(tmp_path, "a")
+    db_b, t_b, b = _mk_node(tmp_path, "b")
+    a.peers = [b.url]
+    b.peers = [a.url]
+    return (db_a, t_a, a), (db_b, t_b, b)
+
+
+def _rows(rng, n, base=0):
+    return {
+        "id": np.arange(base, base + n, dtype=np.uint64),
+        "score": rng.random(n).astype(np.float32),
+        "vec": rng.standard_normal((n, DIM)).astype(np.float32),
+    }
+
+
+def test_insert_replicates(tmp_path, rng):
+    (db_a, t_a, a), (db_b, t_b, b) = _pair(tmp_path)
+    try:
+        data = _rows(rng, 200)
+        t_a.insert(data)
+        assert t_b.n_rows == 0
+        assert b.sync() >= 1
+        assert t_b.n_rows == 200
+        # replica B answers a search for rows inserted only on replica A
+        q = data["vec"][17]
+        res = t_b.search("vec", q, k=1)
+        assert int(t_b.gather(res, ["id"])["id"][0, 0]) == 17
+        # no duplicate on re-sync (idempotent by uid)
+        assert b.sync() == 0
+        assert t_b.n_rows == 200
+        # and A does not re-ingest its own rows when pulling from B
+        a.sync()
+        assert t_a.n_rows == 200
+    finally:
+        a.close(), b.close(), db_a.close(), db_b.close()
+
+
+def test_bidirectional_and_deletes_converge(tmp_path, rng):
+    (db_a, t_a, a), (db_b, t_b, b) = _pair(tmp_path)
+    try:
+        t_a.insert(_rows(rng, 100))
+        t_b.insert(_rows(rng, 50, base=1000))
+        a.sync(), b.sync()
+        assert t_a.n_rows == 150 and t_b.n_rows == 150
+        # delete on A (rows that originated on B!) converges to B
+        t_a.delete(F("id") >= 1030)
+        assert t_a.n_rows == 130
+        b.sync()
+        assert t_b.n_rows == 130
+        res = t_b.search("vec", np.zeros(DIM, np.float32), k=150)
+        ids = t_b.gather(res, ["id"])["id"][res.valid]
+        assert (ids < 1030).all()
+    finally:
+        a.close(), b.close(), db_a.close(), db_b.close()
+
+
+def test_mutation_replicates(tmp_path, rng):
+    (db_a, t_a, a), (db_b, t_b, b) = _pair(tmp_path)
+    try:
+        t_a.insert(_rows(rng, 60))
+        b.sync()
+        t_a.update(F("id") < 10, {"score": 9.5})
+        b.sync()
+        res = t_b.search("vec", np.zeros(DIM, np.float32), k=60)
+        g = t_b.gather(res, ["id", "score"])
+        sel = g["id"][res.valid] < 10
+        assert np.allclose(g["score"][res.valid][sel], 9.5)
+    finally:
+        a.close(), b.close(), db_a.close(), db_b.close()
+
+
+def test_merge_replicates(tmp_path, rng):
+    (db_a, t_a, a), (db_b, t_b, b) = _pair(tmp_path)
+    try:
+        t_a.insert(_rows(rng, 40))
+        t_a.insert(_rows(rng, 40, base=40))
+        b.sync()
+        assert len(t_b.live_segments()) == 2
+        t_a.delete(F("id") == 7)
+        t_a.merge()
+        assert len(t_a.live_segments()) == 1
+        b.sync()
+        assert len(t_b.live_segments()) == 1
+        assert t_b.n_rows == 79
+        q = np.zeros(DIM, np.float32)
+        ids = t_b.gather(t_b.search("vec", q, k=100), ["id"])["id"]
+        assert 7 not in ids.astype(int)
+    finally:
+        a.close(), b.close(), db_a.close(), db_b.close()
+
+
+def test_restart_resumes_from_state(tmp_path, rng):
+    (db_a, t_a, a), (db_b, t_b, b) = _pair(tmp_path)
+    data2 = _rows(rng, 30, base=500)
+    try:
+        t_a.insert(_rows(rng, 30))
+        b.sync()
+        assert t_b.n_rows == 30
+    finally:
+        b.close(), db_b.close()
+    # restart B: new db process, same replica root; catch-up applies ONLY
+    # the ops it has not seen (autoload state), then the new insert
+    db_b2 = ms.connect()
+    t_b2 = db_b2.create_table(
+        "rt", ms.Schema({"id": ms.UInt64(), "score": ms.Float32(), "vec": ms.FloatVector(DIM)})
+    )
+    b2 = ReplicatedNode(db_b2, "b", str(tmp_path / "b"))
+    try:
+        b2.attach(t_b2)
+        b2.peers = [a.url]
+        b2.sync()
+        # state said 30 rows were applied; the restarted db is empty, so
+        # the segment map must be consulted against live segments — the
+        # simplest correct behavior is refetch-on-miss; what must NOT
+        # happen is a duplicate application of the same uid
+        t_a.insert(data2)
+        b2.sync()
+        res = t_b2.search("vec", data2["vec"][3], k=1)
+        assert int(t_b2.gather(res, ["id"])["id"][0, 0]) == 503
+    finally:
+        b2.close(), db_b2.close(), a.close(), db_a.close()
