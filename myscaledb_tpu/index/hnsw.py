@@ -592,22 +592,29 @@ class _HNSWBase(VectorIndex):
                 ok = jnp.logical_and(ok, jnp.take(mask, jnp.maximum(rows, 0)))
             return jnp.where(ok, scores, NEG_INF)
 
-        # frontier [Q, ef]: traverse-scores + rows. Re-expansion is
-        # prevented by a VISITED BITMAP (one scatter + two gathers per
-        # iteration) instead of a per-iteration sort-dedup — the sort was
-        # the loop's binding cost once node-block gathers made expansion
-        # cheap. Duplicate unexpanded entries can coexist in the frontier;
-        # once one copy expands, the bitmap silences the others. Results
-        # accumulate as a WIDE pool of (approx score, row) pairs, deduped
-        # once at the end where the pool is EXACTLY re-scored (the
-        # traverse scores are int8-approximate).
+        # frontier [Q, ef]: traverse-scores + rows + per-slot expanded
+        # flags. Duplicates are killed at frontier ENTRY by a KNOWN bitmap
+        # (one scatter + one gather per iteration): each node scores at
+        # most once per query, so the frontier holds distinct rows and the
+        # old per-iteration sort-dedup — the loop's binding cost once
+        # node-block gathers made expansion cheap — is unnecessary.
+        # (Deduping at EXPANSION instead is wrong: unexpanded copies of
+        # hub nodes accumulate and crowd the beam, and recall DROPS as ef
+        # grows.) Re-entry after a top-ef cut loses nothing: the
+        # frontier's ef-th score is monotone nondecreasing, so a node cut
+        # once would be cut again. Results accumulate as a WIDE pool of
+        # (approx score, row) pairs, deduped once at the end where the
+        # pool is EXACTLY re-scored (traverse scores are int8-approximate).
         npad = self.neighbors.shape[0]
         qidx = jnp.arange(nq, dtype=jnp.int32)[:, None]
-        visited = jnp.zeros((nq, npad + 1), bool)  # last col = -1 sink
+        known = jnp.zeros((nq, npad + 1), bool)  # last col = -1 sink
+        known = known.at[qidx, jnp.where(erows >= 0, erows, npad)].set(True)
+        tril = jnp.asarray(np.tril(np.ones((BEAM, BEAM), bool), -1))
         rp = max(k, min(ef, 2 * k))
         pad = ef - n_entry if ef > n_entry else 0
         fv = jnp.pad(escores, ((0, 0), (0, pad)), constant_values=NEG_INF)[:, :ef]
         fr = jnp.pad(erows, ((0, 0), (0, pad)), constant_values=-1)[:, :ef]
+        fe = jnp.zeros((nq, ef), bool)
         rv, pos = jax.lax.top_k(
             jnp.pad(
                 res_mask(erows, escores),
@@ -623,18 +630,22 @@ class _HNSWBase(VectorIndex):
         )
 
         def body(_, state):
-            fv, fr, rv, rr, visited = state
-            # expand best BEAM unexpanded (= unvisited) frontier nodes
-            vis_fr = jnp.take_along_axis(
-                visited, jnp.where(fr >= 0, fr, npad), axis=1
-            )
-            sel = jnp.where(jnp.logical_or(vis_fr, fr < 0), NEG_INF, fv)
+            fv, fr, fe, rv, rr, known = state
+            # expand best BEAM unexpanded frontier slots
+            sel = jnp.where(jnp.logical_or(fe, fr < 0), NEG_INF, fv)
             bv, bpos = jax.lax.top_k(sel, BEAM)  # positions in frontier
+            fe = jnp.logical_or(
+                fe, jnp.zeros_like(fe).at[qidx, bpos].set(True)
+            )
             exp_rows = jnp.take_along_axis(fr, bpos, axis=1)  # [Q, BEAM]
             exp_rows = jnp.where(bv > NEG_INF, exp_rows, -1)
-            visited = visited.at[
-                qidx, jnp.where(exp_rows >= 0, exp_rows, npad)
-            ].set(True)
+            # intra-beam dedup: entry-dedup keeps the frontier distinct
+            # ACROSS iterations, but copies scored in the same batch can
+            # coexist — O(BEAM^2) compare nulls the later copies
+            dup = jnp.logical_and(
+                exp_rows[:, :, None] == exp_rows[:, None, :], tril
+            ).any(-1)
+            exp_rows = jnp.where(dup, -1, exp_rows)
             if self.nbdata is not None:
                 # contiguous node-block expansion (the gather-bound step)
                 ns, nbrs = self._score_blocks(qt, exp_rows)
@@ -646,26 +657,32 @@ class _HNSWBase(VectorIndex):
                     exp_rows[..., None] >= 0, nbrs, -1
                 ).reshape(nq, -1)
                 ns = score_t(nbrs)  # [Q, BEAM*m]
-            # silence already-visited neighbors (they are in the pool and
-            # the frontier from their first scoring)
+            # kill already-known neighbors at ENTRY (they scored into the
+            # pool and the frontier the first time)
             seen = jnp.take_along_axis(
-                visited, jnp.where(nbrs >= 0, nbrs, npad), axis=1
+                known, jnp.where(nbrs >= 0, nbrs, npad), axis=1
             )
             ns = jnp.where(seen, NEG_INF, ns)
+            nbrs = jnp.where(seen, -1, nbrs)
+            known = known.at[
+                qidx, jnp.where(nbrs >= 0, nbrs, npad)
+            ].set(True)
             # result pool: plain top-k merge (masked scores), dedup deferred
             cv = jnp.concatenate([rv, res_mask(nbrs, ns)], axis=1)
             cr = jnp.concatenate([rr, nbrs], axis=1)
             rv2, pos2 = jax.lax.top_k(cv, rp)
             rr2 = jnp.take_along_axis(cr, pos2, axis=1)
-            # frontier merge: no sort-dedup (see visited bitmap above)
+            # frontier merge: no sort-dedup (entries are distinct rows)
             av = jnp.concatenate([fv, ns], axis=1)
             ar = jnp.concatenate([fr, nbrs], axis=1)
+            ae = jnp.concatenate([fe, jnp.zeros_like(ns, bool)], axis=1)
             nv, npos = jax.lax.top_k(av, ef)
             nr = jnp.take_along_axis(ar, npos, axis=1)
-            return nv, nr, rv2, rr2, visited
+            ne = jnp.take_along_axis(ae, npos, axis=1)
+            return nv, nr, ne, rv2, rr2, known
 
-        fv, fr, rv, rr, visited = jax.lax.fori_loop(
-            0, iters, body, (fv, fr, rv, rr, visited)
+        fv, fr, fe, rv, rr, known = jax.lax.fori_loop(
+            0, iters, body, (fv, fr, fe, rv, rr, known)
         )
         # final cut: pool ∪ frontier, dedup by row id, EXACT re-score
         # (raw payload / codec — the traversal used int8 approximations)
