@@ -182,13 +182,22 @@ def distributed_ivf_topk(
     nprobe: int,
     bucket_pad: int,
     rows_per_shard: int,
+    mask: Optional[jax.Array] = None,  # bool row-sharded (local row space)
 ) -> Tuple[jax.Array, jax.Array]:
     """IVF search where every chip holds its own per-shard index (the
     per-part index model: each part/shard searched independently,
     MergeTreeVSManager::vectorScan), merged over ICI. L2 metric; row ids
-    returned are global (local + shard offset)."""
+    returned are global (local + shard offset). `mask` is an optional
+    bool pre-filter over LOCAL row ids (alive ∩ WHERE), row-sharded like
+    the original data — candidates are masked by a [Q, P·B] gather, the
+    per-part performPrefilter analogue."""
+    mask_in = (
+        mask
+        if mask is not None
+        else jnp.ones((perm_rows.shape[0] * rows_per_shard,), jnp.bool_)
+    )
 
-    def local(q, cents, cq, pdata, paux, prows, cstart):
+    def local(q, cents, cq, pdata, paux, prows, cstart, m):
         cents, cq = cents[0], cq[0]
         pdata, paux, prows, cstart = pdata[0], paux[0], prows[0], cstart[0]
         my = jax.lax.axis_index("data")
@@ -208,6 +217,7 @@ def distributed_ivf_topk(
         ) - jnp.take(paux, idx)
         rows = jnp.take(prows, idx)
         ok = jnp.logical_and(valid.reshape(nq, -1), rows >= 0)
+        ok = jnp.logical_and(ok, jnp.take(m, jnp.maximum(rows, 0)))
         scores = jnp.where(ok, scores, NEG_INF)
         kk = min(k, scores.shape[-1])
         v, pos = jax.lax.top_k(scores, kk)
@@ -236,11 +246,15 @@ def distributed_ivf_topk(
             P("data", None),
             P("data", None),
             P("data", None),
+            P("data"),
         ),
         out_specs=(P("query", None), P("query", None)),
         check_vma=False,
     )
-    return fn(queries, centroids, csq, perm_data, perm_aux, perm_rows, cluster_start)
+    return fn(
+        queries, centroids, csq, perm_data, perm_aux, perm_rows,
+        cluster_start, mask_in,
+    )
 
 
 # ------------------------------------------------------- sharded BM25 leg
@@ -312,6 +326,96 @@ def distributed_bm25_topk(
         check_vma=False,
     )
     return fn(starts, lengths, idfs, avg_len, postings_rows, postings_tf, doc_len)
+
+
+def distributed_bm25_topk_batch(
+    mesh: Mesh,
+    starts: jax.Array,  # int32[S, Q, T] per-shard posting range starts
+    lengths: jax.Array,  # int32[S, Q, T]
+    idfs: jax.Array,  # f32[Q, T] GLOBAL idf (cluster-merged stats)
+    avg_len: jax.Array,  # f32 scalar (global)
+    postings_rows: jax.Array,  # int32[S, NNZ]
+    postings_tf: jax.Array,  # f32[S, NNZ]
+    doc_len: jax.Array,  # f32[S, CAP]
+    alive: jax.Array,  # bool row-sharded flat (alive ∩ WHERE, local rows)
+    *,
+    k: int,
+    budget: int,
+    rows_per_shard: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> Tuple[jax.Array, jax.Array]:
+    """Batched (multi-query) BM25 over per-shard inverted indexes with
+    GLOBAL statistics (the _fts_statistic_info contract), merged over ICI.
+    Queries are replicated across the data axis; term slots are per-query
+    (T = padded query term count; lengths 0 = absent term). Returns
+    replicated (scores, global_rows) f32/int32[Q, k]."""
+
+    def local(st, ln, idf, al, prow, ptf, dl, alv):
+        st, ln, prow, ptf = st[0], ln[0], prow[0], ptf[0]
+        dl = dl[0]
+        my = jax.lax.axis_index("data")
+        cap = dl.shape[0]
+        nq, n_terms = st.shape
+        qi = jnp.arange(nq, dtype=jnp.int32)[:, None]
+        scores = jnp.zeros((nq, cap), jnp.float32)
+
+        def body(t, acc):
+            def one_q(s0, l0):
+                rows = jax.lax.dynamic_slice(prow, (s0,), (budget,))
+                tf = jax.lax.dynamic_slice(ptf, (s0,), (budget,))
+                valid = jnp.arange(budget, dtype=jnp.int32) < l0
+                return rows, tf, valid
+
+            rows, tf, valid = jax.vmap(one_q)(st[:, t], ln[:, t])  # [Q, B]
+            rows = jnp.where(valid, rows, cap)  # cap = dropped by scatter
+            dlen = jnp.take(dl, jnp.minimum(rows, cap - 1))
+            denom = tf + k1 * (1.0 - b + b * dlen / al)
+            idf_t = jnp.take(idf, t, axis=1)[:, None]
+            contrib = idf_t * tf * (k1 + 1.0) / jnp.maximum(denom, 1e-9)
+            return acc.at[qi, rows].add(
+                jnp.where(valid, contrib, 0.0), mode="drop"
+            )
+
+        scores = jax.lax.fori_loop(0, n_terms, body, scores)
+        scores = jnp.where(
+            jnp.logical_and(scores > 0, alv[None, :]), scores, NEG_INF
+        )
+        kk = min(k, cap)
+        v, r = jax.lax.top_k(scores, kk)
+        r = jnp.where(jnp.isfinite(v), r + my * rows_per_shard, -1)
+        if kk < k:
+            v = jnp.pad(v, ((0, 0), (0, k - kk)), constant_values=NEG_INF)
+            r = jnp.pad(r, ((0, 0), (0, k - kk)), constant_values=-1)
+        gv = jax.lax.all_gather(v, "data")  # [S, Q, k]
+        gr = jax.lax.all_gather(r, "data")
+        gv = jnp.transpose(gv, (1, 0, 2)).reshape(nq, -1)
+        gr = jnp.transpose(gr, (1, 0, 2)).reshape(nq, -1)
+        mv, pos = jax.lax.top_k(gv, k)
+        mr = jnp.take_along_axis(gr, pos, axis=-1)
+        mr = jnp.where(jnp.isfinite(mv), mr, -1)
+        return mv, mr
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P("data", None, None),
+            P("data", None, None),
+            P(None, None),
+            P(),
+            P("data", None),
+            P("data", None),
+            P("data", None),
+            P("data"),
+        ),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )
+    return fn(
+        starts, lengths, idfs, avg_len, postings_rows, postings_tf,
+        doc_len, alive,
+    )
 
 
 # ----------------------------------------------------------- fused step

@@ -95,24 +95,157 @@ def test_sharded_ivf(corpus):
     assert out_ids[0, 0] == ids[11]
 
 
-def test_ivf_rejects_filters(corpus):
+def test_ivf_filters_and_deletes(corpus):
+    """Filtered + deleted rows are masked INSIDE the sharded IVF probe
+    (the per-part performPrefilter analogue, VIWithDataPart.cpp)."""
     ids, vecs, price = corpus
     t = MeshTable("m6", 32, filter_columns=("price",))
     t.insert({"id": ids, "vec": vecs, "price": price})
     t.build_ivf(ncentroids=32)
-    from myscaledb_tpu.errors import QueryShapeError
+    q = vecs[500]
+    out_ids, _ = t.search(
+        q, 5, params={"nprobe": 32}, filter=lambda price: price < 200
+    )
+    sel = {int(i) for i, p in zip(ids, price) if p < 200}
+    got = [int(i) for i in out_ids[0] if i >= 0]
+    assert got and all(i in sel for i in got)
+    # full probe + selective filter: exhaustive over the selected rows
+    want = [int(ids[j]) for j in _gt_l2(vecs, q, 20_000) if price[j] < 200][:5]
+    assert len(set(got) & set(want)) >= 4
+    # delete the top hit: masked at probe time, NO rebuild
+    top, _ = t.search(q, 1, params={"nprobe": 32})
+    t.delete(int(top[0, 0]))
+    after, _ = t.search(q, 1, params={"nprobe": 32})
+    assert after[0, 0] != top[0, 0]
 
-    with pytest.raises(QueryShapeError):
-        t.search(vecs[0], 3, params={"nprobe": 8}, filter=lambda price: price < 10)
 
-
-def test_incremental_insert(corpus):
+def test_incremental_insert_no_reseal(corpus):
+    """Appends scatter into per-shard slack slots — the sealed device
+    arrays are UPDATED, not rebuilt (per-part searchability, SURVEY §3.4)."""
     ids, vecs, price = corpus
     t = MeshTable("m7", 32)
     t.insert({"id": ids[:10_000], "vec": vecs[:10_000]})
     a, _ = t.search(vecs[2], 1)
     assert a[0, 0] == ids[2]
-    t.insert({"id": ids[10_000:], "vec": vecs[10_000:]})  # reseal
-    b, _ = t.search(vecs[15_000], 1)
-    assert b[0, 0] == ids[15_000]
+    sealed_before = t._s
+    t.insert({"id": ids[10_000:12_000], "vec": vecs[10_000:12_000]})
+    assert t._s is sealed_before  # no reseal: fits in slack
+    b, _ = t.search(vecs[11_000], 1)
+    assert b[0, 0] == ids[11_000]
+    # overflow forces a reseal and stays correct
+    t.insert({"id": ids[12_000:], "vec": vecs[12_000:]})
+    c, _ = t.search(vecs[15_000], 1)
+    assert c[0, 0] == ids[15_000]
     assert t.n_rows == 20_000
+
+
+def test_ivf_delta_scan_after_insert(corpus):
+    """Rows appended AFTER an IVF build are served by the delta exact
+    scan merged with the probe (new parts are brute-force searchable
+    until indexed — MergeTreeVSManager semantics)."""
+    ids, vecs, price = corpus
+    t = MeshTable("m8", 32)
+    t.insert({"id": ids[:16_000], "vec": vecs[:16_000]})
+    t.build_ivf(ncentroids=32)
+    t.insert({"id": ids[16_000:17_000], "vec": vecs[16_000:17_000]})
+    out, _ = t.search(vecs[16_500], 1, params={"nprobe": 4})
+    assert out[0, 0] == ids[16_500]
+
+
+def test_text_and_hybrid(corpus):
+    ids, vecs, price = corpus
+    n = 4000
+    docs = np.array(
+        [
+            f"alpha beta doc{i}" if i % 7 == 0 else f"gamma delta doc{i}"
+            for i in range(n)
+        ],
+        dtype=object,
+    )
+    t = MeshTable("m9", 32, text_column="body", filter_columns=("price",))
+    t.insert(
+        {
+            "id": ids[:n],
+            "vec": vecs[:n],
+            "price": price[:n],
+            "body": docs,
+        }
+    )
+    # unique token: exact hit
+    out_ids, scores = t.text_search("doc91", 3)
+    assert out_ids[0, 0] == ids[91]
+    # common token restricted to the i%7 subset
+    out_ids, _ = t.text_search("alpha", 10)
+    got = [int(i) for i in out_ids[0] if i >= 0]
+    assert got and all((int(i) // 7) % 7 == 0 for i in got)
+    # filtered text search
+    out_ids, _ = t.text_search("gamma", 10, filter=lambda price: price < 100)
+    sel = {int(i) for i, p in zip(ids[:n], price[:n]) if p < 100}
+    assert all(int(i) in sel for i in out_ids[0] if i >= 0)
+    # hybrid: RRF puts the doc that wins BOTH legs first
+    out_ids, scores = t.hybrid_search(vecs[91], "doc91", 5)
+    assert out_ids[0, 0] == ids[91]
+    # batch text
+    out_ids, _ = t.text_search(["doc91", "doc182"], 1)
+    assert out_ids[0, 0] == ids[91] and out_ids[1, 0] == ids[182]
+
+
+def test_text_follows_incremental_insert(corpus):
+    ids, vecs, price = corpus
+    t = MeshTable("m10", 32, text_column="body")
+    t.insert(
+        {
+            "id": ids[:1000],
+            "vec": vecs[:1000],
+            "body": np.array(["common filler"] * 1000, dtype=object),
+        }
+    )
+    a, _ = t.text_search("needle", 1)
+    assert a[0, 0] == -1
+    t.insert(
+        {
+            "id": np.array([777_777], np.int64),
+            "vec": vecs[1000:1001],
+            "body": np.array(["the needle doc"], dtype=object),
+        }
+    )
+    b, _ = t.text_search("needle", 1)
+    assert b[0, 0] == 777_777
+
+
+def test_predicate_skeleton_cache(corpus):
+    """Fresh lambdas with the same skeleton must NOT retrace; changed
+    numeric closure constants ride a traced argument (VERDICT weak #8)."""
+    ids, vecs, price = corpus
+    t = MeshTable("m11", 32, filter_columns=("price",))
+    t.insert({"id": ids[:2000], "vec": vecs[:2000], "price": price[:2000]})
+
+    def make(lo):
+        return lambda price: price < lo
+
+    t.search(vecs[0], 3, filter=make(100))
+    assert len(t._pred_cache._cache) == 1
+    t.search(vecs[0], 3, filter=make(500))  # fresh lambda, new constant
+    assert len(t._pred_cache._cache) == 1
+    out, _ = t.search(vecs[1], 5, filter=make(50))
+    sel = {int(i) for i, p in zip(ids[:2000], price[:2000]) if p < 50}
+    assert all(int(i) in sel for i in out[0] if i >= 0)
+
+
+def test_save_load(tmp_path, corpus):
+    ids, vecs, price = corpus
+    t = MeshTable("m12", 32, filter_columns=("price",), text_column="body")
+    docs = np.array([f"tok{i}" for i in range(500)], dtype=object)
+    t.insert(
+        {"id": ids[:500], "vec": vecs[:500], "price": price[:500], "body": docs}
+    )
+    t.delete(int(ids[3]))
+    t.save(str(tmp_path / "mt"))
+    t2 = MeshTable.load(str(tmp_path / "mt"))
+    assert t2.n_rows == 499
+    out, _ = t2.search(vecs[7], 1)
+    assert out[0, 0] == ids[7]
+    out, _ = t2.search(vecs[3], 1)
+    assert out[0, 0] != ids[3]  # delete survived persistence
+    out, _ = t2.text_search("tok42", 1)
+    assert out[0, 0] == ids[42]
