@@ -607,6 +607,9 @@ class _HNSWBase(VectorIndex):
         # pool is EXACTLY re-scored (traverse scores are int8-approximate).
         npad = self.neighbors.shape[0]
         qidx = jnp.arange(nq, dtype=jnp.int32)[:, None]
+        # entry dedup: two centroids may share a representative row, and
+        # frontier-distinctness (relied on below) starts here
+        escores, erows, _ = dedup_rows(escores, erows, None)
         known = jnp.zeros((nq, npad + 1), bool)  # last col = -1 sink
         known = known.at[qidx, jnp.where(erows >= 0, erows, npad)].set(True)
         tril = jnp.asarray(np.tril(np.ones((BEAM, BEAM), bool), -1))
@@ -615,6 +618,11 @@ class _HNSWBase(VectorIndex):
         fv = jnp.pad(escores, ((0, 0), (0, pad)), constant_values=NEG_INF)[:, :ef]
         fr = jnp.pad(erows, ((0, 0), (0, pad)), constant_values=-1)[:, :ef]
         fe = jnp.zeros((nq, ef), bool)
+        # NOTE: the result pool is NOT redundant with the frontier even
+        # for unmasked searches — two expanded nodes can share a neighbor
+        # within one iteration (the known bitmap only blocks repeats
+        # ACROSS iterations), so the frontier can carry intra-iteration
+        # duplicate rows; the final dedup_rows cut handles them.
         rv, pos = jax.lax.top_k(
             jnp.pad(
                 res_mask(erows, escores),
@@ -624,7 +632,11 @@ class _HNSWBase(VectorIndex):
             rp,
         )
         rr = jnp.take_along_axis(
-            jnp.pad(erows, ((0, 0), (0, max(0, rp - erows.shape[1]))), constant_values=-1),
+            jnp.pad(
+                erows,
+                ((0, 0), (0, max(0, rp - erows.shape[1]))),
+                constant_values=-1,
+            ),
             pos,
             axis=1,
         )
@@ -667,12 +679,14 @@ class _HNSWBase(VectorIndex):
             known = known.at[
                 qidx, jnp.where(nbrs >= 0, nbrs, npad)
             ].set(True)
-            # result pool: plain top-k merge (masked scores), dedup deferred
+            # result pool: plain top-k merge of MASKED scores
             cv = jnp.concatenate([rv, res_mask(nbrs, ns)], axis=1)
             cr = jnp.concatenate([rr, nbrs], axis=1)
             rv2, pos2 = jax.lax.top_k(cv, rp)
             rr2 = jnp.take_along_axis(cr, pos2, axis=1)
-            # frontier merge: no sort-dedup (entries are distinct rows)
+            # frontier merge: no per-iteration sort-dedup (cross-iteration
+            # repeats are dead; intra-iteration dups resolve in the final
+            # dedup cut)
             av = jnp.concatenate([fv, ns], axis=1)
             ar = jnp.concatenate([fr, nbrs], axis=1)
             ae = jnp.concatenate([fe, jnp.zeros_like(ns, bool)], axis=1)
@@ -685,7 +699,7 @@ class _HNSWBase(VectorIndex):
             0, iters, body, (fv, fr, fe, rv, rr, known)
         )
         # final cut: pool ∪ frontier, dedup by row id, EXACT re-score
-        # (raw payload / codec — the traversal used int8 approximations)
+        # (raw payload / codec — traversal used int8 approximations)
         pool_r = jnp.concatenate([rr, fr], axis=1)
         pool_v = jnp.concatenate([rv, res_mask(fr, fv)], axis=1)
         _, pr, _ = dedup_rows(pool_v, pool_r, None)
