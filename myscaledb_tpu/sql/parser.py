@@ -45,7 +45,7 @@ _TOKEN_RE = re.compile(
   | (?P<int>\d+)
   | (?P<string>'(?:[^'\\]|\\.|'')*')
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op><=|>=|!=|<>|==|=|<|>|\(|\)|\[|\]|,|\.|\*|\+|-|/)
+  | (?P<op><=|>=|!=|<>|==|=|<|>|\(|\)|\[|\]|,|\.|\*|\+|-|/|%)
 """,
     re.VERBOSE,
 )
@@ -209,6 +209,16 @@ class BoolOp:
 
 
 @dataclasses.dataclass
+class ScalarExpr:
+    """Scalar expression tree in SELECT / ORDER BY (the ClickHouse
+    ExpressionAnalyzer tail): nodes are tuples —
+    ("num", v) | ("str", s) | ("col", name) | ("neg", e) |
+    ("bin", op, a, b) | ("call", fname, [args])."""
+
+    node: Any
+
+
+@dataclasses.dataclass
 class SearchCall:
     func: str  # distance | batch_distance | textsearch | hybridsearch
     params: Dict[str, Any]
@@ -263,6 +273,7 @@ class Select:
     offset: int = 0
     limit_by: Optional[Any] = None  # the LIMIT n BY expr column
     group_by: Optional[str] = None  # GROUP BY key column (aggregates)
+    having: Any = None  # predicate over aggregate aliases
     settings: Dict[str, Any] = dataclasses.field(default_factory=dict)
     final: bool = False  # FROM t FINAL (Replacing-engine dedup)
     table_func: Optional["TableFunc"] = None  # FROM full_text_search(...)
@@ -598,6 +609,20 @@ class Parser:
         ):
             self.next()
             col = f"{col}.{self.expect_name()}"
+        if (
+            col.lower() in ("count", "sum", "avg", "min", "max")
+            and self.peek().kind == "op"
+            and self.peek().value == "("
+        ):
+            # HAVING over an aggregate spelled inline: the predicate column
+            # is the aggregate's output name ("count()" / "sum(col)")
+            self.expect_op("(")
+            if self.accept_op(")"):
+                col = f"{col.lower()}()"
+            else:
+                inner = self.expect_name()
+                self.expect_op(")")
+                col = f"{col.lower()}({inner})"
         if col.lower() in ("hastoken", "multisearchany") and (
             self.peek().kind == "op" and self.peek().value == "("
         ):
@@ -640,6 +665,83 @@ class Parser:
             self.error("expected comparison operator")
         op = {"=": "==", "<>": "!="}.get(t.value, t.value)
         return Cmp(col, op, self.literal())
+
+    # ---------------------------------------------------- scalar exprs
+    MATH_FUNCS = {
+        "round", "abs", "floor", "ceil", "sqrt", "exp", "ln", "log",
+        "pow", "power", "least", "greatest",
+    }
+
+    def _scalar_expr(self):
+        node = self._s_term()
+        while True:
+            t = self.peek()
+            if t.kind == "op" and t.value in ("+", "-"):
+                self.next()
+                node = ("bin", t.value, node, self._s_term())
+            else:
+                return node
+
+    def _s_term(self):
+        node = self._s_factor()
+        while True:
+            t = self.peek()
+            if t.kind == "op" and t.value in ("*", "/", "%"):
+                self.next()
+                node = ("bin", t.value, node, self._s_factor())
+            else:
+                return node
+
+    def _s_factor(self):
+        t = self.peek()
+        if t.kind == "op" and t.value == "(":
+            self.next()
+            node = self._scalar_expr()
+            self.expect_op(")")
+            return node
+        if t.kind == "op" and t.value == "-":
+            self.next()
+            return ("neg", self._s_factor())
+        if t.kind in ("int", "float"):
+            self.next()
+            return ("num", t.value)
+        if t.kind == "string":
+            self.next()
+            return ("str", t.value)
+        if t.kind == "name":
+            if (
+                t.lower() in self.MATH_FUNCS
+                and self.peek(1).kind == "op"
+                and self.peek(1).value == "("
+            ):
+                fname = self.next().lower()
+                self.expect_op("(")
+                args = []
+                if not self.accept_op(")"):
+                    while True:
+                        args.append(self._scalar_expr())
+                        if not self.accept_op(","):
+                            break
+                    self.expect_op(")")
+                return ("call", fname, args)
+            return ("col", self._qual_name())
+        self.error("expected a scalar expression")
+
+    def _order_element(self):
+        """ORDER BY element: col | col.N (tuple index) | scalar expr."""
+        t0, t1, t2 = self.peek(), self.peek(1), self.peek(2)
+        if (
+            t0.kind == "name"
+            and t1.kind == "op"
+            and t1.value == "."
+            and t2.kind == "int"
+        ):
+            name = self.expect_name()
+            self.expect_op(".")
+            part = self.next()
+            return (name, int(part.value))
+        node = self._scalar_expr()
+        return node[1] if node[0] == "col" else ScalarExpr(node)
 
     # ----------------------------------------------------------- SELECT
     SEARCH_FUNCS = {"distance", "batch_distance", "textsearch", "hybridsearch"}
@@ -755,11 +857,14 @@ class Parser:
                     alias = self.expect_name()
                 items.append(SelectItem((fname, acol), alias))
             else:
-                name = self._qual_name()
+                node = self._scalar_expr()
                 alias = None
                 if self.accept_kw("as"):
                     alias = self.expect_name()
-                items.append(SelectItem(name, alias))
+                if node[0] == "col":  # plain column: the historical form
+                    items.append(SelectItem(node[1], alias))
+                else:
+                    items.append(SelectItem(ScalarExpr(node), alias))
             if not self.accept_op(","):
                 break
         self.expect_kw("from")
@@ -797,13 +902,11 @@ class Parser:
             sel.where = self.where_expr()
         if self.accept_kw("group", "by"):
             sel.group_by = self.expect_name()
+        if self.accept_kw("having"):
+            sel.having = self.where_expr()
         if self.accept_kw("order", "by"):
             while True:
-                name = self.expect_name()
-                expr: Any = name
-                if self.accept_op("."):
-                    part = self.next()
-                    expr = (name, int(part.value))
+                expr = self._order_element()
                 direction = "asc"
                 if self.accept_kw("desc"):
                     direction = "desc"

@@ -303,12 +303,23 @@ class SQLRunner:
 
     def _project_rows(self, rows, st: P.Select):
         keep = []
+        exprs = []
         for it in st.items:
             if it.expr == "*":
                 return rows
             if isinstance(it.expr, str):
                 keep.append((it.expr, it.alias or it.expr))
-        return [{alias: r.get(c) for c, alias in keep} for r in rows]
+            elif isinstance(it.expr, P.ScalarExpr):
+                exprs.append(it)
+        out = []
+        for r in rows:
+            nr = {alias: r.get(c) for c, alias in keep}
+            for it in exprs:
+                nr[it.alias or _render_scalar(it.expr.node)] = _eval_scalar(
+                    it.expr.node, r
+                )
+            out.append(nr)
+        return out
 
     # --------------------------------------------------- subquery / JOIN
     def _rows_of_source(self, source) -> List[Dict[str, Any]]:
@@ -360,24 +371,32 @@ class SQLRunner:
             rows = joined
         if st.where is not None:
             rows = [r for r in rows if _eval_plain(st.where, r)]
-        if st.order_by:
-            for expr, d in reversed(st.order_by):
-                name = expr[0] if isinstance(expr, tuple) else expr
-                rows.sort(key=lambda r: r.get(name), reverse=(d == "desc"))
-        lo = st.offset
-        hi = None if st.limit is None else st.offset + st.limit
-        rows = rows[lo:hi]
+        # compute expression select-items onto the rows FIRST so ORDER BY
+        # can reference their aliases
         keep = []
+        star = False
         for it in st.items:
             if it.expr == "*":
-                return rows
-            if isinstance(it.expr, str):
+                star = True
+            elif isinstance(it.expr, str):
                 keep.append((it.expr, it.alias or it.expr))
+            elif isinstance(it.expr, P.ScalarExpr):
+                name = it.alias or _render_scalar(it.expr.node)
+                for r in rows:
+                    r[name] = _eval_scalar(it.expr.node, r)
+                keep.append((name, name))
             else:
                 raise SQLError(
                     "search functions must live inside the subquery of a "
                     "JOIN/nested SELECT"
                 )
+        if st.order_by:
+            _sort_rows(rows, st.order_by)
+        lo = st.offset
+        hi = None if st.limit is None else st.offset + st.limit
+        rows = rows[lo:hi]
+        if star:
+            return rows
         return [{alias: r.get(c) for c, alias in keep} for r in rows]
 
     # ------------------------------------------------------------- SELECT
@@ -451,13 +470,49 @@ class SQLRunner:
                 out.extend(t.schema.scalar_columns())
             elif isinstance(it.expr, tuple):
                 raise SQLError("aggregates cannot be combined with search")
+            elif isinstance(it.expr, P.ScalarExpr):
+                # gather every column the expression reads; the helper
+                # columns are dropped again in _finalize_items
+                _scalar_cols(it.expr.node, out)
             else:
                 out.append(it.alias or it.expr)
         return out
 
+    def _finalize_items(self, st: P.Select, rows):
+        """Compute ScalarExpr select items on the emitted rows and drop
+        helper columns that were gathered only to feed expressions."""
+        scalars = [it for it in st.items if isinstance(it.expr, P.ScalarExpr)]
+        if not scalars:
+            return rows
+        keep: Optional[set] = set()
+        for it in st.items:
+            if it.expr == "*":
+                keep = None
+                break
+            if isinstance(it.expr, str):
+                keep.add(it.alias or it.expr)
+            elif isinstance(it.expr, P.SearchCall):
+                keep.add(it.expr.alias)
+        out = []
+        for r in rows:
+            vals = {
+                (it.alias or _render_scalar(it.expr.node)): _eval_scalar(
+                    it.expr.node, r
+                )
+                for it in scalars
+            }
+            nr = (
+                dict(r)
+                if keep is None
+                else {k: v for k, v in r.items() if k in keep}
+            )
+            nr.update(vals)
+            out.append(nr)
+        return out
+
     def _check_direction(self, st: P.Select, alias: str, want: str):
         for expr, d in st.order_by:
-            name = expr[0] if isinstance(expr, tuple) else expr
+            name = _order_name(expr)
             if name == alias and d != want:
                 raise QueryShapeError(
                     f"ORDER BY {alias} must be {want.upper()} for this metric "
@@ -494,21 +549,19 @@ class SQLRunner:
         res = t.search(cols[0], np.asarray(lits[0], np.float32), k, filter=filt,
                        params=call.params or None, final=st.final,
                        settings=eff)
-        return self._emit_search_rows(t, st, res, call.alias)
+        return self._finalize_items(
+            st, self._emit_search_rows(t, st, res, call.alias)
+        )
 
     def _multi_distance(self, t, st: P.Select, calls, filt):
         """N distance() columns in one SELECT: the ORDER BY one drives the
         scan; the other columns are evaluated exactly on its top-k rows
         (multi-column parallel scan + label join,
         MergeTreeVSManager.cpp:312-330, mergeResult)."""
-        order_names = {
-            (e[0] if isinstance(e, tuple) else e) for e, _ in st.order_by
-        }
+        order_names = {_order_name(e) for e, _ in st.order_by}
         primary = next((c for c in calls if c.alias in order_names), None)
         if primary is None:
-            raise QueryShapeError(
-                "multi-distance requires ORDER BY one of the distance aliases"
-            )
+            return self._multi_distance_expr(t, st, calls, filt)
         for c in calls:
             cols = [a[1] for a in c.args if a[0] == "col"]
             lits = [a[1] for a in c.args if a[0] == "lit"]
@@ -539,7 +592,75 @@ class SQLRunner:
             d = t.compute_distances(scol, sq, res)
             for row, j in zip(rows, live):
                 row[c.alias] = float(d[0, j])
-        return rows
+        return self._finalize_items(st, rows)
+
+    def _multi_distance_expr(self, t, st: P.Select, calls, filt):
+        """ORDER BY an expression over several distance aliases (e.g.
+        `ORDER BY d1 + 0.5 * d2`): no single column drives the scan, so the
+        candidate set is the UNION of each distance's own top-k rows
+        (Fagin-style candidate union over the per-column scans — the
+        expression-merged analogue of MergeTreeVSManager.cpp:312-330's
+        multi-column parallel scan). Every distance is then evaluated
+        EXACTLY on the union and the expression orders the final rows."""
+        order_expr = next(
+            (e for e, _ in st.order_by if isinstance(e, P.ScalarExpr)), None
+        )
+        if order_expr is None:
+            raise QueryShapeError(
+                "multi-distance requires ORDER BY one of the distance "
+                "aliases or an expression over them"
+            )
+        refs: List[str] = []
+        _scalar_cols(order_expr.node, refs)
+        aliases = {c.alias for c in calls}
+        if not set(refs) <= aliases:
+            raise QueryShapeError(
+                "multi-distance ORDER BY expression may reference only the "
+                f"distance aliases {sorted(aliases)}"
+            )
+        direction = next(d for e, d in st.order_by if isinstance(e, P.ScalarExpr))
+        eff = self._eff_settings(st, t)
+        k = self._topk(st, eff)
+        specs = []
+        for c in calls:
+            ccols = [a[1] for a in c.args if a[0] == "col"]
+            clits = [a[1] for a in c.args if a[0] == "lit"]
+            if len(ccols) != 1 or len(clits) != 1:
+                raise SQLError("distance() takes (vector_column, [query...])")
+            specs.append((c, ccols[0], np.asarray(clits[0], np.float32)))
+        results = [
+            t.search(col, q, k, filter=filt, params=c.params or None,
+                     final=st.final, settings=eff)
+            for c, col, q in specs
+        ]
+        out_cols = [
+            c
+            for c in self._out_columns(st, t, "")
+            if c not in aliases and c in t.schema.columns
+        ]
+        rows_by_label: Dict[tuple, Dict[str, Any]] = {}
+        for res in results:
+            gathered = t.gather(res, out_cols) if out_cols else {}
+            dvals = {
+                c.alias: t.compute_distances(col, q, res) for c, col, q in specs
+            }
+            for j in range(res.k):
+                if not res.valid[0, j]:
+                    continue
+                label = (int(res.segments[0, j]), int(res.rows[0, j]))
+                if label in rows_by_label:
+                    continue
+                row = {c: _pyval(gathered[c][0, j]) for c in out_cols}
+                for alias, dv in dvals.items():
+                    row[alias] = float(dv[0, j])
+                rows_by_label[label] = row
+        rows = list(rows_by_label.values())
+        rows.sort(
+            key=lambda r: _eval_scalar(order_expr.node, r),
+            reverse=(direction == "desc"),
+        )
+        rows = rows[st.offset : st.offset + st.limit if st.limit else None]
+        return self._finalize_items(st, rows)
 
     def _batch_distance(self, t, st: P.Select, call: P.SearchCall, filt):
         cols = [a[1] for a in call.args if a[0] == "col"]
@@ -579,9 +700,7 @@ class SQLRunner:
         eff = self._eff_settings(st, t)
         k = self._topk(st, eff)
         self._check_direction(st, call.alias, "desc")
-        if not any(
-            (e[0] if isinstance(e, tuple) else e) == call.alias for e, _ in st.order_by
-        ):
+        if not any(_order_name(e) == call.alias for e, _ in st.order_by):
             raise QueryShapeError("textsearch requires ORDER BY score DESC")
         op = str(call.params.get("operator", "OR"))
         nlq = str(call.params.get("enable_nlq", 0)).lower() in ("1", "true", "yes")
@@ -590,7 +709,7 @@ class SQLRunner:
         rows = self._emit_search_rows(t, st, res, call.alias)
         for r in rows:  # BM25 column is the raw score (bigger better)
             r[call.alias] = float(r[call.alias])
-        return rows
+        return self._finalize_items(st, rows)
 
     def _hybridsearch(self, t, st: P.Select, call: P.SearchCall, filt):
         cols = [a[1] for a in call.args if a[0] == "col"]
@@ -621,7 +740,7 @@ class SQLRunner:
         rows = self._emit_search_rows(t, st, res, call.alias)
         for r in rows:
             r[call.alias] = float(r[call.alias])
-        return rows
+        return self._finalize_items(st, rows)
 
     # -------------------------------------------------------------- plain
     def _plain_scan(self, t, st: P.Select, filt):
@@ -634,6 +753,13 @@ class SQLRunner:
                 cols.extend(t.schema.scalar_columns())
             elif isinstance(it.expr, str):
                 cols.append(it.expr)
+            elif isinstance(it.expr, P.ScalarExpr):
+                _scalar_cols(it.expr.node, cols)
+        for e, _ in st.order_by or []:
+            if isinstance(e, P.ScalarExpr):
+                _scalar_cols(e.node, cols)
+        if st.having is not None and not agg_items:
+            raise SQLError("HAVING requires aggregation")
         # aggregate mode: collect the needed columns as arrays per segment
         agg_vals: Dict[str, List[np.ndarray]] = {
             it.expr[1]: [] for it in agg_items if len(it.expr) > 1
@@ -662,12 +788,10 @@ class SQLRunner:
         if agg_items:
             return self._aggregate(st, agg_items, agg_vals, total)
         if st.order_by:
-            for expr, d in reversed(st.order_by):
-                name = expr[0] if isinstance(expr, tuple) else expr
-                rows.sort(key=lambda r: r.get(name), reverse=(d == "desc"))
+            _sort_rows(rows, st.order_by)
         lo = st.offset
         hi = None if st.limit is None else st.offset + st.limit
-        return rows[lo:hi]
+        return self._finalize_items(st, rows[lo:hi])
 
     def _aggregate(self, st: P.Select, agg_items, agg_vals, total):
         """count()/sum/avg/min/max [GROUP BY key] over the filtered rows
@@ -693,7 +817,10 @@ class SQLRunner:
             return _pyval(out) if fn in ("min", "max") else float(out)
 
         if not st.group_by:
-            return [{name_of(it): compute(it) for it in agg_items}]
+            row = {name_of(it): compute(it) for it in agg_items}
+            if st.having is not None and not _eval_plain(st.having, row):
+                return []
+            return [row]
         keys = (
             np.concatenate(agg_vals[st.group_by])
             if agg_vals[st.group_by]
@@ -706,10 +833,10 @@ class SQLRunner:
             for it in agg_items:
                 row[name_of(it)] = compute(it, sel, n=int(sel.sum()))
             out_rows.append(row)
+        if st.having is not None:
+            out_rows = [r for r in out_rows if _eval_plain(st.having, r)]
         if st.order_by:
-            for expr, d in reversed(st.order_by):
-                nm = expr[0] if isinstance(expr, tuple) else expr
-                out_rows.sort(key=lambda r: r.get(nm), reverse=(d == "desc"))
+            _sort_rows(out_rows, st.order_by)
         hi = None if st.limit is None else st.offset + st.limit
         return out_rows[st.offset : hi]
 
@@ -717,14 +844,129 @@ class SQLRunner:
         filt = st.where
         if filt is not None:
             rows = [r for r in rows if _eval_plain(filt, r)]
+        if st.order_by:
+            _sort_rows(rows, st.order_by)
         keep = []
+        exprs = []
         for it in st.items:
             if it.expr == "*":
                 return rows[: st.limit]
             if isinstance(it.expr, str):
                 keep.append((it.expr, it.alias or it.expr))
-        out = [{alias: r.get(c) for c, alias in keep} for r in rows]
+            elif isinstance(it.expr, P.ScalarExpr):
+                exprs.append(it)
+        out = []
+        for r in rows:
+            nr = {alias: r.get(c) for c, alias in keep}
+            for it in exprs:
+                nr[it.alias or _render_scalar(it.expr.node)] = _eval_scalar(
+                    it.expr.node, r
+                )
+            out.append(nr)
         return out[: st.limit]
+
+
+_MATHF = {
+    "round": lambda *a: round(float(a[0]), int(a[1])) if len(a) > 1 else float(round(float(a[0]))),
+    "abs": lambda a: abs(a),
+    "floor": lambda a: float(np.floor(a)),
+    "ceil": lambda a: float(np.ceil(a)),
+    "sqrt": lambda a: float(np.sqrt(a)),
+    "exp": lambda a: float(np.exp(a)),
+    "ln": lambda a: float(np.log(a)),
+    "log": lambda a: float(np.log(a)),
+    "pow": lambda a, b: float(a) ** float(b),
+    "power": lambda a, b: float(a) ** float(b),
+    "least": lambda *a: min(a),
+    "greatest": lambda *a: max(a),
+}
+
+
+def _eval_scalar(node, row: Dict[str, Any]):
+    """Evaluate a parsed scalar-expression tree against one output row
+    (the ExpressionAnalyzer/ExpressionActions tail of the reference's
+    inherited ClickHouse SQL — SELECT arithmetic over distance aliases,
+    round() et al., ORDER BY expressions)."""
+    tag = node[0]
+    if tag in ("num", "str"):
+        return node[1]
+    if tag == "col":
+        name = node[1]
+        if name not in row:
+            raise SQLError(f"unknown column {name!r} in scalar expression")
+        return row[name]
+    if tag == "neg":
+        return -_eval_scalar(node[1], row)
+    if tag == "bin":
+        a = _eval_scalar(node[2], row)
+        b = _eval_scalar(node[3], row)
+        op = node[1]
+        if op == "+":
+            return a + b
+        if op == "-":
+            return a - b
+        if op == "*":
+            return a * b
+        if op == "/":
+            return a / b
+        return a % b
+    if tag == "call":
+        fn = _MATHF.get(node[1])
+        if fn is None:  # pragma: no cover
+            raise SQLError(f"unknown function {node[1]}()")
+        return fn(*[_eval_scalar(x, row) for x in node[2]])
+    raise SQLError(f"bad scalar expression node {tag!r}")  # pragma: no cover
+
+
+def _scalar_cols(node, out: List[str]):
+    tag = node[0]
+    if tag == "col":
+        out.append(node[1])
+    elif tag == "neg":
+        _scalar_cols(node[1], out)
+    elif tag == "bin":
+        _scalar_cols(node[2], out)
+        _scalar_cols(node[3], out)
+    elif tag == "call":
+        for a in node[2]:
+            _scalar_cols(a, out)
+
+
+def _render_scalar(node) -> str:
+    """Output-column name for an unaliased expression (ClickHouse prints
+    the expression text; we render from the tree)."""
+    tag = node[0]
+    if tag == "num":
+        return repr(node[1])
+    if tag == "str":
+        return f"'{node[1]}'"
+    if tag == "col":
+        return node[1]
+    if tag == "neg":
+        return f"-{_render_scalar(node[1])}"
+    if tag == "bin":
+        return f"{_render_scalar(node[2])} {node[1]} {_render_scalar(node[3])}"
+    return f"{node[1]}({', '.join(_render_scalar(a) for a in node[2])})"
+
+
+def _order_name(expr) -> Optional[str]:
+    """Plain column name of an ORDER BY element, None for expressions."""
+    if isinstance(expr, P.ScalarExpr):
+        return None
+    return expr[0] if isinstance(expr, tuple) else expr
+
+
+def _sort_rows(rows: List[Dict[str, Any]], order_by) -> None:
+    """Stable multi-key sort; elements may be names, (name, tuple_idx)
+    pairs, or ScalarExpr trees evaluated per row."""
+    for expr, d in reversed(order_by):
+        if isinstance(expr, P.ScalarExpr):
+            rows.sort(
+                key=lambda r: _eval_scalar(expr.node, r), reverse=(d == "desc")
+            )
+        else:
+            name = expr[0] if isinstance(expr, tuple) else expr
+            rows.sort(key=lambda r: r.get(name), reverse=(d == "desc"))
 
 
 def _eval_plain(expr, row: Dict[str, Any]) -> bool:
