@@ -242,9 +242,14 @@ def main():
         settings=st,
     )
     t2.insert({"id": np.arange(N2, dtype=np.uint64), "vec": corpus2})
-    q2 = (corpus2[rng.choice(N2, 200, replace=False)]
-          + 0.1 * rng.standard_normal((200, D2))).astype(np.float32)
-    b2 = [jnp.asarray(q2[:100]), jnp.asarray(q2[100:])]
+    # 256-query batches: the graph traversal's sequential frontier loop is
+    # latency-bound below ~256 queries/launch (probe: 10k QPS at nq=100 vs
+    # 17.6k at nq=256, flat beyond) — serving batches this way too (the
+    # coalescing server's pow2 buckets)
+    NQ2 = 512
+    q2 = (corpus2[rng.choice(N2, NQ2, replace=False)]
+          + 0.1 * rng.standard_normal((NQ2, D2))).astype(np.float32)
+    b2 = [jnp.asarray(q2[:256]), jnp.asarray(q2[256:])]
     gt2 = np.concatenate(
         [t2.search("vec", qb, k=K, settings=st_bf, metric="Cosine").distances for qb in b2]
     )
@@ -264,7 +269,7 @@ def main():
         r = float((d2s <= gt2[:, K - 1 : K] * (1 + 1e-4) + 1e-4).mean())
         q_best, q_med = measure_qps(
             lambda qb: t2.search("vec", qb, k=K, params={"ef_s": ef}),
-            b2, 100, repeats=3,
+            b2, 256, repeats=3,
         )
         hnsw_curve.append({"ef_s": ef, "recall": round(r, 4),
                            "qps": round(q_best), "qps_median": round(q_med)})
@@ -347,8 +352,60 @@ def main():
             dt = time.time() - t5
             conn_grid[conns] = round(sum(done) / dt)
             _progress(f"server {conns} connections -> {conn_grid[conns]} qps")
+
+        # async-client grid: same connection counts, but each connection
+        # keeps WINDOW submits outstanding via the futures API instead of
+        # blocking per call. This is the intended serving mode: groups
+        # overlap across the dispatcher's in-flight window and the host
+        # syncs amortize across resolver threads, so throughput is no
+        # longer a multiple of the per-call sync RTT (34 ms on this
+        # tunnel; sub-ms co-located).
+        from collections import deque
+
+        async_grid = {}
+        WINDOW = 4
+        for conns in (1, 8, 32, 64):
+            stop_at = time.time() + 4.0
+            done = [0] * conns
+
+            def aclient(w):
+                i = w
+                pend = deque()
+                while time.time() < stop_at:
+                    pend.append(
+                        srv.submit_search("bench_hybrid", "vec", hq[i % NQ], K)
+                    )
+                    if len(pend) >= WINDOW:
+                        pend.popleft().result()
+                        done[w] += 1
+                    i += conns
+                while pend:
+                    pend.popleft().result()
+                    done[w] += 1
+
+            threads = [
+                threading.Thread(target=aclient, args=(w,)) for w in range(conns)
+            ]
+            t5 = time.time()
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join()
+            dt = time.time() - t5
+            async_grid[conns] = round(sum(done) / dt)
+            _progress(f"server async {conns} connections -> {async_grid[conns]} qps")
     finally:
         srv.close()
+
+    # tunnel sync round-trip: the floor under every blocking client call
+    # (the platform number that pins server-vs-engine gaps on transport)
+    tiny = jnp.zeros((), jnp.float32)
+    float(jax.device_get(tiny + 1))  # warm
+    t6 = time.time()
+    for i in range(20):
+        float(jax.device_get(tiny + i))
+    sync_rtt_ms = (time.time() - t6) / 20 * 1e3
+    _progress(f"sync rtt {sync_rtt_ms:.1f} ms")
     db.close()
 
     extra = {
@@ -377,6 +434,8 @@ def main():
         "hybrid_bm25_rrf_qps": round(hybrid_qps),
         "hybrid_bm25_rrf_qps_median": round(hybrid_qps_med),
         "server_qps_vs_connections": conn_grid,
+        "server_async_qps_vs_connections": async_grid,
+        "sync_rtt_ms": round(sync_rtt_ms, 1),
         "ingest_s": round(ingest_s, 1),
         "n": N,
         "dim": D,

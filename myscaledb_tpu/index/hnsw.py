@@ -46,7 +46,7 @@ import functools
 
 from ..errors import IndexParameterError
 from ..metrics import Metric
-from ..ops import distance, kmeans, quantize
+from ..ops import distance, gathermv, kmeans, quantize
 from ..ops._pallas import exact_precision, round_up
 from ..ops.topk import NEG_INF, dedup_rows
 from .base import IndexKind, ParamsKey, VectorIndex, check_cancel, register_index_pytree
@@ -60,6 +60,11 @@ BEAM = 8  # nodes expanded per iteration per query: the frontier loop is
 # the search's LATENCY axis (sequential device steps); a wider beam halves
 # the step count at identical total gather traffic, and breadth costs no
 # recall at the ef values the reference benchmarks (50-400)
+# Iteration budget: iters = max(ITER_MIN, ceil(ITER_FACTOR * ef / BEAM)).
+# 1.5 expansions per frontier slot approximates hnswlib's ef-bounded
+# greedy walk; ITER_MIN floors short walks so tiny ef still converges.
+ITER_FACTOR = 1.5
+ITER_MIN = 4
 PRUNE_ALPHA = 1.2
 # Traversal projection width: reps wider than this are PCA-projected for
 # ALL routing work (build candidate generation, query-time frontier
@@ -499,15 +504,23 @@ class _HNSWBase(VectorIndex):
 
     def _score_traverse(self, qt: jax.Array, rows: jax.Array) -> jax.Array:
         """Traversal-space scores f32[Q, R] via the int8 shadow (row
-        gather). qt is the projected query [Q, Dt]."""
+        gather). qt is the projected query [Q, Dt].
+
+        The sq8 decode is FOLDED INTO THE DOT: dot(q, c*scale + lo) =
+        dot(q*scale, c) + dot(q, lo), with the u8 codes cast to bf16
+        (0..255 is exact in bf16) inside the matmul — materializing the
+        decoded f32 [Q, R, Dt] block costs ~2 HBM round-trips of 4x the
+        code bytes per frontier step and dominated the traversal loop
+        (probe: per-iter 1.41 ms of which the gather itself was <10%)."""
         g = jnp.take(self.tdata, jnp.maximum(rows, 0), axis=0)
-        vecs = quantize.sq8_decode_dev(g, self.ta, self.tb).astype(jnp.float32)
+        qs = (qt * self.tb[None, :]).astype(jnp.bfloat16)
         s = jax.lax.dot_general(
-            qt[:, None, :],
-            vecs,
+            qs[:, None, :],
+            g.astype(jnp.bfloat16),
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )[:, 0, :]
+        s = s + jnp.dot(qt, self.ta)[:, None]
         if self.taux is not None:
             s = 2.0 * s - jnp.take(self.taux, jnp.maximum(rows, 0))
         return jnp.where(rows >= 0, s, NEG_INF)
@@ -523,11 +536,24 @@ class _HNSWBase(VectorIndex):
         safe = jnp.maximum(exp_rows, 0)
         nbrs = jnp.take(self.neighbors, safe, axis=0)  # [Q, B, m]
         nbrs = jnp.where(exp_rows[..., None] >= 0, nbrs, -1)
-        g = jnp.take(self.nbdata, safe, axis=0)  # [Q, B, m, Dt]
-        vecs = quantize.sq8_decode_dev(g, self.ta, self.tb).astype(jnp.float32)
-        s = jnp.einsum(
-            "qd,qbmd->qbm", qt, vecs, preferred_element_type=jnp.float32
-        )
+        # decode folded into the dot (see _score_traverse): u8 codes go
+        # into the matmul as bf16; no decoded f32 [Q, B, m, Dt] block
+        qs = qt * self.tb[None, :]
+        mm, dt = self.nbdata.shape[1], self.nbdata.shape[2]
+        if gathermv.supports(beam, mm, dt, nq):
+            # fused gather+matvec kernel: blocks stream HBM->VMEM once;
+            # the XLA take-then-einsum materializes the gathered copy
+            # (~3x the traffic — the traversal loop's dominant cost)
+            s = gathermv.gather_block_scores(qs, safe, self.nbdata)
+            s = s.reshape(nq, beam, mm)
+        else:
+            g = jnp.take(self.nbdata, safe, axis=0)  # [Q, B, m, Dt]
+            s = jnp.einsum(
+                "qd,qbmd->qbm", qs.astype(jnp.bfloat16),
+                g.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+        s = s + jnp.dot(qt, self.ta)[:, None, None]
         if self.nbaux is not None:
             s = 2.0 * s - jnp.take(self.nbaux, safe, axis=0)
         nbrs = nbrs.reshape(nq, -1)
@@ -557,7 +583,7 @@ class _HNSWBase(VectorIndex):
         p = dict(params)
         ef = int(p.get("ef_s", self.ef_default))
         ef = max(ef, k)
-        iters = max(4, int(math.ceil(1.5 * ef / BEAM)))
+        iters = max(ITER_MIN, int(math.ceil(ITER_FACTOR * ef / BEAM)))
         nq = queries.shape[0]
         q = queries.astype(jnp.float32)
         if self.metric == Metric.COSINE:

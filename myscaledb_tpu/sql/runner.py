@@ -335,8 +335,10 @@ class SQLRunner:
             rows = []
             for seg in sorted(t.live_segments(), key=lambda s: s.segment_id):
                 alive = np.nonzero(~seg.deleted_host()[: seg.n_rows])[0]
-                for i in alive:
-                    rows.append({c: _pyval(seg.scalar(c)[i]) for c in cols})
+                # bulk columnar -> row dicts (one tolist per column, not
+                # one _pyval per cell — tolist already yields py scalars)
+                lists = [seg.scalar(c)[alive].tolist() for c in cols]
+                rows.extend(dict(zip(cols, vals)) for vals in zip(*lists))
         else:  # pragma: no cover
             raise SQLError("table functions cannot be joined yet")
         if alias:
@@ -781,10 +783,8 @@ class SQLRunner:
                 for c in agg_vals:
                     agg_vals[c].append(seg.scalar(c)[idxs])
             else:
-                for i in idxs:
-                    rows.append(
-                        {c: _pyval(seg.scalar(c)[i]) for c in cols}
-                    )
+                lists = [seg.scalar(c)[idxs].tolist() for c in cols]
+                rows.extend(dict(zip(cols, vals)) for vals in zip(*lists))
         if agg_items:
             return self._aggregate(st, agg_items, agg_vals, total)
         if st.order_by:
