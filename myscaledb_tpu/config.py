@@ -71,6 +71,17 @@ class QuerySettings:
     # 0 disables the fallback.
     filter_fallback_selectivity: float = 0.01
 
+    # Cost-based plan routing: a LOADED graph index is bypassed in favor
+    # of the exact MXU scan when the modeled scan time beats the modeled
+    # traversal time for this (batch, ef, corpus-bytes) shape. TPU
+    # crossovers are far from CPU intuition: a 256-query batch over
+    # 100k x 960-d is ~1-3 ms as one bf16 tile-scan matmul but ~75 ms as
+    # 19 sequential frontier expansions (measured on v5e, round 3); the
+    # graph only wins for multi-GB corpora at tiny batch sizes. This
+    # generalizes the reference's fallbackToFlat (VICommon.h:173) from a
+    # correctness rescue to a cost-based plan choice.
+    cost_based_index_routing: bool = True
+
     # Two-stage search (approximate first pass + exact re-rank). The
     # reference ships the machinery gated off (SURVEY.md §3.5); here it is a
     # real setting.

@@ -188,6 +188,18 @@ class VectorIndex(abc.ABC):
         rep_f32 = 4 * n_rows * dpad
         return rep_f32 + 2 * int(payload.nbytes)
 
+    def prefer_exact_scan(
+        self, nq: int, k: int, params, scan_bytes: int
+    ) -> bool:
+        """Cost-based routing hook: return True when the exact payload
+        scan of `scan_bytes` bytes is modeled cheaper than searching this
+        index for an nq-query batch. Consulted by the executor BEFORE the
+        fused program is built (everything is static at trace time).
+        Default: never — only indexes whose search is sequential on TPU
+        (graph traversals) override this."""
+        del nq, k, params, scan_bytes
+        return False
+
     def supports_two_stage(self) -> bool:
         """Whether search(first_stage=True) returns approximate candidates
         to be exactly re-ranked (supportTwoStageSearch,

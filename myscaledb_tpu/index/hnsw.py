@@ -65,6 +65,17 @@ BEAM = 8  # nodes expanded per iteration per query: the frontier loop is
 # greedy walk; ITER_MIN floors short walks so tiny ef still converges.
 ITER_FACTOR = 1.5
 ITER_MIN = 4
+# Cost-model constants for prefer_exact_scan (measured on v5e through the
+# tunnel, round 3; see STATUS.md). The frontier loop's cost is
+# iterations x (fixed launch/top-k cost + per-query marginal): at nq=256,
+# ef=100 (19 iters) a traversal measured ~75 ms while the exact bf16
+# tile scan of the same 100k x 960 corpus is ~1-3 ms — on the MXU the
+# graph only wins for multi-GB corpora at tiny batches. Conservative in
+# the scan's favor is safe: the scan is exact (recall 1.0).
+SCAN_BYTES_PER_S = 200e9  # effective exact-scan rate (bench r2: 204 GB/s)
+SCAN_FIXED_S = 3e-4  # tile-scan top-k/merge overhead per launch
+ITER_FIXED_S = 4.5e-4  # per-frontier-iteration fixed cost
+ITER_PER_QUERY_S = 1.4e-5  # per-query marginal cost per iteration
 PRUNE_ALPHA = 1.2
 # Traversal projection width: reps wider than this are PCA-projected for
 # ALL routing work (build candidate generation, query-time frontier
@@ -570,6 +581,19 @@ class _HNSWBase(VectorIndex):
 
     def _q_parts(self, q: jax.Array) -> jax.Array:
         return q.astype(jnp.float32)[None]
+
+    def prefer_exact_scan(
+        self, nq: int, k: int, params, scan_bytes: int
+    ) -> bool:
+        """Graph-vs-scan cost model (constants above). `params` is the
+        caller's search-params dict/key; ef drives the iteration count
+        exactly as search_t derives it."""
+        p = dict(params or ())
+        ef = max(int(p.get("ef_s", self.ef_default)), k)
+        iters = max(ITER_MIN, int(math.ceil(ITER_FACTOR * ef / BEAM)))
+        trav_s = iters * (ITER_FIXED_S + nq * ITER_PER_QUERY_S)
+        scan_s = SCAN_FIXED_S + scan_bytes / SCAN_BYTES_PER_S
+        return scan_s < trav_s
 
     # ------------------------------------------------------------- search
     def search_t(

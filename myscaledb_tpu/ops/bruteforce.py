@@ -110,17 +110,38 @@ def scan_topk_t(
     from . import tilescan
 
     if not approx and tilescan.supports(n, d, queries.shape[0], k):
-        aux_in = aux if aux is not None else jnp.zeros((n,), jnp.float32)
-        vals, idx = tilescan.tile_topk_scan(
-            queries, base, aux_in, valid.astype(jnp.uint8), k=k, metric=metric
-        )
-        return vals[:nq], idx[:nq]
+        # Strategy gate: the tile-max prune re-reads ksel*SUB raw ROWS per
+        # query for the exact rescore (2 x Q x ksel x 128 x D x itemsize
+        # of gather write+read traffic); the full-scores path pays the
+        # [Q, N] score matrix round-trips instead (~3 x Q x N x 4). At
+        # SIFT shapes (1M x 128, batch 100) the prune wins ~6x; at GIST
+        # shapes (100k x 960-d f32, batch 256) the rescore gather is
+        # ~3.2 GB — 10x the corpus — and the full path wins ~10x.
+        ksel = min(k + tilescan.TILE_SLACK, n // tilescan.SUB)
+        prune_bytes = 2 * nq_pad * ksel * tilescan.SUB * d * base.dtype.itemsize
+        full_bytes = 3 * nq_pad * n * 4
+        if prune_bytes < full_bytes:
+            aux_in = aux if aux is not None else jnp.zeros((n,), jnp.float32)
+            vals, idx = tilescan.tile_topk_scan(
+                queries, base, aux_in, valid.astype(jnp.uint8), k=k,
+                metric=metric,
+            )
+            return vals[:nq], idx[:nq]
 
     chunk = _choose_chunk(n, chunk_rows)
+    def _select(s):
+        if approx:
+            return topk_scores(
+                s, k, approx=True, recall_target=recall_target
+            )
+        from .topk import wide_exact_topk
+
+        return wide_exact_topk(s, k)
+
     if chunk >= n:
         s = _chunk_scores(queries, base, aux, metric)
         s = jnp.where(valid[None, :], s, NEG_INF)
-        vals, idx = topk_scores(s, k, approx=approx, recall_target=recall_target)
+        vals, idx = _select(s)
     else:
         nc = n // chunk
         blocks = base.reshape(nc, chunk, d)
@@ -132,7 +153,7 @@ def scan_topk_t(
             block, a, v, off = args
             s = _chunk_scores(queries, block, a, metric)
             s = jnp.where(v[None, :], s, NEG_INF)
-            cv, ci = topk_scores(s, k, approx=approx, recall_target=recall_target)
+            cv, ci = _select(s)
             return cv, jnp.where(ci >= 0, ci + off, -1)
 
         cvals, cidx = jax.lax.map(body, (blocks, auxb, validb, offs))

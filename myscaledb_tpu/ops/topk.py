@@ -46,6 +46,49 @@ def topk_scores(
     return vals, idx.astype(jnp.int32)
 
 
+WIDE_SUB = 128  # rows per reduction sub-tile (wide_exact_topk)
+WIDE_SLACK = 2  # extra sub-tiles beyond k (tie head-room)
+
+
+def wide_exact_topk(
+    scores: jax.Array, k: int
+) -> Tuple[jax.Array, jax.Array]:
+    """EXACT top-k over very wide score rows via a two-level reduce.
+
+    `lax.top_k` sorts the whole row; at 100k+ lanes that dominates an
+    exact scan (measured ~30 ms per 256-query batch at 960-d on v5e,
+    ~10x the matmul itself). Instead: per-128-lane sub-tile maxes (one
+    cheap reduce), top (k+slack) sub-tiles per query, gather ONLY those
+    sub-tiles' score slices (k*128*4 bytes/query instead of the whole
+    row) and run the small exact top-k there. Exactness: the k best
+    rows occupy <= k distinct sub-tiles, and any sub-tile holding one
+    has max >= the k-th best score, so at most k sub-tiles can rank
+    above it — top (k+slack) sub-tiles by max always contain the true
+    top-k (the same pruning bound ops/tilescan.py relies on; slack
+    covers max ties at the boundary).
+
+    Requires width % 128 == 0 (segment capacities are 1024-aligned).
+    Falls back to the flat top-k when the shape makes pruning pointless.
+    """
+    q, n = scores.shape
+    nsub = n // WIDE_SUB
+    ksel = min(k + WIDE_SLACK, nsub)
+    if n % WIDE_SUB or ksel * WIDE_SUB * 2 >= n:
+        return topk_scores(scores, k)
+    sm = scores.reshape(q, nsub, WIDE_SUB)
+    _, sub = jax.lax.top_k(jnp.max(sm, axis=2), ksel)  # [Q, ksel]
+    g = jnp.take_along_axis(sm, sub[:, :, None], axis=1)  # [Q, ksel, SUB]
+    rows = sub[:, :, None] * WIDE_SUB + jax.lax.broadcasted_iota(
+        jnp.int32, (q, ksel, WIDE_SUB), 2
+    )
+    v, p = jax.lax.top_k(g.reshape(q, -1), min(k, ksel * WIDE_SUB))
+    r = jnp.take_along_axis(rows.reshape(q, -1), p, axis=-1)
+    if v.shape[-1] < k:
+        v = jnp.pad(v, ((0, 0), (0, k - v.shape[-1])), constant_values=NEG_INF)
+        r = jnp.pad(r, ((0, 0), (0, k - r.shape[-1])), constant_values=-1)
+    return v, jnp.where(jnp.isfinite(v), r, -1).astype(jnp.int32)
+
+
 def merge_topk(
     vals_a: jax.Array,
     idx_a: jax.Array,

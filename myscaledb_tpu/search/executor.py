@@ -458,6 +458,22 @@ class VectorSearchExecutor:
                     idx = None
                     forced_exact = True
                     GLOBAL_COUNTERS.bump("VectorIndexFallbackToFlat")
+            if (
+                idx is not None
+                and not is_binary
+                and st.query.cost_based_index_routing
+            ):
+                payload = seg.vector(column)
+                if not getattr(payload, "is_host", False) and (
+                    idx.prefer_exact_scan(nq, k, params, int(payload.nbytes))
+                ):
+                    # cost-based route: the exact MXU scan is modeled
+                    # cheaper than this index's (sequential) search for
+                    # this batch/corpus shape — and it is exact. See
+                    # QuerySettings.cost_based_index_routing.
+                    idx = None
+                    forced_exact = True
+                    GLOBAL_COUNTERS.bump("VectorIndexCostRouteToScan")
             if idx is not None and mask is not None:
                 from .filters import DeviceMask
 

@@ -144,9 +144,19 @@ class Segment:
         assert n_rows is not None and n_rows > 0
         # Large segments align to the scan chunk (128k rows) so the chunked
         # scan divides evenly — a prime number of 1k units would otherwise
-        # force a degenerate 1k-row chunk loop. Waste is <=128k rows of
+        # force a degenerate 1k-row chunk loop. Mid-size segments (>=64k)
+        # align to the tile-max scan's tile (SUB x OUT_LANES = 16384 rows,
+        # ops/tilescan.supports): a 100k-row segment at 1k alignment fails
+        # the n % 16384 gate and falls off the Pallas path onto the plain
+        # XLA scan (~10x slower at 960-d — measured 34 ms vs ~3 ms per
+        # 256-query batch on v5e). Waste is <=16k (<=25%) / <=128k rows of
         # zero padding, masked out of every search.
-        eff_align = alignment if n_rows < 128 * 1024 else 128 * 1024
+        if n_rows >= 128 * 1024:
+            eff_align = 128 * 1024
+        elif n_rows >= 64 * 1024:
+            eff_align = 16 * 1024
+        else:
+            eff_align = alignment
         capacity = round_up(n_rows, eff_align)
 
         vectors: Dict[str, VectorPayload] = {}
