@@ -223,6 +223,17 @@ def main():
     )
     _progress(f"ivf qps={ivf_qps:.0f} (median {ivf_qps_med:.0f})")
 
+    # batch-scaling point: at batch=100 the per-launch overhead
+    # (~0.4-1.1 ms) is most of an IVF call (nprobe=2 scans ~0.4% of the
+    # corpus); the coalescing server serves at 256-512 per program, so
+    # report the large-batch number the serving path actually sees
+    batches500 = [jnp.asarray(queries[:500]), jnp.asarray(queries[500:])]
+    ivf_qps_b500, ivf_qps_b500_med = measure_qps(
+        lambda qb: table.search("vec", qb, k=K, params={"nprobe": op_nprobe}),
+        batches500, 500, repeats=3,
+    )
+    _progress(f"ivf qps batch=500: {ivf_qps_b500:.0f} (median {ivf_qps_b500_med:.0f})")
+
     # filtered search THROUGH the index (the production path: mask into
     # the IVF scan kernel at the operating-point nprobe)
     ivf_filtered_qps, ivf_filtered_qps_med = measure_qps(
@@ -445,6 +456,8 @@ def main():
         "ivf_recall_at_10": round(op_recall, 4),
         "ivf_build_s": round(build_s, 1),
         "ivf_qps_median": round(ivf_qps_med),
+        "ivf_qps_batch500": round(ivf_qps_b500),
+        "ivf_qps_batch500_median": round(ivf_qps_b500_med),
         "filtered_exact_qps_1pct": round(filtered_qps),
         "filtered_exact_qps_1pct_median": round(filtered_qps_med),
         "ivf_filtered_qps_1pct": round(ivf_filtered_qps),
