@@ -355,6 +355,8 @@ class Parser:
             return self.insert()
         if kw == "select":
             return self.select()
+        if kw == "with":
+            return self.with_select()
         if kw == "delete":
             return self.delete()
         if kw == "drop":
@@ -780,6 +782,28 @@ class Parser:
             self.error("unexpected trailing input")
         return sel
 
+    def with_select(self) -> Select:
+        """WITH name AS (subquery) [, ...] SELECT ... — common table
+        expressions, resolved by parse-time substitution into the FROM /
+        JOIN sources (ClickHouse's CTE form; scalar `WITH 1 AS x`
+        aliases are out of scope). Later CTEs may reference earlier
+        ones; each reference gets its own deep copy."""
+        self.expect_kw("with")
+        ctes: Dict[str, Select] = {}
+        while True:
+            name = self.expect_name()
+            self.expect_kw("as")
+            self.expect_op("(")
+            body = self._select_body()
+            self.expect_op(")")
+            _substitute_ctes(body, ctes)  # earlier CTEs visible here
+            ctes[name.lower()] = body
+            if not self.accept_op(","):
+                break
+        sel = self.select()
+        _substitute_ctes(sel, ctes)
+        return sel
+
     def _qual_name(self) -> str:
         name = self.expect_name()
         if (
@@ -951,6 +975,40 @@ class Parser:
                 if not self.accept_op(","):
                     break
         return sel
+
+
+def _cte_source(src, ctes):
+    """Rewrite one FromSource tuple against the CTE map (or recurse)."""
+    import copy
+
+    if src is None:
+        return None
+    if src[0] == "table" and src[1].lower() in ctes:
+        alias = src[2] if len(src) > 2 and src[2] else src[1]
+        return ("sub", copy.deepcopy(ctes[src[1].lower()]), alias)
+    if src[0] == "sub":
+        _substitute_ctes(src[1], ctes)
+    return src
+
+
+def _substitute_ctes(sel: "Select", ctes) -> None:
+    """Replace CTE-name table references with their subquery bodies."""
+    import copy
+
+    if not ctes:
+        return
+    if sel.source is not None:
+        new = _cte_source(sel.source, ctes)
+        if new is not sel.source:
+            sel.source = new
+            sel.table = ""
+    elif sel.table and sel.table.lower() in ctes:
+        sel.source = ("sub", copy.deepcopy(ctes[sel.table.lower()]), sel.table)
+        sel.table = ""
+    if sel.join is not None:
+        new_r = _cte_source(sel.join.right, ctes)
+        if new_r is not sel.join.right:
+            sel.join = dataclasses.replace(sel.join, right=new_r)
 
 
 def _auto(s: str) -> Any:

@@ -144,3 +144,38 @@ def test_multi_distance_expression_rejects_foreign_columns(mdb):
             f"SELECT id, distance(v1, {q}) AS d1, distance(v2, {q}) AS d2 "
             "FROM mx ORDER BY d1 + id ASC LIMIT 4"
         )
+
+
+# ---------------------------------------------------------------- CTEs
+def test_with_cte_basic(db):
+    db.sql("CREATE TABLE cte_t (id UInt64, v Float32)")
+    db.sql("INSERT INTO cte_t VALUES (1, 10.0), (2, 20.0), (3, 30.0)")
+    rows = db.sql(
+        "WITH big AS (SELECT id, v FROM cte_t WHERE v > 15) "
+        "SELECT id FROM big ORDER BY id"
+    )
+    assert [r["id"] for r in rows] == [2, 3]
+
+
+def test_with_cte_chained_and_join(db):
+    db.sql("CREATE TABLE cte_a (id UInt64, x Float32)")
+    db.sql("INSERT INTO cte_a VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    rows = db.sql(
+        "WITH big AS (SELECT id, x FROM cte_a WHERE x > 1), "
+        "biggest AS (SELECT id, x FROM big WHERE x > 2) "
+        "SELECT cte_a.id AS id, biggest.x AS bx FROM cte_a "
+        "JOIN biggest ON cte_a.id = biggest.id"
+    )
+    assert len(rows) == 1 and rows[0]["id"] == 3 and rows[0]["bx"] == 3.0
+
+
+def test_with_cte_referenced_twice(db):
+    db.sql("CREATE TABLE cte_b (id UInt64, x Float32)")
+    db.sql("INSERT INTO cte_b VALUES (1, 5.0), (2, 6.0)")
+    rows = db.sql(
+        "WITH s AS (SELECT id, x FROM cte_b) "
+        "SELECT s.id AS id, r.x AS rx FROM s JOIN s AS r ON s.id = r.id "
+        "ORDER BY id"
+    )
+    assert [r["id"] for r in rows] == [1, 2]
+    assert [r["rx"] for r in rows] == [5.0, 6.0]
