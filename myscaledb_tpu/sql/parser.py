@@ -257,6 +257,26 @@ class TableFunc:
 
 
 @dataclasses.dataclass
+class ShowTables:
+    pass
+
+
+@dataclasses.dataclass
+class ShowCreateTable:
+    table: str
+
+
+@dataclasses.dataclass
+class Describe:
+    table: str
+
+
+@dataclasses.dataclass
+class Explain:
+    select: "Select"
+
+
+@dataclasses.dataclass
 class SelectItem:
     expr: Any  # str column name | '*' | SearchCall | ('count',)
     alias: Optional[str] = None
@@ -357,6 +377,25 @@ class Parser:
             return self.select()
         if kw == "with":
             return self.with_select()
+        if kw == "show":
+            self.next()
+            if self.accept_kw("tables"):
+                return ShowTables()
+            if self.accept_kw("create", "table"):
+                return ShowCreateTable(self.table_name())
+            self.error("expected SHOW TABLES or SHOW CREATE TABLE")
+        if kw in ("describe", "desc"):
+            self.next()
+            self.accept_kw("table")
+            return Describe(self.table_name())
+        if kw == "explain":
+            self.next()
+            inner = (
+                self.with_select()
+                if self.peek().lower() == "with"
+                else self.select()
+            )
+            return Explain(inner)
         if kw == "delete":
             return self.delete()
         if kw == "drop":

@@ -125,6 +125,10 @@ class SQLRunner:
             P.DropTable: self._drop_table,
             P.OptimizeTable: self._optimize,
             P.Select: self._select,
+            P.ShowTables: self._show_tables,
+            P.ShowCreateTable: self._show_create,
+            P.Describe: self._describe,
+            P.Explain: self._explain,
         }.get(type(stmt))
         if handler is None:  # pragma: no cover
             raise SQLError(f"no handler for {type(stmt).__name__}")
@@ -249,6 +253,98 @@ class SQLRunner:
             return []
         self.db.drop_table(st.table)
         return []
+
+    # ------------------------------------------------------ introspection
+    def _show_tables(self, st: P.ShowTables):
+        return [{"name": n} for n in self.db.tables()]
+
+    def _describe(self, st: P.Describe):
+        t = self.db.table(st.table)
+        return [
+            {"name": n, "type": repr(ct)}
+            for n, ct in t.schema.columns.items()
+        ]
+
+    def _show_create(self, st: P.ShowCreateTable):
+        t = self.db.table(st.table)
+        cols = ",\n  ".join(
+            f"{n} {ct!r}" for n, ct in t.schema.columns.items()
+        )
+        idx = ""
+        for d in t._index_descs.values():
+            idx += (
+                f",\n  VECTOR INDEX {d.name} {d.column} TYPE {d.kind.value}"
+            )
+        ddl = (
+            f"CREATE TABLE {st.table} (\n  {cols}{idx}\n) "
+            f"ENGINE = {t.engine}"
+        )
+        return [{"statement": ddl}]
+
+    def _explain(self, st: P.Explain):
+        """EXPLAIN SELECT ...: the plan as one row per step, including the
+        per-segment index-vs-scan routing decision (EXPLAIN PLAN
+        analogue — surfaces fallbackToFlat / cost_based_index_routing
+        choices that are otherwise only visible in profile_events)."""
+        sel = st.select
+        lines: List[str] = []
+        if sel.source is not None and sel.source[0] == "sub":
+            lines.append("ReadFromSubquery")
+        elif sel.table_func is not None:
+            lines.append(f"ReadFromTableFunction {sel.table_func.name}")
+        elif sel.table:
+            t = self.db.table(sel.table)
+            segs = t.live_segments()
+            nrows = sum(s.n_rows for s in segs)
+            lines.append(
+                f"ReadFromTable {sel.table} "
+                f"({len(segs)} segments, {nrows} rows)"
+            )
+            for it in sel.items:
+                c = it.expr
+                if not isinstance(c, P.SearchCall):
+                    continue
+                col = next(
+                    (a[1] for a in c.args
+                     if isinstance(a, tuple) and a[0] == "col"),
+                    None,
+                )
+                lines.append(f"  {c.func}({col or '?'})")
+                if c.func != "distance" or col is None:
+                    continue
+                metric = t.index_metric_for(col)
+                k = sel.limit or t.settings.query.default_topk
+                for seg in segs:
+                    idx_obj = t.loaded_index(seg.segment_id, col, metric)
+                    tag = f"    segment {seg.segment_id}"
+                    if idx_obj is None:
+                        lines.append(f"{tag}: exact scan (no loaded index)")
+                        continue
+                    kind = idx_obj.kind.value
+                    route = (
+                        t.settings.query.cost_based_index_routing
+                        and idx_obj.prefer_exact_scan(
+                            1, int(k), dict(c.params or {}),
+                            int(seg.vector(col).nbytes),
+                        )
+                    )
+                    if route:
+                        lines.append(
+                            f"{tag}: {kind} -> exact scan (cost route)"
+                        )
+                    else:
+                        lines.append(f"{tag}: {kind} search")
+        if sel.prewhere is not None:
+            lines.append(f"Prewhere {sel.prewhere}")
+        if sel.where is not None:
+            lines.append(f"Prefilter {sel.where}")
+        if sel.group_by:
+            lines.append(f"Aggregate GROUP BY {sel.group_by}")
+        if sel.order_by:
+            lines.append(f"Sort ({len(sel.order_by)} keys)")
+        if sel.limit is not None:
+            lines.append(f"Limit {sel.limit} offset {sel.offset}")
+        return [{"explain": ln} for ln in lines]
 
     # ----------------------------------------------------- table functions
     def _table_function(self, st: P.Select):

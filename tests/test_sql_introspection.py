@@ -1,0 +1,72 @@
+"""SHOW TABLES / SHOW CREATE TABLE / DESCRIBE / EXPLAIN statements.
+
+Reference analogues: ClickHouse introspection statements; EXPLAIN
+surfaces the per-segment index-vs-scan routing decision (fallbackToFlat
+/ cost_based_index_routing) that is otherwise only in profile_events.
+"""
+
+import numpy as np
+
+import myscaledb_tpu as ms
+
+
+def _mk(db, rng, with_index=True):
+    st = ms.Settings()
+    st.table.min_rows_to_build_vector_index = 100
+    t = db.create_table(
+        "intro_t",
+        ms.Schema({"id": ms.UInt64(), "vec": ms.FloatVector(32)}),
+        settings=st,
+    )
+    n = 2000
+    t.insert({
+        "id": np.arange(n, dtype=np.uint64),
+        "vec": rng.standard_normal((n, 32)).astype(np.float32),
+    })
+    if with_index:
+        t.add_vector_index("v", "vec", type="HNSWFLAT", m=16, metric_type="L2")
+        assert t.wait_index_built()
+    return t
+
+
+def test_show_tables(db, rng):
+    _mk(db, rng, with_index=False)
+    names = [r["name"] for r in db.sql("SHOW TABLES")]
+    assert "intro_t" in names
+
+
+def test_describe(db, rng):
+    _mk(db, rng, with_index=False)
+    rows = db.sql("DESCRIBE intro_t")
+    byname = {r["name"]: r["type"] for r in rows}
+    assert set(byname) == {"id", "vec"}
+    assert "32" in byname["vec"]
+
+
+def test_show_create_table(db, rng):
+    _mk(db, rng)
+    stmt = db.sql("SHOW CREATE TABLE intro_t")[0]["statement"]
+    assert "CREATE TABLE intro_t" in stmt
+    assert "VECTOR INDEX v vec TYPE HNSWFLAT" in stmt
+    assert "ENGINE = MergeTree" in stmt
+
+
+def test_explain_routing(db, rng):
+    _mk(db, rng)
+    rows = db.sql(
+        "EXPLAIN SELECT id, distance(vec, [0.0]) AS d FROM intro_t "
+        "ORDER BY d LIMIT 5"
+    )
+    text = "\n".join(r["explain"] for r in rows)
+    assert "ReadFromTable intro_t" in text
+    assert "distance(vec)" in text
+    # small corpus: the cost model must route the graph index to the scan
+    assert "exact scan (cost route)" in text
+    assert "Limit 5" in text
+
+
+def test_explain_plain_select(db, rng):
+    _mk(db, rng, with_index=False)
+    rows = db.sql("EXPLAIN SELECT id FROM intro_t WHERE id < 5 LIMIT 3")
+    text = "\n".join(r["explain"] for r in rows)
+    assert "ReadFromTable" in text and "Prefilter" in text
