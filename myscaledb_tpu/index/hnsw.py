@@ -289,13 +289,22 @@ class _HNSWBase(VectorIndex):
         shadow/codes (~2 bytes/dim/row)."""
         dpad = payload.data.shape[1]
         rep_f32 = 4 * n_rows * dpad
-        dt_w = min(dpad, TRAVERSE_DIM)
         m = int((params or {}).get("m", DEFAULT_M))
+        # Mirror _build_common's projection condition EXACTLY: the shadow
+        # and node blocks stay FULL-dim unless (dpad > TRAVERSE_DIM and
+        # the full-dim blocks exceed the cap) — estimating TRAVERSE_DIM
+        # unconditionally undercounts 960-d/100k builds ~2.3 GB and
+        # admits builds that then OOM (the failure this method exists to
+        # prevent).
+        projected = (
+            dpad > TRAVERSE_DIM and n_rows * m * dpad > NODE_BLOCK_CAP_BYTES
+        )
+        dt_w = TRAVERSE_DIM if projected else dpad
         nb = n_rows * m * dt_w
         blocks = nb if nb <= NODE_BLOCK_CAP_BYTES else 0
         if getattr(payload, "is_host", False):
             # bf16 IVF payload copy + stored bf16 data + int8 shadow
-            return rep_f32 + (2 + 2 + 1) * n_rows * dpad + blocks
+            return rep_f32 + (2 + 2) * n_rows * dpad + n_rows * dt_w + blocks
         return rep_f32 + 2 * int(payload.nbytes) + n_rows * dt_w + blocks
 
     # ------------------------------------------------------------- build
@@ -658,16 +667,24 @@ class _HNSWBase(VectorIndex):
         npad = self.neighbors.shape[0]
         qidx = jnp.arange(nq, dtype=jnp.int32)[:, None]
         # entry dedup: two centroids may share a representative row, and
-        # frontier-distinctness (relied on below) starts here
+        # frontier-distinctness (relied on below) starts here. dedup_rows
+        # returns ROW-ID order; re-sort by score so the top-ef cut below
+        # keeps the NEAREST entries when ef < n_entry (small ef_s), and
+        # mark `known` only for entries that SURVIVE the cut — marking
+        # dropped ones would block them from ever re-entering via
+        # neighbor expansion.
         escores, erows, _ = dedup_rows(escores, erows, None)
-        known = jnp.zeros((nq, npad + 1), bool)  # last col = -1 sink
-        known = known.at[qidx, jnp.where(erows >= 0, erows, npad)].set(True)
+        pos0 = jax.lax.top_k(escores, escores.shape[1])[1]
+        escores = jnp.take_along_axis(escores, pos0, axis=1)
+        erows = jnp.take_along_axis(erows, pos0, axis=1)
         tril = jnp.asarray(np.tril(np.ones((BEAM, BEAM), bool), -1))
         rp = max(k, min(ef, 2 * k))
         pad = ef - n_entry if ef > n_entry else 0
         fv = jnp.pad(escores, ((0, 0), (0, pad)), constant_values=NEG_INF)[:, :ef]
         fr = jnp.pad(erows, ((0, 0), (0, pad)), constant_values=-1)[:, :ef]
         fe = jnp.zeros((nq, ef), bool)
+        known = jnp.zeros((nq, npad + 1), bool)  # last col = -1 sink
+        known = known.at[qidx, jnp.where(fr >= 0, fr, npad)].set(True)
         # NOTE: the result pool is NOT redundant with the frontier even
         # for unmasked searches — two expanded nodes can share a neighbor
         # within one iteration (the known bitmap only blocks repeats

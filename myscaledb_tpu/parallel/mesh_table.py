@@ -91,10 +91,9 @@ def _scatter_dead(alive, slots):
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def _merge_topk(va, ra, vb, rb, k):
-    v = jnp.concatenate([va, vb], axis=-1)
-    r = jnp.concatenate([ra, rb], axis=-1)
-    mv, pos = jax.lax.top_k(v, k)
-    mr = jnp.take_along_axis(r, pos, axis=-1)
+    from ..ops.topk import merge_topk
+
+    mv, mr = merge_topk(va, ra, vb, rb, k)
     return mv, jnp.where(jnp.isfinite(mv), mr, -1)
 
 
@@ -107,20 +106,27 @@ class _PredicateCache:
     keying."""
 
     def __init__(self):
+        # value = (jitted_entry, pinned_callable_or_None): identity-keyed
+        # entries MUST pin the callable — the jitted closure captures its
+        # cells/code but not the object, so after GC CPython can reuse
+        # the id for a DIFFERENT filter and the stale entry would apply
+        # the old predicate silently
         self._cache: Dict[Any, Any] = {}
 
     def mask(self, filt, alive, cols: Dict[str, jax.Array]):
         code = getattr(filt, "__code__", None)
         if code is None:
             key = ("obj", id(filt))
-            entry = self._cache.get(key)
-            if entry is None:
+            hit = self._cache.get(key)
+            if hit is None:
                 entry = jax.jit(
                     lambda alive, cols, dyn: jnp.logical_and(
                         alive, filt(**cols)
                     )
                 )
-                self._cache[key] = entry
+                self._cache[key] = (entry, filt)
+            else:
+                entry = hit[0]
             return entry(alive, cols, ())
         cells = tuple(
             c.cell_contents for c in (filt.__closure__ or ())
@@ -146,10 +152,12 @@ class _PredicateCache:
                 static_cells,
             )
             hash(key)
+            pin = None
         except TypeError:  # unhashable static closure: identity fallback
             key = ("obj", id(filt))
-        entry = self._cache.get(key)
-        if entry is None:
+            pin = filt
+        hit = self._cache.get(key)
+        if hit is None:
             gl = filt.__globals__
             defaults = filt.__defaults__
 
@@ -167,7 +175,9 @@ class _PredicateCache:
                 return jnp.logical_and(alive, fn(**cols))
 
             entry = jax.jit(build)
-            self._cache[key] = entry
+            self._cache[key] = (entry, pin)
+        else:
+            entry = hit[0]
         dyn = tuple(
             jnp.asarray(cells[i]) if not isinstance(cells[i], jax.Array)
             else cells[i]

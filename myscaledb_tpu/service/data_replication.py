@@ -190,9 +190,20 @@ class ReplicatedNode:
         shutil.rmtree(d, ignore_errors=True)
         os.replace(tmp, d)
         if suffix:  # mutation snapshot replaces the base dir too
+            # stage + rename-rename: never leave the base dir missing for
+            # the duration of a copytree — a peer fetching mid-window
+            # would 404 (it retries next sync, but the window should be
+            # two renames, not a full tree copy)
             base = _uid_dir(self.root, table.name, uid)
-            shutil.rmtree(base, ignore_errors=True)
-            shutil.copytree(d, base)
+            staged = base + ".stage"
+            old = base + ".old"
+            shutil.rmtree(staged, ignore_errors=True)
+            shutil.copytree(d, staged)
+            shutil.rmtree(old, ignore_errors=True)
+            if os.path.exists(base):
+                os.replace(base, old)
+            os.replace(staged, base)
+            shutil.rmtree(old, ignore_errors=True)
 
     def _append(self, tname: str, entry: Dict[str, Any]) -> None:
         with self._lock:
@@ -293,12 +304,22 @@ class ReplicatedNode:
             return 0
         n = 0
         for e in entries:
-            self._apply(peer, tname, e)
+            if not self._apply(peer, tname, e):
+                # transient failure (fetch/checksum): do NOT advance the
+                # watermark — advancing would permanently skip this entry
+                # and silently diverge the replica (every later op on the
+                # same uid would no-op on the missing seg_map entry).
+                # Retry from here on the next sync round.
+                break
             key[tname] = e["seq"] + 1
             n += 1
         return n
 
-    def _apply(self, peer: str, tname: str, e: Dict[str, Any]) -> None:
+    def _apply(self, peer: str, tname: str, e: Dict[str, Any]) -> bool:
+        """Apply one log entry. Returns True when the entry is SETTLED —
+        applied, already applied, or permanently inapplicable by design
+        (sources merged away) — and False on transient failures that
+        must be retried without advancing the watermark."""
         t = self.db.table(tname)
         op, uid = e["op"], e.get("uid")
         self._applying.on = True
@@ -306,20 +327,21 @@ class ReplicatedNode:
             if op == "insert":
                 with self._lock:
                     if uid in self._seg_map:
-                        return  # already applied (or our own)
+                        return True  # already applied (or our own)
                 local = self._ingest(peer, t, uid)
-                if local is not None:
-                    with self._lock:
-                        self._seg_map[uid] = local
-                    GLOBAL_COUNTERS.bump("ReplicatedSegmentFetches")
+                if local is None:
+                    return False  # transient fetch failure: retry
+                with self._lock:
+                    self._seg_map[uid] = local
+                GLOBAL_COUNTERS.bump("ReplicatedSegmentFetches")
             elif op == "deletes":
                 with self._lock:
                     local = self._seg_map.get(uid)
                 if local is None:
-                    return
+                    return True  # segment merged away: deletes subsumed
                 rows = self._fetch_np(peer, tname, uid, e["file"])
                 if rows is None:
-                    return
+                    return False  # transient fetch failure: retry
                 seg = next(
                     (s for s in t.live_segments() if s.segment_id == local),
                     None,
@@ -336,19 +358,19 @@ class ReplicatedNode:
                 with self._lock:
                     local = self._seg_map.get(uid)
                 if local is None:
-                    return
+                    return True  # segment merged away: mutation subsumed
                 got = self._fetch_segment_columns(
                     peer, t, tname, uid, force=True
                 )
                 if got is None:
-                    return
+                    return False  # transient fetch failure: retry
                 _, cols, _deleted = got
                 seg = next(
                     (s for s in t.live_segments() if s.segment_id == local),
                     None,
                 )
                 if seg is None:
-                    return
+                    return True  # dropped locally: nothing to mutate
                 for cname in seg.scalars:
                     seg.scalar(cname)[: seg.n_rows] = cols[cname]
                 seg.mutation_generation += 1
@@ -358,19 +380,20 @@ class ReplicatedNode:
             elif op == "merge":
                 with self._lock:
                     if uid in self._seg_map:
-                        return
+                        return True
                     srcs = [self._seg_map.get(u) for u in e.get("sources", [])]
                 if any(s is None for s in srcs):
                     GLOBAL_COUNTERS.bump("ReplicationSkippedMerges")
-                    return  # concurrent merge elsewhere won; sources gone
+                    return True  # concurrent merge elsewhere won; gone
                 local = self._ingest(peer, t, uid)
                 if local is None:
-                    return
+                    return False  # transient fetch failure: retry
                 with self._lock:
                     self._seg_map[uid] = local
                     for u in e.get("sources", []):
                         self._seg_map.pop(u, None)
                 t._drop_segments([s for s in srcs if s is not None])
+            return True
         finally:
             self._applying.on = False
 

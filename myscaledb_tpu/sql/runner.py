@@ -884,6 +884,17 @@ class SQLRunner:
         if agg_items:
             return self._aggregate(st, agg_items, agg_vals, total)
         if st.order_by:
+            # ORDER BY may reference a scalar-expression item's alias:
+            # compute the expression columns BEFORE sorting (the subquery
+            # path already does; _finalize_items re-projects after)
+            scalars = [
+                it for it in st.items if isinstance(it.expr, P.ScalarExpr)
+            ]
+            for r in rows:
+                for it in scalars:
+                    r[it.alias or _render_scalar(it.expr.node)] = (
+                        _eval_scalar(it.expr.node, r)
+                    )
             _sort_rows(rows, st.order_by)
         lo = st.offset
         hi = None if st.limit is None else st.offset + st.limit
@@ -912,9 +923,29 @@ class SQLRunner:
             ](v.astype(np.float64))
             return _pyval(out) if fn in ("min", "max") else float(out)
 
+        def having_view(row):
+            """HAVING may reference either the alias or the inline form
+            (count(), sum(col)) regardless of how the SELECT item was
+            written — expose both names."""
+            aug = dict(row)
+            for it in agg_items:
+                nm = name_of(it)
+                if nm not in row:
+                    continue
+                inline = (
+                    "count()" if it.expr[0] == "count"
+                    else f"{it.expr[0]}({it.expr[1]})"
+                )
+                aug.setdefault(inline, row[nm])
+                if it.alias:
+                    aug.setdefault(it.alias, row[nm])
+            return aug
+
         if not st.group_by:
             row = {name_of(it): compute(it) for it in agg_items}
-            if st.having is not None and not _eval_plain(st.having, row):
+            if st.having is not None and not _eval_plain(
+                st.having, having_view(row)
+            ):
                 return []
             return [row]
         keys = (
@@ -930,7 +961,9 @@ class SQLRunner:
                 row[name_of(it)] = compute(it, sel, n=int(sel.sum()))
             out_rows.append(row)
         if st.having is not None:
-            out_rows = [r for r in out_rows if _eval_plain(st.having, r)]
+            out_rows = [
+                r for r in out_rows if _eval_plain(st.having, having_view(r))
+            ]
         if st.order_by:
             _sort_rows(out_rows, st.order_by)
         hi = None if st.limit is None else st.offset + st.limit
@@ -1071,7 +1104,13 @@ def _eval_plain(expr, row: Dict[str, Any]) -> bool:
     if isinstance(expr, P.Cmp):
         f = {"<": op.lt, "<=": op.le, ">": op.gt, ">=": op.ge,
              "==": op.eq, "!=": op.ne}[expr.op]
-        return bool(f(row.get(expr.column), expr.value))
+        val = row.get(expr.column)
+        if val is None:
+            # missing column (unmatched LEFT JOIN side, unknown HAVING
+            # name): NULL-style comparison semantics — never a match —
+            # instead of a raw TypeError from None < x
+            return False
+        return bool(f(val, expr.value))
     if isinstance(expr, P.InList):
         r = row.get(expr.column) in expr.values
         return not r if expr.negate else r

@@ -58,9 +58,15 @@ def test_sub_percent_selectivity_exact(db, rng, kind, params):
     gt_rows, gt_d = _ground_truth(vecs, mask_rows, q, k)
     got = res.rows
     assert res.valid.all()
-    # exact scan => identical id sets (ties broken arbitrarily)
+    # tie-tolerant containment: bf16 payload storage (~1e-2 relative on
+    # squared distances) can flip near-equal candidates, so compare by
+    # TRUE distance against the k-th ground-truth cut, not by id set
     for i in range(len(q)):
-        assert set(got[i].tolist()) == set(gt_rows[i].tolist())
+        assert set(got[i].tolist()) <= set(mask_rows.tolist())
+        true_d = ((vecs[got[i]] - q[i]) ** 2).sum(-1)
+        assert (true_d <= gt_d[i, -1] * 1.02 + 1e-4).all(), (
+            true_d, gt_d[i]
+        )
     # bf16 payload storage: ~1e-2 relative error on squared distances
     np.testing.assert_allclose(np.sort(res.distances, 1), np.sort(gt_d, 1), rtol=2e-2)
 

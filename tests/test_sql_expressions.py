@@ -179,3 +179,32 @@ def test_with_cte_referenced_twice(db):
     )
     assert [r["id"] for r in rows] == [1, 2]
     assert [r["rx"] for r in rows] == [5.0, 6.0]
+
+
+# ----------------------------------------------- review-fix regressions
+def test_order_by_scalar_alias_plain_scan(db):
+    db.sql("CREATE TABLE exp_ord (id UInt64, price Float32)")
+    db.sql("INSERT INTO exp_ord VALUES (1, 3.0), (2, 1.0), (3, 2.0)")
+    rows = db.sql(
+        "SELECT id, price * 2 AS p2 FROM exp_ord ORDER BY p2 DESC"
+    )
+    assert [r["id"] for r in rows] == [1, 3, 2]
+    assert rows[0]["p2"] == 6.0
+
+
+def test_having_mixed_alias_and_inline(db):
+    db.sql("CREATE TABLE exp_hav (grp UInt64, x Float32)")
+    db.sql(
+        "INSERT INTO exp_hav VALUES (1, 1.0), (1, 2.0), (2, 5.0)"
+    )
+    # SELECT uses an alias; HAVING uses the inline form
+    rows = db.sql(
+        "SELECT grp, count() AS c FROM exp_hav GROUP BY grp "
+        "HAVING count() >= 2"
+    )
+    assert len(rows) == 1 and rows[0]["grp"] == 1 and rows[0]["c"] == 2
+    # SELECT uses the inline form; HAVING uses sum(x)
+    rows = db.sql(
+        "SELECT grp, sum(x) FROM exp_hav GROUP BY grp HAVING sum(x) > 4"
+    )
+    assert len(rows) == 1 and rows[0]["grp"] == 2
