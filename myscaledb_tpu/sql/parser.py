@@ -257,6 +257,21 @@ class TableFunc:
 
 
 @dataclasses.dataclass
+class AddColumn:
+    table: str
+    column: "ColumnDef"
+    default: Any = None
+    if_not_exists: bool = False
+
+
+@dataclasses.dataclass
+class DropColumn:
+    table: str
+    name: str
+    if_exists: bool = False
+
+
+@dataclasses.dataclass
 class ShowTables:
     pass
 
@@ -532,6 +547,29 @@ class Parser:
             )
         if self.accept_kw("drop", "vector", "index"):
             return DropVectorIndex(table, self.expect_name())
+        if self.accept_kw("add", "column"):
+            ine = self.accept_kw("if", "not", "exists")
+            cname = self.expect_name()
+            tname = self.expect_name()
+            arg = None
+            if self.accept_op("("):
+                inner = self.next()
+                arg = inner.value
+                self.expect_op(")")
+            default = None
+            if self.accept_kw("default"):
+                neg = self.accept_op("-")
+                default = self.literal()
+                if neg:
+                    if not isinstance(default, (int, float)):
+                        self.error("DEFAULT '-' needs a numeric literal")
+                    default = -default
+            return AddColumn(
+                table, ColumnDef(cname, tname, arg), default, ine
+            )
+        if self.accept_kw("drop", "column"):
+            ie = self.accept_kw("if", "exists")
+            return DropColumn(table, self.expect_name(), ie)
         if self.accept_kw("update"):
             assigns: Dict[str, Any] = {}
             while True:

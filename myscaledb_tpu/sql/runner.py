@@ -125,6 +125,8 @@ class SQLRunner:
             P.DropTable: self._drop_table,
             P.OptimizeTable: self._optimize,
             P.Select: self._select,
+            P.AddColumn: self._add_column,
+            P.DropColumn: self._drop_column,
             P.ShowTables: self._show_tables,
             P.ShowCreateTable: self._show_create,
             P.Describe: self._describe,
@@ -252,6 +254,21 @@ class SQLRunner:
         if st.if_exists and st.table not in self.db.tables():
             return []
         self.db.drop_table(st.table)
+        return []
+
+    def _add_column(self, st: P.AddColumn):
+        t = self.db.table(st.table)
+        if st.if_not_exists and st.column.name in t.schema.columns:
+            return []
+        ctype = _column_type(st.column, {})
+        t.add_column(st.column.name, ctype, st.default)
+        return []
+
+    def _drop_column(self, st: P.DropColumn):
+        t = self.db.table(st.table)
+        if st.if_exists and st.name not in t.schema.columns:
+            return []
+        t.drop_column(st.name)
         return []
 
     # ------------------------------------------------------ introspection

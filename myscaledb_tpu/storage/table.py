@@ -296,6 +296,58 @@ class Table:
             self._schedule_build(seg, desc)
         return desc
 
+    def add_column(self, name: str, coltype, default=None) -> None:
+        """ALTER TABLE ADD COLUMN (scalar columns only — vector columns
+        need a dim constraint and a device payload; the reference's ADD
+        COLUMN is likewise an instant metadata change materialized with a
+        default). Existing segments get the default value."""
+        from .schema import is_vector_type
+
+        if is_vector_type(coltype):
+            raise SchemaError(
+                "ADD COLUMN supports scalar columns; create a new table "
+                "for additional vector columns"
+            )
+        with self._lock:
+            if name in self.schema.columns:
+                raise SchemaError(f"column {name!r} already exists")
+            if not name.isidentifier():
+                raise SchemaError(f"bad column name {name!r}")
+            fill = default
+            if fill is None:
+                fill = "" if coltype.np_dtype == np.dtype(object) else 0
+            fill = coltype.validate(np.array([fill]))[0]
+            for seg in self._segments.values():
+                seg.scalars[name] = np.full(
+                    seg.n_rows, fill, dtype=coltype.np_dtype
+                )
+                seg.mutation_generation += 1  # invalidate column mirrors
+            self.schema.columns[name] = coltype
+            self._winners_cache = None
+
+    def drop_column(self, name: str) -> None:
+        """ALTER TABLE DROP COLUMN (scalar, non-engine, non-indexed)."""
+        from .schema import is_vector_type
+
+        with self._lock:
+            if name not in self.schema.columns:
+                raise SchemaError(f"no such column: {name}")
+            if is_vector_type(self.schema.columns[name]):
+                raise SchemaError("cannot drop a vector column")
+            if name in (self.key_column, self.version_column, self.sign_column):
+                raise SchemaError(f"column {name!r} is an engine column")
+            for tdef in self._text_indexes.values():
+                if name in tdef.columns:
+                    raise SchemaError(
+                        f"column {name!r} is covered by fts index; drop "
+                        "the index first"
+                    )
+            del self.schema.columns[name]
+            for seg in self._segments.values():
+                seg.scalars.pop(name, None)
+                seg.mutation_generation += 1
+            self._winners_cache = None
+
     def drop_vector_index(self, name: str) -> None:
         with self._lock:
             desc = self._index_descs.pop(name, None)
