@@ -271,6 +271,20 @@ class Database:
         if t is not None:
             self.index_cache.expire_prefix((name,))
 
+    def rename_table(self, name: str, new_name: str) -> None:
+        """RENAME TABLE: in-place registry + Table.name swap (index-cache
+        entries are keyed by table name, so they are expired — indexes
+        lazily reload under the new name)."""
+        with self._lock:
+            if name not in self._tables:
+                raise SchemaError(f"no such table: {name}")
+            if new_name in self._tables:
+                raise SchemaError(f"table {new_name!r} already exists")
+            t = self._tables.pop(name)
+            t.name = new_name
+            self._tables[new_name] = t
+        self.index_cache.expire_prefix((name,))
+
     def tables(self) -> List[str]:
         with self._lock:
             return sorted(self._tables)

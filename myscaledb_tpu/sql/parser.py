@@ -272,6 +272,17 @@ class DropColumn:
 
 
 @dataclasses.dataclass
+class TruncateTable:
+    table: str
+
+
+@dataclasses.dataclass
+class RenameTable:
+    table: str
+    new_name: str
+
+
+@dataclasses.dataclass
 class ShowTables:
     pass
 
@@ -301,6 +312,7 @@ class SelectItem:
 class Select:
     items: List[SelectItem]
     table: str
+    distinct: bool = False
     where: Any = None
     prewhere: Any = None
     order_by: List[Tuple[Any, str]] = dataclasses.field(default_factory=list)
@@ -392,6 +404,16 @@ class Parser:
             return self.select()
         if kw == "with":
             return self.with_select()
+        if kw == "truncate":
+            self.next()
+            self.accept_kw("table")
+            return TruncateTable(self.table_name())
+        if kw == "rename":
+            self.next()
+            self.expect_kw("table")
+            table = self.table_name()
+            self.expect_kw("to")
+            return RenameTable(table, self.table_name())
         if kw == "show":
             self.next()
             if self.accept_kw("tables"):
@@ -924,6 +946,7 @@ class Parser:
 
     def _select_body(self) -> Select:
         self.expect_kw("select")
+        distinct = self.accept_kw("distinct")
         items: List[SelectItem] = []
         while True:
             t = self.peek()
@@ -973,6 +996,7 @@ class Parser:
         sel = Select(
             items=items,
             table=source[1] if source[0] == "table" else "",
+            distinct=distinct,
             table_func=source[1] if source[0] == "func" else None,
         )
         if source[0] == "sub" or (source[0] == "table" and source[2]):

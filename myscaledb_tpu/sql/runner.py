@@ -125,6 +125,8 @@ class SQLRunner:
             P.DropTable: self._drop_table,
             P.OptimizeTable: self._optimize,
             P.Select: self._select,
+            P.TruncateTable: self._truncate_table,
+            P.RenameTable: self._rename_table,
             P.AddColumn: self._add_column,
             P.DropColumn: self._drop_column,
             P.ShowTables: self._show_tables,
@@ -145,6 +147,12 @@ class SQLRunner:
                 error=f"{type(e).__name__}: {e}"[:200],
             )
             raise
+        if (
+            isinstance(stmt, P.Select)
+            and getattr(stmt, "distinct", False)
+            and isinstance(out, list)
+        ):
+            out = _distinct_rows(out)
         GLOBAL_QUERY_LOG.record(
             "sql", query_text=sql[:500],
             table=getattr(stmt, "table", "") or "",
@@ -254,6 +262,14 @@ class SQLRunner:
         if st.if_exists and st.table not in self.db.tables():
             return []
         self.db.drop_table(st.table)
+        return []
+
+    def _truncate_table(self, st: P.TruncateTable):
+        self.db.table(st.table).truncate()
+        return []
+
+    def _rename_table(self, st: P.RenameTable):
+        self.db.rename_table(st.table, st.new_name)
         return []
 
     def _add_column(self, st: P.AddColumn):
@@ -1100,6 +1116,23 @@ def _order_name(expr) -> Optional[str]:
     if isinstance(expr, P.ScalarExpr):
         return None
     return expr[0] if isinstance(expr, tuple) else expr
+
+
+def _distinct_rows(rows: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
+    """SELECT DISTINCT: order-preserving row dedup (values hashed by
+    repr when unhashable, e.g. lists)."""
+    seen = set()
+    out = []
+    for r in rows:
+        try:
+            key = tuple(sorted((k, v) for k, v in r.items()))
+            hash(key)
+        except TypeError:
+            key = tuple(sorted((k, repr(v)) for k, v in r.items()))
+        if key not in seen:
+            seen.add(key)
+            out.append(r)
+    return out
 
 
 def _sort_rows(rows: List[Dict[str, Any]], order_by) -> None:

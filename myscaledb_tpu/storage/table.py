@@ -1482,6 +1482,15 @@ class Table:
         self._notify_commit("merge", segment=new_seg, dropped_ids=list(ids))
         return new_id
 
+    def truncate(self) -> None:
+        """TRUNCATE TABLE: drop every segment (schema and index
+        DEFINITIONS survive; new inserts build fresh indexes)."""
+        with self._lock:
+            seg_ids = list(self._segments)
+        self._drop_segments(seg_ids)
+        with self._lock:
+            self._winners_cache = None
+
     def _drop_segments(self, segment_ids: List[int]) -> None:
         """Remove segments without merging (replication: applying a peer's
         merge swaps in the fetched merged part and drops the sources)."""

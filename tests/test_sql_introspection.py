@@ -70,3 +70,31 @@ def test_explain_plain_select(db, rng):
     rows = db.sql("EXPLAIN SELECT id FROM intro_t WHERE id < 5 LIMIT 3")
     text = "\n".join(r["explain"] for r in rows)
     assert "ReadFromTable" in text and "Prefilter" in text
+
+
+# ------------------------------------------- DISTINCT / TRUNCATE / RENAME
+def test_select_distinct(db):
+    db.sql("CREATE TABLE dup_t (x UInt64, y UInt64)")
+    db.sql("INSERT INTO dup_t VALUES (1, 2), (1, 2), (3, 4), (1, 2)")
+    rows = db.sql("SELECT DISTINCT x, y FROM dup_t ORDER BY x")
+    assert rows == [{"x": 1, "y": 2}, {"x": 3, "y": 4}]
+    rows = db.sql("SELECT x, y FROM dup_t")
+    assert len(rows) == 4  # without DISTINCT all rows come back
+
+
+def test_truncate_table(db):
+    db.sql("CREATE TABLE tr_t (x UInt64)")
+    db.sql("INSERT INTO tr_t VALUES (1), (2)")
+    db.sql("TRUNCATE TABLE tr_t")
+    assert db.sql("SELECT count() FROM tr_t") == [{"count()": 0}]
+    db.sql("INSERT INTO tr_t VALUES (9)")  # table stays usable
+    assert db.sql("SELECT x FROM tr_t") == [{"x": 9}]
+
+
+def test_rename_table(db):
+    db.sql("CREATE TABLE rn_a (x UInt64)")
+    db.sql("INSERT INTO rn_a VALUES (5)")
+    db.sql("RENAME TABLE rn_a TO rn_b")
+    assert db.sql("SELECT x FROM rn_b") == [{"x": 5}]
+    names = [r["name"] for r in db.sql("SHOW TABLES")]
+    assert "rn_b" in names and "rn_a" not in names
