@@ -153,6 +153,7 @@ class Insert:
     table: str
     columns: Optional[List[str]]
     rows: List[List[Any]]
+    select: Optional["Select"] = None  # INSERT INTO t [cols] SELECT ...
 
 
 @dataclasses.dataclass
@@ -652,6 +653,13 @@ class Parser:
             while not self.accept_op(")"):
                 cols.append(self.expect_name())
                 self.accept_op(",")
+        if self.peek().lower() in ("select", "with"):
+            inner = (
+                self.with_select()
+                if self.peek().lower() == "with"
+                else self.select()
+            )
+            return Insert(table, cols, [], select=inner)
         self.expect_kw("values")
         rows = []
         while True:

@@ -219,6 +219,22 @@ class SQLRunner:
     def _insert(self, st: P.Insert):
         t = self.db.table(st.table)
         cols = st.columns or list(t.schema.columns)
+        if st.select is not None:
+            # INSERT INTO t [cols] SELECT ...: run the query, map the
+            # result columns positionally onto the target columns
+            rows = self._select(st.select)
+            if not rows:
+                return []
+            src = list(rows[0].keys())
+            if len(src) < len(cols):
+                raise SQLError(
+                    f"INSERT SELECT provides {len(src)} columns, "
+                    f"target needs {len(cols)}"
+                )
+            st = P.Insert(
+                st.table, cols,
+                [[r[src[i]] for i in range(len(cols))] for r in rows],
+            )
         if any(len(r) != len(cols) for r in st.rows):
             raise SQLError("VALUES row width mismatch")
         data: Dict[str, Any] = {c: [] for c in cols}

@@ -98,3 +98,18 @@ def test_rename_table(db):
     assert db.sql("SELECT x FROM rn_b") == [{"x": 5}]
     names = [r["name"] for r in db.sql("SHOW TABLES")]
     assert "rn_b" in names and "rn_a" not in names
+
+
+def test_insert_select(db):
+    db.sql("CREATE TABLE ins_a (x UInt64, y Float32)")
+    db.sql("INSERT INTO ins_a VALUES (1, 1.5), (2, 2.5), (3, 3.5)")
+    db.sql("CREATE TABLE ins_b (x UInt64, y Float32)")
+    db.sql("INSERT INTO ins_b SELECT x, y FROM ins_a WHERE y > 2.0")
+    rows = db.sql("SELECT x FROM ins_b ORDER BY x")
+    assert [r["x"] for r in rows] == [2, 3]
+    # CTE-driven insert too
+    db.sql(
+        "INSERT INTO ins_b WITH big AS (SELECT x, y FROM ins_a WHERE x == 1) "
+        "SELECT x, y FROM big"
+    )
+    assert len(db.sql("SELECT x FROM ins_b")) == 3
