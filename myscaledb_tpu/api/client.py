@@ -130,10 +130,17 @@ class Database:
             self._tables[name] = t
             return t
 
-    def load_table(self, name: str, settings: Optional[Settings] = None) -> Table:
+    def load_table(
+        self,
+        name: str,
+        settings: Optional[Settings] = None,
+        *,
+        directory: Optional[str] = None,
+    ) -> Table:
         """Restart path: reload a persisted table. Segments load eagerly
         (they are the data); built ANN indexes stay on disk (status BUILT)
-        and reload lazily into the cache on first search."""
+        and reload lazily into the cache on first search. `directory`
+        overrides the source (RESTORE TABLE ... FROM <dir>)."""
         import json
         import os
 
@@ -143,9 +150,9 @@ class Database:
         from ..storage import persistence
         from ..storage.table import IndexSlot
 
-        if not self.path:
+        if not directory and not self.path:
             raise SchemaError("database has no storage path")
-        root = os.path.join(self.path, name)
+        root = directory or os.path.join(self.path, name)
         if not os.path.isfile(os.path.join(root, "schema.json")):
             # cold start: materialize the table from the object store
             # (the reference's restart-with-S3-parts path, 00036)

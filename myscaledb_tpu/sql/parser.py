@@ -273,6 +273,18 @@ class DropColumn:
 
 
 @dataclasses.dataclass
+class BackupTable:
+    table: str
+    dest: str
+
+
+@dataclasses.dataclass
+class RestoreTable:
+    table: str
+    src: str
+
+
+@dataclasses.dataclass
 class TruncateTable:
     table: str
 
@@ -405,6 +417,24 @@ class Parser:
             return self.select()
         if kw == "with":
             return self.with_select()
+        if kw == "backup":
+            self.next()
+            self.expect_kw("table")
+            table = self.table_name()
+            self.expect_kw("to")
+            t = self.next()
+            if t.kind != "string":
+                self.error("BACKUP TABLE ... TO expects a path string")
+            return BackupTable(table, t.value)
+        if kw == "restore":
+            self.next()
+            self.expect_kw("table")
+            table = self.table_name()
+            self.expect_kw("from")
+            t = self.next()
+            if t.kind != "string":
+                self.error("RESTORE TABLE ... FROM expects a path string")
+            return RestoreTable(table, t.value)
         if kw == "truncate":
             self.next()
             self.accept_kw("table")

@@ -125,6 +125,8 @@ class SQLRunner:
             P.DropTable: self._drop_table,
             P.OptimizeTable: self._optimize,
             P.Select: self._select,
+            P.BackupTable: self._backup_table,
+            P.RestoreTable: self._restore_table,
             P.TruncateTable: self._truncate_table,
             P.RenameTable: self._rename_table,
             P.AddColumn: self._add_column,
@@ -279,6 +281,21 @@ class SQLRunner:
             return []
         self.db.drop_table(st.table)
         return []
+
+    def _backup_table(self, st: P.BackupTable):
+        """BACKUP TABLE t TO '<dir>' — full checkpoint (schema, segments,
+        built indexes) into an external directory (BackupsWorker
+        analogue; restore with RESTORE TABLE)."""
+        self.db.table(st.table).persist(st.dest)
+        return [{"backed_up": st.table, "path": st.dest}]
+
+    def _restore_table(self, st: P.RestoreTable):
+        if st.table in self.db.tables():
+            raise SQLError(
+                f"table {st.table!r} exists; DROP it before RESTORE"
+            )
+        self.db.load_table(st.table, directory=st.src)
+        return [{"restored": st.table}]
 
     def _truncate_table(self, st: P.TruncateTable):
         self.db.table(st.table).truncate()

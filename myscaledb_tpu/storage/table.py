@@ -719,16 +719,17 @@ class Table:
             )
 
     # ------------------------------------------------------------ persist
-    def persist(self) -> str:
+    def persist(self, directory: Optional[str] = None) -> str:
         """Write schema + all segments + built indexes to storage_dir
-        (checkpoint; restart = Database.load_table)."""
+        (checkpoint; restart = Database.load_table). `directory`
+        overrides the destination (BACKUP TABLE ... TO <dir>)."""
         import os
 
         from . import persistence
 
-        if not self.storage_dir:
+        if not directory and not self.storage_dir:
             raise SchemaError(f"table {self.name!r} has no storage_dir")
-        root = self.storage_dir
+        root = directory or self.storage_dir
         os.makedirs(root, exist_ok=True)
         with open(os.path.join(root, "schema.json"), "w") as f:
             import json
@@ -767,8 +768,11 @@ class Table:
                             persistence.save_index(inst, idir)
                         except NotImplementedError:
                             continue  # transient (decoupled) — rebuilt on load
-                        with self._lock:
-                            slot.path = idir
+                        if directory is None:
+                            # canonical checkpoint: lazy reloads point
+                            # here; a BACKUP dir must NOT capture them
+                            with self._lock:
+                                slot.path = idir
         with open(os.path.join(root, "indexes.json"), "w") as f:
             import json
 
@@ -799,7 +803,8 @@ class Table:
         # cold tier: sync the committed local tree up to the object store
         # (manifest-last commit; unchanged files skipped by sha)
         if (
-            self.remote_store is not None
+            directory is None
+            and self.remote_store is not None
             and self.settings.table.storage_policy != "default"
         ):
             from .stores import sync_dir_to_store

@@ -113,3 +113,14 @@ def test_insert_select(db):
         "SELECT x, y FROM big"
     )
     assert len(db.sql("SELECT x FROM ins_b")) == 3
+
+
+def test_backup_restore(db, tmp_path):
+    db.sql("CREATE TABLE bk_t (id UInt64, v Float32)")
+    db.sql("INSERT INTO bk_t VALUES (1, 1.5), (2, 2.5)")
+    dest = str(tmp_path / "bk")
+    db.sql(f"BACKUP TABLE bk_t TO '{dest}'")
+    db.sql("DROP TABLE bk_t")
+    db.sql(f"RESTORE TABLE bk_t FROM '{dest}'")
+    rows = db.sql("SELECT id, v FROM bk_t ORDER BY id")
+    assert [r["id"] for r in rows] == [1, 2]
