@@ -360,6 +360,7 @@ class SQLRunner:
             lines.append(f"ReadFromTableFunction {sel.table_func.name}")
         elif sel.table:
             t = self.db.table(sel.table)
+            eff = self._eff_settings(sel, t)
             segs = t.live_segments()
             nrows = sum(s.n_rows for s in segs)
             lines.append(
@@ -379,7 +380,7 @@ class SQLRunner:
                 if c.func != "distance" or col is None:
                     continue
                 metric = t.index_metric_for(col)
-                k = sel.limit or t.settings.query.default_topk
+                k = sel.limit or eff.query.default_topk
                 for seg in segs:
                     idx_obj = t.loaded_index(seg.segment_id, col, metric)
                     tag = f"    segment {seg.segment_id}"
@@ -388,7 +389,7 @@ class SQLRunner:
                         continue
                     kind = idx_obj.kind.value
                     route = (
-                        t.settings.query.cost_based_index_routing
+                        eff.query.cost_based_index_routing
                         and idx_obj.prefer_exact_scan(
                             1, int(k), dict(c.params or {}),
                             int(seg.vector(col).nbytes),

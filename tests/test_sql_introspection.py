@@ -124,3 +124,21 @@ def test_backup_restore(db, tmp_path):
     db.sql(f"RESTORE TABLE bk_t FROM '{dest}'")
     rows = db.sql("SELECT id, v FROM bk_t ORDER BY id")
     assert [r["id"] for r in rows] == [1, 2]
+
+
+def test_explain_respects_settings_overlay(db, rng):
+    _mk(db, rng)
+    on = "\n".join(
+        r["explain"] for r in db.sql(
+            "EXPLAIN SELECT id, distance(vec, [0.0]) AS d FROM intro_t "
+            "ORDER BY d LIMIT 5"
+        )
+    )
+    off = "\n".join(
+        r["explain"] for r in db.sql(
+            "EXPLAIN SELECT id, distance(vec, [0.0]) AS d FROM intro_t "
+            "ORDER BY d LIMIT 5 SETTINGS cost_based_index_routing=0"
+        )
+    )
+    assert "exact scan (cost route)" in on
+    assert "exact scan (cost route)" not in off and "HNSWFLAT search" in off
