@@ -145,3 +145,35 @@ def test_restart_resumes_from_state(tmp_path, rng):
         assert int(t_b2.gather(res, ["id"])["id"][0, 0]) == 503
     finally:
         b2.close(), db_b2.close(), a.close(), db_a.close()
+
+
+def test_transient_fetch_failure_retries(tmp_path, rng, monkeypatch):
+    """A failed segment fetch must NOT advance the watermark: the entry
+    retries on the next sync instead of being skipped forever (review
+    finding: one transient failure silently diverged the replica)."""
+    (db_a, t_a, a), (db_b, t_b, b) = _pair(tmp_path)
+    try:
+        t_a.insert(_rows(rng, 64))
+        real = type(b)._fetch_segment_columns
+        fails = {"n": 1}
+
+        def flaky(self, *args, **kw):
+            if fails["n"]:
+                fails["n"] -= 1
+                return None  # simulated download/checksum failure
+            return real(self, *args, **kw)
+
+        monkeypatch.setattr(type(b), "_fetch_segment_columns", flaky)
+        assert b.sync() == 0  # transient failure: nothing applied
+        assert t_b.n_rows == 0
+        assert b.sync() >= 1  # retried from the same watermark
+        assert t_b.n_rows == 64
+        # subsequent ops on the same uid still apply (no divergence)
+        t_a.delete(F("id") < 8)
+        assert b.sync() >= 1
+        res = t_b.search("vec", np.zeros(DIM, np.float32), k=64)
+        ids = np.asarray(t_b.gather(res, ["id"])["id"])
+        valid = np.asarray(res.valid)
+        assert valid.sum() == 56 and (ids[valid] >= 8).all()
+    finally:
+        a.close(); b.close(); db_a.close(); db_b.close()
