@@ -279,16 +279,37 @@ class Database:
             self.index_cache.expire_prefix((name,))
 
     def rename_table(self, name: str, new_name: str) -> None:
-        """RENAME TABLE: in-place registry + Table.name swap (index-cache
-        entries are keyed by table name, so they are expired — indexes
-        lazily reload under the new name)."""
+        """RENAME TABLE: registry + Table.name swap, and the on-disk
+        checkpoint directory moves with it (otherwise a persisted rename
+        would be unloadable under the new name after a restart).
+        Index-cache entries are keyed by table name, so they are expired
+        — indexes lazily reload under the new name."""
+        import os
+
         with self._lock:
             if name not in self._tables:
                 raise SchemaError(f"no such table: {name}")
             if new_name in self._tables:
                 raise SchemaError(f"table {new_name!r} already exists")
-            t = self._tables.pop(name)
+            t = self._tables[name]
+            old_dir = t.storage_dir
+            new_dir = (
+                os.path.join(self.path, new_name) if self.path else None
+            )
+            if new_dir and os.path.exists(new_dir):
+                raise SchemaError(
+                    f"storage dir for {new_name!r} already exists"
+                )
+            if old_dir and new_dir and os.path.isdir(old_dir):
+                os.replace(old_dir, new_dir)
+                with t._lock:
+                    for slot in t._slots.values():
+                        if slot.path.startswith(old_dir):
+                            slot.path = new_dir + slot.path[len(old_dir):]
+            del self._tables[name]
             t.name = new_name
+            if new_dir:
+                t.storage_dir = new_dir
             self._tables[new_name] = t
         self.index_cache.expire_prefix((name,))
 

@@ -76,6 +76,21 @@ SCAN_BYTES_PER_S = 200e9  # effective exact-scan rate (bench r2: 204 GB/s)
 SCAN_FIXED_S = 3e-4  # tile-scan top-k/merge overhead per launch
 ITER_FIXED_S = 4.5e-4  # per-frontier-iteration fixed cost
 ITER_PER_QUERY_S = 1.4e-5  # per-query marginal cost per iteration
+
+
+def scan_beats_graph(nq: int, ef: int, scan_bytes: int) -> bool:
+    """The routing cost model, callable without an index instance (the
+    EXPLAIN path models unloaded BUILT indexes from their descriptor)."""
+    iters = max(ITER_MIN, int(math.ceil(ITER_FACTOR * ef / BEAM)))
+    trav_s = iters * (ITER_FIXED_S + nq * ITER_PER_QUERY_S)
+    return SCAN_FIXED_S + scan_bytes / SCAN_BYTES_PER_S < trav_s
+
+
+def default_ef_search(params) -> int:
+    """ef_default as _build_common derives it (for descriptor-only cost
+    modeling)."""
+    ef_c = int((params or {}).get("ef_c", DEFAULT_EF_C))
+    return max(DEFAULT_EF_S, ef_c // 2)
 PRUNE_ALPHA = 1.2
 # Traversal projection width: reps wider than this are PCA-projected for
 # ALL routing work (build candidate generation, query-time frontier
@@ -594,15 +609,12 @@ class _HNSWBase(VectorIndex):
     def prefer_exact_scan(
         self, nq: int, k: int, params, scan_bytes: int
     ) -> bool:
-        """Graph-vs-scan cost model (constants above). `params` is the
+        """Graph-vs-scan cost model (scan_beats_graph). `params` is the
         caller's search-params dict/key; ef drives the iteration count
         exactly as search_t derives it."""
         p = dict(params or ())
         ef = max(int(p.get("ef_s", self.ef_default)), k)
-        iters = max(ITER_MIN, int(math.ceil(ITER_FACTOR * ef / BEAM)))
-        trav_s = iters * (ITER_FIXED_S + nq * ITER_PER_QUERY_S)
-        scan_s = SCAN_FIXED_S + scan_bytes / SCAN_BYTES_PER_S
-        return scan_s < trav_s
+        return scan_beats_graph(nq, ef, scan_bytes)
 
     # ------------------------------------------------------------- search
     def search_t(

@@ -158,6 +158,14 @@ class ReplicatedNode:
                     {"op": "mutate", "uid": uid,
                      "generation": segment.mutation_generation},
                 )
+        elif op == "truncate":
+            with self._lock:
+                stale = [
+                    u for u in self._seg_map if u.split(":")[1] == tname
+                ]
+                for u in stale:
+                    self._seg_map.pop(u, None)
+            self._append(tname, {"op": "truncate"})
         elif op == "merge":
             new_uid = f"{self.node_id}:{tname}:{segment.segment_id}"
             src_uids = [
@@ -377,6 +385,14 @@ class ReplicatedNode:
                 for tdef in t._text_indexes.values():
                     tdef.on_new_segment(seg)
                 t._winners_cache = None
+            elif op == "truncate":
+                t.truncate()  # listener suppressed via _applying
+                with self._lock:
+                    for u in [
+                        u for u in self._seg_map
+                        if u.split(":")[1] == tname
+                    ]:
+                        self._seg_map.pop(u, None)
             elif op == "merge":
                 with self._lock:
                     if uid in self._seg_map:

@@ -149,12 +149,6 @@ class SQLRunner:
                 error=f"{type(e).__name__}: {e}"[:200],
             )
             raise
-        if (
-            isinstance(stmt, P.Select)
-            and getattr(stmt, "distinct", False)
-            and isinstance(out, list)
-        ):
-            out = _distinct_rows(out)
         GLOBAL_QUERY_LOG.record(
             "sql", query_text=sql[:500],
             table=getattr(stmt, "table", "") or "",
@@ -227,7 +221,7 @@ class SQLRunner:
             rows = self._select(st.select)
             if not rows:
                 return []
-            src = list(rows[0].keys())
+            src = _select_output_names(st.select, rows)
             if len(src) < len(cols):
                 raise SQLError(
                     f"INSERT SELECT provides {len(src)} columns, "
@@ -380,21 +374,52 @@ class SQLRunner:
                 if c.func != "distance" or col is None:
                     continue
                 metric = t.index_metric_for(col)
-                k = sel.limit or eff.query.default_topk
+                k = int(sel.limit or eff.query.default_topk)
+                desc = next(
+                    (d for d in t._index_descs.values() if d.column == col),
+                    None,
+                )
                 for seg in segs:
-                    idx_obj = t.loaded_index(seg.segment_id, col, metric)
+                    # peek only: EXPLAIN must not lazily load multi-GB
+                    # indexes into the cache as a side effect
+                    idx_obj = t.peek_index(seg.segment_id, col, metric)
                     tag = f"    segment {seg.segment_id}"
-                    if idx_obj is None:
-                        lines.append(f"{tag}: exact scan (no loaded index)")
-                        continue
-                    kind = idx_obj.kind.value
-                    route = (
-                        eff.query.cost_based_index_routing
-                        and idx_obj.prefer_exact_scan(
-                            1, int(k), dict(c.params or {}),
-                            int(seg.vector(col).nbytes),
+                    sbytes = int(seg.vector(col).nbytes)
+                    if idx_obj is not None:
+                        kind = idx_obj.kind.value
+                        route = (
+                            eff.query.cost_based_index_routing
+                            and idx_obj.prefer_exact_scan(
+                                1, k, dict(c.params or {}), sbytes
+                            )
                         )
-                    )
+                    elif desc is not None and (
+                        (slot := t._slots.get((seg.segment_id, desc.name)))
+                        is not None
+                        and slot.status.name in ("BUILT", "LOADED")
+                    ):
+                        # BUILT-but-unloaded: model from the descriptor
+                        kind = desc.kind.value
+                        route = False
+                        if (
+                            eff.query.cost_based_index_routing
+                            and kind.startswith("HNSW")
+                        ):
+                            from ..index import hnsw as _hnsw
+
+                            ef = max(
+                                int(
+                                    dict(c.params or {}).get(
+                                        "ef_s",
+                                        _hnsw.default_ef_search(desc.params),
+                                    )
+                                ),
+                                k,
+                            )
+                            route = _hnsw.scan_beats_graph(1, ef, sbytes)
+                    else:
+                        lines.append(f"{tag}: exact scan (no index)")
+                        continue
                     if route:
                         lines.append(
                             f"{tag}: {kind} -> exact scan (cost route)"
@@ -557,6 +582,8 @@ class SQLRunner:
                 )
         if st.order_by:
             _sort_rows(rows, st.order_by)
+        if st.distinct:
+            rows = _distinct_rows(rows)
         lo = st.offset
         hi = None if st.limit is None else st.offset + st.limit
         rows = rows[lo:hi]
@@ -566,6 +593,15 @@ class SQLRunner:
 
     # ------------------------------------------------------------- SELECT
     def _select(self, st: P.Select):
+        out = self._select_stmt(st)
+        # DISTINCT here covers every consumer (top-level, subqueries,
+        # INSERT ... SELECT); the plain paths additionally dedup BEFORE
+        # their LIMIT slice so DISTINCT x LIMIT n is n distinct rows
+        if st.distinct and isinstance(out, list):
+            out = _distinct_rows(out)
+        return out
+
+    def _select_stmt(self, st: P.Select):
         if st.table.startswith("system."):
             rows = self.db.system_table(st.table.split(".", 1)[1])
             return self._project_plain(rows, st)
@@ -963,6 +999,8 @@ class SQLRunner:
                         _eval_scalar(it.expr.node, r)
                     )
             _sort_rows(rows, st.order_by)
+        if st.distinct:
+            rows = _distinct_rows(rows)
         lo = st.offset
         hi = None if st.limit is None else st.offset + st.limit
         return self._finalize_items(st, rows[lo:hi])
@@ -1007,6 +1045,21 @@ class SQLRunner:
                 if it.alias:
                     aug.setdefault(it.alias, row[nm])
             return aug
+
+        if st.having is not None:
+            # unknown HAVING names are a statement error (ClickHouse
+            # errors on unknown identifiers) — not a silent empty result
+            want: set = set()
+            _pred_columns(st.having, want)
+            probe = {name_of(it): 0 for it in agg_items}
+            if st.group_by:
+                probe[st.group_by] = 0
+            unknown = want - set(having_view(probe).keys())
+            if unknown:
+                raise SQLError(
+                    f"HAVING references unknown name(s): {sorted(unknown)}; "
+                    "add the aggregate to the SELECT list"
+                )
 
         if not st.group_by:
             row = {name_of(it): compute(it) for it in agg_items}
@@ -1059,6 +1112,8 @@ class SQLRunner:
                     it.expr.node, r
                 )
             out.append(nr)
+        if st.distinct:
+            out = _distinct_rows(out)
         return out[: st.limit]
 
 
@@ -1150,6 +1205,42 @@ def _order_name(expr) -> Optional[str]:
     if isinstance(expr, P.ScalarExpr):
         return None
     return expr[0] if isinstance(expr, tuple) else expr
+
+
+def _select_output_names(sel: "P.Select", rows) -> List[str]:
+    """Output column names of a SELECT, in SELECT-item order (row dicts
+    do not preserve item order: _finalize_items appends expression
+    aliases at the end — INSERT ... SELECT must map positionally by the
+    STATEMENT order)."""
+    names: List[str] = []
+    for it in sel.items:
+        if it.expr == "*":
+            return list(rows[0].keys())
+        if isinstance(it.expr, str):
+            names.append(it.alias or it.expr)
+        elif isinstance(it.expr, P.ScalarExpr):
+            names.append(it.alias or _render_scalar(it.expr.node))
+        elif isinstance(it.expr, P.SearchCall):
+            names.append(it.expr.alias)
+        elif isinstance(it.expr, tuple):
+            names.append(
+                it.alias
+                or (
+                    "count()" if it.expr[0] == "count"
+                    else f"{it.expr[0]}({it.expr[1]})"
+                )
+            )
+    return names
+
+
+def _pred_columns(expr, out: set) -> None:
+    if isinstance(expr, (P.Cmp, P.InList, P.LikeExpr)):
+        out.add(expr.column)
+    elif isinstance(expr, P.FuncPred):
+        out.add(expr.column)
+    elif isinstance(expr, P.BoolOp):
+        for a in expr.args:
+            _pred_columns(a, out)
 
 
 def _distinct_rows(rows: List[Dict[str, Any]]) -> List[Dict[str, Any]]:

@@ -650,6 +650,21 @@ class Table:
                     return self._reload_index(segment_id, desc, slot)
         return None
 
+    def peek_index(
+        self, segment_id: int, column: str, metric: Metric
+    ) -> Optional[VectorIndex]:
+        """Like loaded_index but NEVER loads from disk and never touches
+        the LRU — for plan display (EXPLAIN) and other read-only
+        introspection that must not evict hot cache entries."""
+        with self._lock:
+            for desc in self._index_descs.values():
+                if desc.column != column or desc.metric != metric:
+                    continue
+                slot = self._slots.get((segment_id, desc.name))
+                if slot is not None and slot.instance is not None:
+                    return slot.instance
+        return None
+
     def _reload_index(self, segment_id: int, desc, slot) -> Optional[VectorIndex]:
         """Lazy reload from disk after restart/eviction
         (loadVectorIndexFromLocalFile analogue). Caller holds the lock."""
@@ -749,6 +764,8 @@ class Table:
         with self._lock:
             segs = list(self._segments.values())
             descs = dict(self._index_descs)
+        import shutil
+
         for seg in segs:
             segdir = os.path.join(root, f"segment_{seg.segment_id}")
             persistence.save_segment(seg, segdir)
@@ -756,6 +773,7 @@ class Table:
                 with self._lock:
                     slot = self._slots.get((seg.segment_id, name))
                     inst = slot.instance if slot else None
+                    spath = slot.path if slot else ""
                 if slot is None:
                     continue
                 if inst is not None or slot.status in (
@@ -773,6 +791,22 @@ class Table:
                             # here; a BACKUP dir must NOT capture them
                             with self._lock:
                                 slot.path = idir
+                    elif (
+                        spath
+                        and os.path.isdir(spath)
+                        and os.path.abspath(spath) != os.path.abspath(idir)
+                    ):
+                        # BUILT-but-unloaded (normal after a restart):
+                        # copy the on-disk index files — a backup missing
+                        # them would silently force a full rebuild on
+                        # restore
+                        shutil.copytree(spath, idir, dirs_exist_ok=True)
+        # remove stale segment_* dirs (TRUNCATE/merge/drop leave them in
+        # the checkpoint otherwise, and load_table would resurrect rows)
+        keep = {f"segment_{seg.segment_id}" for seg in segs}
+        for entry in os.listdir(root):
+            if entry.startswith("segment_") and entry not in keep:
+                shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
         with open(os.path.join(root, "indexes.json"), "w") as f:
             import json
 
@@ -1489,12 +1523,14 @@ class Table:
 
     def truncate(self) -> None:
         """TRUNCATE TABLE: drop every segment (schema and index
-        DEFINITIONS survive; new inserts build fresh indexes)."""
+        DEFINITIONS survive; new inserts build fresh indexes).
+        Replicated: emits a truncate op so peers converge."""
         with self._lock:
             seg_ids = list(self._segments)
         self._drop_segments(seg_ids)
         with self._lock:
             self._winners_cache = None
+        self._notify_commit("truncate")
 
     def _drop_segments(self, segment_ids: List[int]) -> None:
         """Remove segments without merging (replication: applying a peer's
