@@ -369,6 +369,18 @@ def main():
     conn_grid = {}
     srv = SearchServer(db, max_batch=256, max_delay_ms=2.0)
     try:
+        # pre-warm every coalescer bucket shape once so compiles stay out
+        # of the 4 s timing windows (a cold compile cache otherwise spends
+        # the whole 32/64-conn window compiling the batch-32..256 programs
+        # and the grid reads ~0)
+        for b in (1, 2, 4, 8, 16, 32, 64, 128, 256):
+            futs = [
+                srv.submit_search("bench_hybrid", "vec", hq[i % NQ], K)
+                for i in range(b)
+            ]
+            for f in futs:
+                f.result()
+        _progress("server buckets warmed")
         for conns in (1, 8, 32, 64):
             stop_at = time.time() + 4.0
             done = [0] * conns

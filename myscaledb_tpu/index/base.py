@@ -38,6 +38,30 @@ def params_key(params: Optional[Dict[str, Any]]) -> ParamsKey:
     return tuple(sorted((params or {}).items()))
 
 
+def split_dyn_nprobe(pkey: ParamsKey) -> Tuple[ParamsKey, Optional[int]]:
+    """Bucket the `nprobe` entry of a params key to the next power of two.
+
+    Returns (bucketed_pkey, actual_nprobe_or_None). The fused search
+    program compiles against the BUCKET (its static jit key) while the
+    actual value rides through the trace as a dynamic int32 scalar that
+    masks probes past it, so an nprobe sweep — the reference benchmark
+    sweeps nprobe over {1,8,16,32,64} (tests/vector_search/benchmark.py:24)
+    — compiles one program per pow2 bucket instead of one per value."""
+    out = []
+    actual = None
+    for name, val in pkey:
+        if name == "nprobe":
+            try:
+                actual = max(1, int(val))
+            except (TypeError, ValueError):
+                out.append((name, val))
+                continue
+            out.append((name, 1 << (actual - 1).bit_length()))
+        else:
+            out.append((name, val))
+    return tuple(out), actual
+
+
 def check_cancel(cancel_cb) -> None:
     """Raise IndexBuildCanceledError when the build's cancel callback
     fires. Builders call this at chunk boundaries — the index->build(...,

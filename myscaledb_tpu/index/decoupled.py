@@ -36,6 +36,10 @@ class DecoupledIndex(VectorIndex):
         self.dim = dim
         self.n_rows = n_rows
 
+    @property
+    def supports_dyn_nprobe(self) -> bool:
+        return any(getattr(s, "supports_dyn_nprobe", False) for s in self.subs)
+
     def search_t(
         self,
         queries: jax.Array,
@@ -43,6 +47,7 @@ class DecoupledIndex(VectorIndex):
         *,
         mask: Optional[jax.Array] = None,
         params: ParamsKey = (),
+        dyn_nprobe=None,
     ) -> Tuple[jax.Array, jax.Array]:
         vs, rs = [], []
         for sub, rmap in zip(self.subs, self.row_maps):
@@ -53,7 +58,13 @@ class DecoupledIndex(VectorIndex):
                 )
             else:
                 old_mask = alive_old
-            v, r_old = sub.search_t(queries, k, mask=old_mask, params=params)
+            kw = (
+                {"dyn_nprobe": dyn_nprobe}
+                if dyn_nprobe is not None
+                and getattr(sub, "supports_dyn_nprobe", False)
+                else {}
+            )
+            v, r_old = sub.search_t(queries, k, mask=old_mask, params=params, **kw)
             r_new = jnp.where(
                 r_old >= 0, jnp.take(rmap, jnp.maximum(r_old, 0)), -1
             )

@@ -125,6 +125,7 @@ def windows_for_probes(
     probe: jax.Array,
     n_windows: int,
     w_budget: int,
+    limit=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Probed clusters -> per-query deduplicated window lists.
 
@@ -134,7 +135,11 @@ def windows_for_probes(
     smaller wpp-based budget in the common case; truncation drops windows
     of the least-promising probes only). Deduplicated because duplicated
     windows both waste scan steps and flood running top-k merges with
-    duplicate rows."""
+    duplicate rows.
+
+    `limit` (optional dynamic int32 scalar) masks windows of probes ranked
+    at or past it — the dynamic-nprobe path: `probe` is sized to the pow2
+    bucket, `limit` is the actual requested nprobe."""
     nprobe = probe.shape[1]
     starts = jnp.take(cluster_start, probe)  # [Q, P]
     ends = jnp.take(cluster_start, probe + 1)
@@ -146,7 +151,7 @@ def windows_for_probes(
     p_idx = jnp.sum(
         (cum[:, None, :] <= j[:, :, None]).astype(jnp.int32), axis=2
     )  # [Q, W]
-    valid_w = p_idx < nprobe
+    valid_w = p_idx < (nprobe if limit is None else limit)
     p_clip = jnp.minimum(p_idx, nprobe - 1)
     prev = jnp.where(
         p_idx > 0,
@@ -503,6 +508,10 @@ class IVFIndex(VectorIndex):
         return int(max(1, min(int(p), self.n_clusters)))
 
     # ------------------------------------------------------------- search
+    # the fused executor may pass the actual nprobe as a dynamic scalar
+    # (params then carry its pow2 bucket) — see base.split_dyn_nprobe
+    supports_dyn_nprobe = True
+
     def search_t(
         self,
         queries: jax.Array,
@@ -510,10 +519,13 @@ class IVFIndex(VectorIndex):
         *,
         mask: Optional[jax.Array] = None,
         params: ParamsKey = (),
+        dyn_nprobe=None,
     ) -> Tuple[jax.Array, jax.Array]:
         if self.two_stage and getattr(self, "raw_host", None) is None:
             ncand = min(max(k * self.rerank_multiple, k), self.n_rows)
-            v, r = self._scan_stage(queries, ncand, mask=mask, params=params)
+            v, r = self._scan_stage(
+                queries, ncand, mask=mask, params=params, dyn_nprobe=dyn_nprobe
+            )
             ev = self._exact_scores(queries, r)
             kk = min(k, ev.shape[-1])
             v2, p2 = jax.lax.top_k(ev, kk)
@@ -524,7 +536,9 @@ class IVFIndex(VectorIndex):
                 v2 = jnp.pad(v2, pad, constant_values=NEG_INF)
                 r2 = jnp.pad(r2, pad, constant_values=-1)
             return v2, r2
-        return self._scan_stage(queries, k, mask=mask, params=params)
+        return self._scan_stage(
+            queries, k, mask=mask, params=params, dyn_nprobe=dyn_nprobe
+        )
 
     def _scan_stage(
         self,
@@ -533,6 +547,7 @@ class IVFIndex(VectorIndex):
         *,
         mask: Optional[jax.Array] = None,
         params: ParamsKey = (),
+        dyn_nprobe=None,
     ) -> Tuple[jax.Array, jax.Array]:
         from ..search.filters import WindowMask, as_mask_array
 
@@ -567,8 +582,11 @@ class IVFIndex(VectorIndex):
         w_budget = int(
             min(self.n_windows + nprobe, nprobe * self.wpp + 4)
         )
+        limit = None
+        if dyn_nprobe is not None:
+            limit = jnp.minimum(jnp.asarray(dyn_nprobe, jnp.int32), nprobe)
         widx, valid_w = windows_for_probes(
-            self.cluster_start, probe, self.n_windows, w_budget
+            self.cluster_start, probe, self.n_windows, w_budget, limit=limit
         )
 
         q_parts = self._q_parts(q)

@@ -46,6 +46,7 @@ OUT_LANES = 128  # output block width (lane-aligned)
 # grids past ~500 steps fall off a cliff (57 ms for the same bytes).
 MAX_X_BLOCK_BYTES = 4 << 20
 NEG = -3.4e38  # large-negative instead of -inf (NaN-safe diffs)
+CHUNK_BUDGET_BYTES = 5 << 20  # live f32 score-chunk cap inside the kernel
 TILE_SLACK = 2  # extra sub-tiles beyond k (boundary-tie head-room)
 MAX_K = 128  # above this the gather outgrows the saved traffic
 
@@ -63,31 +64,40 @@ def supports(n: int, d: int, q_pad: int, k: int) -> bool:
 
 
 def _tile_max_kernel(
-    metric, split, n_sub_per_tile, steps_per_block,
+    metric, split, n_sub_per_tile, steps_per_block, chunk,
     q_ref, x_ref, aux_ref, mask_ref, out_ref,
 ):
     j = pl.program_id(1)
     dn = (((1,), (1,)), ((), ()))
-    if split:
-        s = jax.lax.dot_general(
-            q_ref[0], x_ref[:], dimension_numbers=dn,
-            preferred_element_type=jnp.float32,
-        ) + jax.lax.dot_general(
-            q_ref[1], x_ref[:], dimension_numbers=dn,
-            preferred_element_type=jnp.float32,
-        )
-    else:
-        s = jax.lax.dot_general(
-            q_ref[:], x_ref[:], dimension_numbers=dn,
-            preferred_element_type=jnp.float32,
-        )
-    if metric == Metric.L2:
-        s = 2.0 * s - aux_ref[:]
-    elif metric == Metric.COSINE:
-        s = s * aux_ref[:]
-    s = jnp.where(mask_ref[:] != 0, s, NEG)
-    qt = s.shape[0]
-    m = jnp.max(s.reshape(qt, n_sub_per_tile, SUB), axis=2)
+    qt = q_ref.shape[1] if split else q_ref.shape[0]
+    n_tile = x_ref.shape[0]
+    # score matrix computed in `chunk`-row pieces: a full [qt, n_tile] f32
+    # buffer (8 MiB at qt=128/n_tile=16384) plus the payload double-buffer
+    # blows the 16 MiB scoped-VMEM stack; chunking bounds the live score
+    # buffer without shrinking the 4 MiB HBM streaming block
+    ms = []
+    for c in range(0, n_tile, chunk):
+        xs = x_ref[c : c + chunk, :]
+        if split:
+            s = jax.lax.dot_general(
+                q_ref[0], xs, dimension_numbers=dn,
+                preferred_element_type=jnp.float32,
+            ) + jax.lax.dot_general(
+                q_ref[1], xs, dimension_numbers=dn,
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            s = jax.lax.dot_general(
+                q_ref[:], xs, dimension_numbers=dn,
+                preferred_element_type=jnp.float32,
+            )
+        if metric == Metric.L2:
+            s = 2.0 * s - aux_ref[:, c : c + chunk]
+        elif metric == Metric.COSINE:
+            s = s * aux_ref[:, c : c + chunk]
+        s = jnp.where(mask_ref[:, c : c + chunk] != 0, s, NEG)
+        ms.append(jnp.max(s.reshape(qt, chunk // SUB, SUB), axis=2))
+    m = ms[0] if len(ms) == 1 else jnp.concatenate(ms, axis=1)
     # Mosaic cannot store a sub-width vector at a dynamic lane offset, so
     # write the FULL out block each step: tile this step's maxes across
     # all lane groups and select only this step's group (read-modify-write
@@ -131,6 +141,14 @@ def tile_maxes(
     n_sub_per_tile = n_tile // SUB
     steps_per_block = OUT_LANES // n_sub_per_tile
     assert n % (n_tile * steps_per_block) == 0, (n, n_tile, steps_per_block)
+    # live score-chunk budget: scoped VMEM is 16 MiB and the payload
+    # double-buffer takes 2 x MAX_X_BLOCK_BYTES = 8 MiB of it; the f32
+    # score chunk must fit the rest (measured: q_tile=128 x n_tile=16384
+    # = 8 MiB overflowed the stack by 420 KiB at the server's batch-256
+    # shape, q_tile=104 squeaked by)
+    chunk = n_tile
+    while chunk > SUB and q_tile * chunk * 4 > CHUNK_BUDGET_BYTES:
+        chunk //= 2
 
     split = base.dtype == jnp.bfloat16
     if split:
@@ -146,7 +164,7 @@ def tile_maxes(
             (q_tile, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM
         )
     kernel = functools.partial(
-        _tile_max_kernel, metric, split, n_sub_per_tile, steps_per_block
+        _tile_max_kernel, metric, split, n_sub_per_tile, steps_per_block, chunk
     )
     grid = (q // q_tile, n // n_tile)
     return pl.pallas_call(
