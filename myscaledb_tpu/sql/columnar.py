@@ -1,0 +1,329 @@
+"""Columnar JOIN / filter / projection engine for composite SELECTs.
+
+The row-dict algebra in runner._select_composite is the correctness
+oracle but costs O(rows) Python per operation — fine at the reference
+contract tests' sizes, unusable at millions of rows. This module runs
+the common analytic shape
+
+    SELECT cols/exprs FROM A [INNER JOIN B ON a = b] [WHERE pred]
+    [ORDER BY ...] [LIMIT n [OFFSET m]]
+
+entirely in numpy: a vectorized sort/searchsorted equality join,
+vectorized predicates and scalar expressions, stable multi-key sort.
+Row dicts are materialized only for the final (post-LIMIT) output.
+
+`run_composite` returns None whenever any element falls outside the
+vectorizable subset (LEFT JOIN null semantics, DISTINCT, text
+predicates, unknown functions, mixed-type keys, ...) — the caller then
+falls back to the row-dict path, so semantics never change; the fast
+path only widens the workable size range.
+
+Reference parity: the reference inherits ClickHouse's columnar hash
+join (src/Interpreters/HashJoin.cpp) and expression pipeline
+(src/Interpreters/ExpressionActions.cpp); this is the numpy analogue
+over host metadata columns (vector payloads stay on device and are not
+joinable columns).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from . import parser as P
+
+
+class Unsupported(Exception):
+    """Element outside the vectorizable subset; caller falls back."""
+
+
+Frame = Dict[str, np.ndarray]
+
+
+def _col(frame: Frame, name: str) -> np.ndarray:
+    v = frame.get(name)
+    if v is None:
+        v = frame.get(name.split(".")[-1])
+    if v is None:
+        raise Unsupported(name)
+    return v
+
+
+def _frame_of_source(runner, source) -> Tuple[Frame, int]:
+    kind, payload, alias = source
+    if kind == "table":
+        alias = alias or payload
+        t = runner.db.table(payload)
+        cols = t.schema.scalar_columns()
+        per_col: Dict[str, List[np.ndarray]] = {c: [] for c in cols}
+        for seg in sorted(t.live_segments(), key=lambda s: s.segment_id):
+            alive = np.nonzero(~seg.deleted_host()[: seg.n_rows])[0]
+            for c in cols:
+                per_col[c].append(np.asarray(seg.scalar(c))[alive])
+        frame: Frame = {
+            c: (np.concatenate(v) if v else np.empty(0))
+            for c, v in per_col.items()
+        }
+        n = len(next(iter(frame.values()))) if frame else 0
+    elif kind == "sub":
+        rows = runner._select(payload)
+        if not isinstance(rows, list):
+            raise Unsupported("non-row subquery")
+        if not rows:
+            return {}, 0
+        keys = list(rows[0].keys())
+        frame = {k: np.asarray([r.get(k) for r in rows]) for k in keys}
+        n = len(rows)
+    else:
+        raise Unsupported("table function source")
+    if alias:
+        for k in list(frame.keys()):
+            if "." not in k:
+                frame[f"{alias}.{k}"] = frame[k]
+    return frame, n
+
+
+def _join_inner(
+    lf: Frame, ln: int, rf: Frame, rn: int, on_left: str, on_right: str
+) -> Tuple[Frame, int]:
+    """Vectorized inner equality join; match order identical to the
+    row-dict path (left order outer, right original order inner)."""
+    lk = _col(lf, on_left)
+    rk = _col(rf, on_right)
+    if ln == 0 or rn == 0:
+        return {k: v[:0] for k, v in {**rf, **lf}.items()}, 0
+    try:
+        order = np.argsort(rk, kind="stable")
+        rs = rk[order]
+        lo = np.searchsorted(rs, lk, "left")
+        hi = np.searchsorted(rs, lk, "right")
+    except TypeError as e:  # incomparable / mixed-type keys
+        raise Unsupported(str(e))
+    cnt = hi - lo
+    total = int(cnt.sum())
+    lidx = np.repeat(np.arange(ln), cnt)
+    seq = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+    ridx = order[np.repeat(lo, cnt) + seq]
+    # dict-merge semantics of the row path ({**right, **left}): left
+    # wins bare-name collisions, alias-qualified names keep both sides
+    out: Frame = {k: v[ridx] for k, v in rf.items()}
+    out.update({k: v[lidx] for k, v in lf.items()})
+    return out, total
+
+
+_CMP = {
+    "<": np.less,
+    "<=": np.less_equal,
+    ">": np.greater,
+    ">=": np.greater_equal,
+    "==": np.equal,
+    "!=": np.not_equal,
+}
+
+
+def _eval_pred(expr, frame: Frame, n: int) -> np.ndarray:
+    if isinstance(expr, P.Cmp):
+        col = _col(frame, expr.column)
+        try:
+            with np.errstate(invalid="ignore"):
+                out = _CMP[expr.op](col, expr.value)
+        except TypeError as e:
+            raise Unsupported(str(e))
+        if out.dtype != np.bool_:
+            raise Unsupported("non-boolean comparison result")
+        return out
+    if isinstance(expr, P.InList):
+        col = _col(frame, expr.column)
+        out = np.isin(col, np.asarray(expr.values))
+        return ~out if expr.negate else out
+    if isinstance(expr, P.LikeExpr):
+        col = _col(frame, expr.column)
+        # LIKE -> anchored regex (the row path's semantics)
+        rx = re.compile(
+            "^"
+            + re.escape(expr.pattern).replace("%", ".*").replace("_", ".")
+            + "$",
+            re.DOTALL,
+        )
+        out = np.fromiter(
+            (isinstance(v, str) and rx.match(v) is not None for v in col),
+            dtype=bool,
+            count=n,
+        )
+        return ~out if expr.negate else out
+    if isinstance(expr, P.BoolOp):
+        if expr.op == "and":
+            m = _eval_pred(expr.args[0], frame, n)
+            for a in expr.args[1:]:
+                m = m & _eval_pred(a, frame, n)
+            return m
+        if expr.op == "or":
+            m = _eval_pred(expr.args[0], frame, n)
+            for a in expr.args[1:]:
+                m = m | _eval_pred(a, frame, n)
+            return m
+        return ~_eval_pred(expr.args[0], frame, n)
+    raise Unsupported(type(expr).__name__)
+
+
+_VMATH = {
+    "abs": np.abs,
+    "floor": np.floor,
+    "ceil": np.ceil,
+    "sqrt": np.sqrt,
+    "exp": np.exp,
+    "ln": np.log,
+    "log": np.log,
+}
+
+
+def _eval_scalar(node, frame: Frame, n: int):
+    tag = node[0]
+    if tag == "num":
+        return node[1]
+    if tag == "str":
+        return node[1]
+    if tag == "col":
+        return _col(frame, node[1])
+    if tag == "neg":
+        return -_eval_scalar(node[1], frame, n)
+    if tag == "bin":
+        a = _eval_scalar(node[2], frame, n)
+        b = _eval_scalar(node[3], frame, n)
+        op = node[1]
+        try:
+            if op == "+":
+                return a + b
+            if op == "-":
+                return a - b
+            if op == "*":
+                return a * b
+            if op == "/":
+                return a / b
+            return a % b
+        except TypeError as e:
+            raise Unsupported(str(e))
+    if tag == "call":
+        name = node[1]
+        args = [_eval_scalar(x, frame, n) for x in node[2]]
+        if name == "round":
+            dec = int(args[1]) if len(args) > 1 else 0
+            out = np.round(np.asarray(args[0], np.float64), dec)
+            return out if dec else out  # row path returns floats either way
+        if name in _VMATH and len(args) == 1:
+            return _VMATH[name](np.asarray(args[0], np.float64))
+        if name in ("pow", "power") and len(args) == 2:
+            return np.power(
+                np.asarray(args[0], np.float64), np.asarray(args[1], np.float64)
+            )
+        if name == "least":
+            return _reduce_minmax(args, np.minimum, n)
+        if name == "greatest":
+            return _reduce_minmax(args, np.maximum, n)
+        raise Unsupported(f"function {name}()")
+    raise Unsupported(f"scalar node {tag!r}")
+
+
+def _reduce_minmax(args, fn, n):
+    out = args[0]
+    for a in args[1:]:
+        out = fn(out, a)
+    return out
+
+
+def _sort_order(frame: Frame, order_by, n: int) -> np.ndarray:
+    """Stable multi-key argsort matching _sort_rows (successive stable
+    sorts from the last key to the first; descending keys rank-encoded
+    so ties keep their prior order exactly like list.sort(reverse=True))."""
+    order = np.arange(n)
+    for expr, d in reversed(order_by):
+        if isinstance(expr, P.ScalarExpr):
+            key = np.asarray(_eval_scalar(expr.node, frame, n))
+            if key.ndim == 0:
+                key = np.broadcast_to(key, (n,))
+        else:
+            name = expr[0] if isinstance(expr, tuple) else expr
+            key = _col(frame, name)
+        if key.dtype == object:
+            raise Unsupported("object-typed sort key")
+        if d == "desc":
+            if key.dtype.kind in "iuf":
+                key = -key.astype(np.float64)
+            else:
+                _, inv = np.unique(key, return_inverse=True)
+                key = -inv
+        try:
+            order = order[np.argsort(key[order], kind="stable")]
+        except TypeError as e:
+            raise Unsupported(str(e))
+    return order
+
+
+def run_composite(runner, st: "P.Select") -> Optional[List[Dict[str, Any]]]:
+    """Columnar execution of a composite SELECT; None = use the row path."""
+    try:
+        left_src = st.source or ("table", st.table, None)
+        frame, n = _frame_of_source(runner, left_src)
+        if st.join is not None:
+            if st.join.kind != "inner":
+                raise Unsupported("left join null semantics")
+            rf, rn = _frame_of_source(runner, st.join.right)
+            frame, n = _join_inner(
+                frame, n, rf, rn, st.join.on_left, st.join.on_right
+            )
+        if st.where is not None and n:
+            m = _eval_pred(st.where, frame, n)
+            frame = {k: v[m] for k, v in frame.items()}
+            n = int(m.sum())
+        keep: List[Tuple[str, str]] = []
+        star = False
+        computed: Frame = {}
+        for it in st.items:
+            if it.expr == "*":
+                star = True
+            elif isinstance(it.expr, str):
+                _col(frame, it.expr) if n else None
+                keep.append((it.expr, it.alias or it.expr))
+            elif isinstance(it.expr, P.ScalarExpr):
+                from .runner import _render_scalar
+
+                name = it.alias or _render_scalar(it.expr.node)
+                if n:
+                    val = np.asarray(_eval_scalar(it.expr.node, frame, n))
+                    if val.ndim == 0:
+                        val = np.broadcast_to(val, (n,)).copy()
+                    computed[name] = val
+                keep.append((name, name))
+            else:
+                raise Unsupported("search/aggregate item")
+        frame = {**frame, **computed}
+        if st.order_by and n:
+            order = _sort_order(frame, st.order_by, n)
+            frame = {k: v[order] for k, v in frame.items()}
+        if st.distinct:
+            raise Unsupported("DISTINCT")
+        lo = st.offset
+        hi = None if st.limit is None else st.offset + st.limit
+        frame = {k: v[lo:hi] for k, v in frame.items()}
+        n = len(next(iter(frame.values()))) if frame else 0
+        if star:
+            names = list(frame.keys())
+            out_cols = [(c, c) for c in names]
+        else:
+            out_cols = [(c, a) for c, a in keep]
+        lists = {}
+        for c, a in out_cols:
+            arr = frame.get(c)
+            if arr is None:
+                arr = frame.get(c.split(".")[-1])
+            if arr is None:
+                raise Unsupported(c)
+            lists[a] = arr.tolist()
+        names = [a for _, a in out_cols]
+        return [
+            dict(zip(names, vals)) for vals in zip(*(lists[a] for a in names))
+        ] if n else []
+    except Unsupported:
+        return None

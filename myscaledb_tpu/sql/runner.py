@@ -538,7 +538,17 @@ class SQLRunner:
     def _select_composite(self, st: P.Select):
         """SELECT over a subquery and/or a JOIN: materialized row-dict
         algebra (search runs INSIDE the subqueries — the reference's
-        search-in-subquery / right-joined-table shape, tests 00025/00040)."""
+        search-in-subquery / right-joined-table shape, tests 00025/00040).
+
+        A columnar fast path (sql/columnar.py — vectorized inner join,
+        numpy predicates/exprs/sort) runs first and handles the common
+        analytic shapes at millions of rows; anything outside its subset
+        falls through to this row-dict oracle."""
+        from . import columnar
+
+        fast = columnar.run_composite(self, st)
+        if fast is not None:
+            return fast
         left_src = st.source or ("table", st.table, None)
         rows = self._rows_of_source(left_src)
         if st.join is not None:
