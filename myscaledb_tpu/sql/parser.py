@@ -228,6 +228,20 @@ class SearchCall:
 
 
 @dataclasses.dataclass
+class WindowCall:
+    """Window function item: func(arg) OVER ([PARTITION BY p]
+    [ORDER BY c [ASC|DESC], ...]). Whole-partition frame only (the
+    reference inherits ClickHouse window functions,
+    src/Processors/Transforms/WindowTransform.cpp; this covers the
+    ranking + partition-aggregate forms)."""
+
+    func: str  # row_number | rank | dense_rank | count | sum | avg | min | max
+    arg: Optional[str]  # aggregated column (None for ranking funcs/count)
+    partition_by: Optional[str]
+    order_by: List[Tuple[str, str]]  # [(column, asc|desc)]
+
+
+@dataclasses.dataclass
 class FuncPred:
     """String-function predicate in WHERE: hasToken(col, 'tok') /
     multiSearchAny(col, ['a', 'b']) — fts-index-accelerated when the
@@ -982,6 +996,37 @@ class Parser:
         alias = self.expect_name() if self.accept_kw("as") else None
         return ("table", name, alias)
 
+    def _at_over(self) -> bool:
+        t = self.peek()
+        return t.kind == "name" and t.lower() == "over"
+
+    def _window_item(self, func: str, arg: Optional[str]) -> SelectItem:
+        """OVER ([PARTITION BY p] [ORDER BY c [ASC|DESC], ...]) [AS a]."""
+        self.expect_kw("over")
+        self.expect_op("(")
+        part = None
+        if self.accept_kw("partition", "by"):
+            part = self._qual_name()
+        ob: List[Tuple[str, str]] = []
+        if self.accept_kw("order", "by"):
+            while True:
+                name = self._qual_name()
+                d = "asc"
+                if self.accept_kw("desc"):
+                    d = "desc"
+                else:
+                    self.accept_kw("asc")
+                ob.append((name, d))
+                if not self.accept_op(","):
+                    break
+        self.expect_op(")")
+        if func in ("rank", "dense_rank") and not ob:
+            self.error(f"{func}() requires ORDER BY inside OVER()")
+        alias = None
+        if self.accept_kw("as"):
+            alias = self.expect_name()
+        return SelectItem(WindowCall(func, arg, part, ob), alias)
+
     def _select_body(self) -> Select:
         self.expect_kw("select")
         distinct = self.accept_kw("distinct")
@@ -1000,10 +1045,23 @@ class Parser:
                 if self.peek().kind == "op" and self.peek().value == "*":
                     self.next()
                 self.expect_op(")")
-                alias = None
-                if self.accept_kw("as"):
-                    alias = self.expect_name()
-                items.append(SelectItem(("count",), alias))
+                if self._at_over():
+                    items.append(self._window_item("count", None))
+                else:
+                    alias = None
+                    if self.accept_kw("as"):
+                        alias = self.expect_name()
+                    items.append(SelectItem(("count",), alias))
+            elif (
+                t.kind == "name"
+                and t.lower() in ("row_number", "rank", "dense_rank")
+                and self.peek(1).kind == "op"
+                and self.peek(1).value == "("
+            ):
+                fname = self.next().lower()
+                self.expect_op("(")
+                self.expect_op(")")
+                items.append(self._window_item(fname, None))
             elif (
                 t.kind == "name"
                 and t.lower() in ("sum", "avg", "min", "max")
@@ -1014,10 +1072,13 @@ class Parser:
                 self.expect_op("(")
                 acol = self.expect_name()
                 self.expect_op(")")
-                alias = None
-                if self.accept_kw("as"):
-                    alias = self.expect_name()
-                items.append(SelectItem((fname, acol), alias))
+                if self._at_over():
+                    items.append(self._window_item(fname, acol))
+                else:
+                    alias = None
+                    if self.accept_kw("as"):
+                        alias = self.expect_name()
+                    items.append(SelectItem((fname, acol), alias))
             else:
                 node = self._scalar_expr()
                 alias = None

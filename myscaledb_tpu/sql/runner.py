@@ -585,11 +585,14 @@ class SQLRunner:
                 for r in rows:
                     r[name] = _eval_scalar(it.expr.node, r)
                 keep.append((name, name))
+            elif isinstance(it.expr, P.WindowCall):
+                keep.append((it.alias or _window_name(it.expr),) * 2)
             else:
                 raise SQLError(
                     "search functions must live inside the subquery of a "
                     "JOIN/nested SELECT"
                 )
+        _apply_windows(rows, st.items)
         if st.order_by:
             _sort_rows(rows, st.order_by)
         if st.distinct:
@@ -681,6 +684,11 @@ class SQLRunner:
                 out.extend(t.schema.scalar_columns())
             elif isinstance(it.expr, tuple):
                 raise SQLError("aggregates cannot be combined with search")
+            elif isinstance(it.expr, P.WindowCall):
+                raise SQLError(
+                    "window functions cannot be combined with search; "
+                    "wrap the search in a subquery"
+                )
             elif isinstance(it.expr, P.ScalarExpr):
                 # gather every column the expression reads; the helper
                 # columns are dropped again in _finalize_items
@@ -693,7 +701,8 @@ class SQLRunner:
         """Compute ScalarExpr select items on the emitted rows and drop
         helper columns that were gathered only to feed expressions."""
         scalars = [it for it in st.items if isinstance(it.expr, P.ScalarExpr)]
-        if not scalars:
+        wins = [it for it in st.items if isinstance(it.expr, P.WindowCall)]
+        if not scalars and not wins:
             return rows
         keep: Optional[set] = set()
         for it in st.items:
@@ -704,6 +713,8 @@ class SQLRunner:
                 keep.add(it.alias or it.expr)
             elif isinstance(it.expr, P.SearchCall):
                 keep.add(it.expr.alias)
+            elif isinstance(it.expr, P.WindowCall):
+                keep.add(it.alias or _window_name(it.expr))
         out = []
         for r in rows:
             vals = {
@@ -959,6 +970,7 @@ class SQLRunner:
         rows: List[Dict[str, Any]] = []
         total = 0
         cols: List[str] = []
+        win_items = [it for it in st.items if isinstance(it.expr, P.WindowCall)]
         for it in st.items:
             if it.expr == "*":
                 cols.extend(t.schema.scalar_columns())
@@ -966,11 +978,23 @@ class SQLRunner:
                 cols.append(it.expr)
             elif isinstance(it.expr, P.ScalarExpr):
                 _scalar_cols(it.expr.node, cols)
+            elif isinstance(it.expr, P.WindowCall):
+                wc = it.expr
+                if wc.arg:
+                    cols.append(wc.arg)
+                if wc.partition_by:
+                    cols.append(wc.partition_by)
+                cols.extend(n for n, _ in wc.order_by)
         for e, _ in st.order_by or []:
             if isinstance(e, P.ScalarExpr):
                 _scalar_cols(e.node, cols)
+        cols = list(dict.fromkeys(cols))
         if st.having is not None and not agg_items:
             raise SQLError("HAVING requires aggregation")
+        if win_items and (agg_items or st.group_by):
+            raise SQLError(
+                "window functions cannot be combined with GROUP BY/aggregates"
+            )
         # aggregate mode: collect the needed columns as arrays per segment
         agg_vals: Dict[str, List[np.ndarray]] = {
             it.expr[1]: [] for it in agg_items if len(it.expr) > 1
@@ -996,6 +1020,7 @@ class SQLRunner:
                 rows.extend(dict(zip(cols, vals)) for vals in zip(*lists))
         if agg_items:
             return self._aggregate(st, agg_items, agg_vals, total)
+        _apply_windows(rows, st.items)
         if st.order_by:
             # ORDER BY may reference a scalar-expression item's alias:
             # compute the expression columns BEFORE sorting (the subquery
@@ -1232,6 +1257,8 @@ def _select_output_names(sel: "P.Select", rows) -> List[str]:
             names.append(it.alias or _render_scalar(it.expr.node))
         elif isinstance(it.expr, P.SearchCall):
             names.append(it.expr.alias)
+        elif isinstance(it.expr, P.WindowCall):
+            names.append(it.alias or _window_name(it.expr))
         elif isinstance(it.expr, tuple):
             names.append(
                 it.alias
@@ -1251,6 +1278,70 @@ def _pred_columns(expr, out: set) -> None:
     elif isinstance(expr, P.BoolOp):
         for a in expr.args:
             _pred_columns(a, out)
+
+
+def _window_name(wc: "P.WindowCall") -> str:
+    inner = wc.arg or ("*" if wc.func == "count" else "")
+    parts = []
+    if wc.partition_by:
+        parts.append(f"PARTITION BY {wc.partition_by}")
+    if wc.order_by:
+        parts.append(
+            "ORDER BY " + ", ".join(f"{n} {d}" for n, d in wc.order_by)
+        )
+    return f"{wc.func}({inner}) OVER ({' '.join(parts)})"
+
+
+def _apply_windows(rows: List[Dict[str, Any]], items) -> None:
+    """Evaluate WindowCall select items in place over the WHERE-filtered
+    row set (whole-partition frame — the pre-ORDER BY/LIMIT semantics of
+    the reference's inherited WindowTransform)."""
+    wins = [it for it in items if isinstance(it.expr, P.WindowCall)]
+    if not wins or not rows:
+        return
+    for it in wins:
+        wc = it.expr
+        name = it.alias or _window_name(wc)
+        groups: Dict[Any, List[int]] = {}
+        for i, r in enumerate(rows):
+            key = r.get(wc.partition_by) if wc.partition_by else None
+            groups.setdefault(key, []).append(i)
+        for idxs in groups.values():
+            for col, d in reversed(wc.order_by):
+                idxs.sort(key=lambda i: rows[i].get(col), reverse=(d == "desc"))
+            if wc.func == "row_number":
+                for pos, i in enumerate(idxs, 1):
+                    rows[i][name] = pos
+            elif wc.func in ("rank", "dense_rank"):
+                prev, rk, dr = object(), 0, 0
+                for pos, i in enumerate(idxs, 1):
+                    kv = tuple(rows[i].get(c) for c, _ in wc.order_by)
+                    if kv != prev:
+                        dr += 1
+                        rk = pos
+                        prev = kv
+                    rows[i][name] = rk if wc.func == "rank" else dr
+            elif wc.func == "count":
+                for i in idxs:
+                    rows[i][name] = len(idxs)
+            else:
+                vals = [
+                    rows[i].get(wc.arg)
+                    for i in idxs
+                    if rows[i].get(wc.arg) is not None
+                ]
+                if not vals:
+                    agg = None
+                elif wc.func == "sum":
+                    agg = float(np.sum(np.asarray(vals, np.float64)))
+                elif wc.func == "avg":
+                    agg = float(np.mean(np.asarray(vals, np.float64)))
+                elif wc.func == "min":
+                    agg = min(vals)
+                else:
+                    agg = max(vals)
+                for i in idxs:
+                    rows[i][name] = agg
 
 
 def _distinct_rows(rows: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
