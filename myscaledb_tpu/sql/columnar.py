@@ -128,11 +128,13 @@ def _eval_pred(expr, frame: Frame, n: int) -> np.ndarray:
         col = _col(frame, expr.column)
         try:
             with np.errstate(invalid="ignore"):
-                out = _CMP[expr.op](col, expr.value)
+                out = np.asarray(_CMP[expr.op](col, expr.value))
         except TypeError as e:
             raise Unsupported(str(e))
-        if out.dtype != np.bool_:
-            raise Unsupported("non-boolean comparison result")
+        # mismatched-type comparisons can collapse to a scalar, and object
+        # columns produce object results — both outside the fast subset
+        if out.dtype != np.bool_ or out.shape != (n,):
+            raise Unsupported("non-vectorizable comparison")
         return out
     if isinstance(expr, P.InList):
         col = _col(frame, expr.column)
@@ -246,8 +248,8 @@ def _sort_order(frame: Frame, order_by, n: int) -> np.ndarray:
         else:
             name = expr[0] if isinstance(expr, tuple) else expr
             key = _col(frame, name)
-        if key.dtype == object:
-            raise Unsupported("object-typed sort key")
+        if key.dtype == object or key.ndim != 1:
+            raise Unsupported("object-typed or non-scalar sort key")
         if d == "desc":
             if key.dtype.kind in "iuf":
                 key = -key.astype(np.float64)
