@@ -346,7 +346,7 @@ class Select:
     limit: Optional[int] = None
     offset: int = 0
     limit_by: Optional[Any] = None  # the LIMIT n BY expr column
-    group_by: Optional[str] = None  # GROUP BY key column (aggregates)
+    group_by: Optional[List[str]] = None  # GROUP BY key columns (aggregates)
     having: Any = None  # predicate over aggregate aliases
     settings: Dict[str, Any] = dataclasses.field(default_factory=dict)
     final: bool = False  # FROM t FINAL (Replacing-engine dedup)
@@ -1125,7 +1125,10 @@ class Parser:
         if self.accept_kw("where"):
             sel.where = self.where_expr()
         if self.accept_kw("group", "by"):
-            sel.group_by = self.expect_name()
+            gb = [self._qual_name()]
+            while self.accept_op(","):
+                gb.append(self._qual_name())
+            sel.group_by = gb
         if self.accept_kw("having"):
             sel.having = self.where_expr()
         if self.accept_kw("order", "by"):

@@ -431,7 +431,7 @@ class SQLRunner:
         if sel.where is not None:
             lines.append(f"Prefilter {sel.where}")
         if sel.group_by:
-            lines.append(f"Aggregate GROUP BY {sel.group_by}")
+            lines.append(f"Aggregate GROUP BY {', '.join(sel.group_by)}")
         if sel.order_by:
             lines.append(f"Sort ({len(sel.order_by)} keys)")
         if sel.limit is not None:
@@ -1000,7 +1000,8 @@ class SQLRunner:
             it.expr[1]: [] for it in agg_items if len(it.expr) > 1
         }
         if st.group_by:
-            agg_vals.setdefault(st.group_by, [])
+            for g in st.group_by:
+                agg_vals.setdefault(g, [])
         survivors = t._final_survivor_bitmaps() if st.final else None
         for seg in sorted(t.live_segments(), key=lambda s: s.segment_id):
             alive = ~seg.deleted_host()[: seg.n_rows]
@@ -1087,8 +1088,8 @@ class SQLRunner:
             want: set = set()
             _pred_columns(st.having, want)
             probe = {name_of(it): 0 for it in agg_items}
-            if st.group_by:
-                probe[st.group_by] = 0
+            for g in st.group_by or []:
+                probe[g] = 0
             unknown = want - set(having_view(probe).keys())
             if unknown:
                 raise SQLError(
@@ -1103,18 +1104,23 @@ class SQLRunner:
             ):
                 return []
             return [row]
-        keys = (
-            np.concatenate(agg_vals[st.group_by])
-            if agg_vals[st.group_by]
-            else np.zeros(0)
-        )
+        key_cols = [
+            np.concatenate(agg_vals[g]) if agg_vals[g] else np.zeros(0)
+            for g in st.group_by
+        ]
         out_rows = []
-        for kv in np.unique(keys) if len(keys) else []:
-            sel = keys == kv
-            row = {st.group_by: _pyval(kv)}
-            for it in agg_items:
-                row[name_of(it)] = compute(it, sel, n=int(sel.sum()))
-            out_rows.append(row)
+        if len(key_cols[0]):
+            # multi-key groups enumerated in sorted tuple order (the
+            # single-key np.unique order, generalized)
+            combos = sorted(set(zip(*[kc.tolist() for kc in key_cols])))
+            for kv in combos:
+                sel = np.ones(len(key_cols[0]), bool)
+                for kc, v in zip(key_cols, kv):
+                    sel &= kc == v
+                row = {g: _pyval(v) for g, v in zip(st.group_by, kv)}
+                for it in agg_items:
+                    row[name_of(it)] = compute(it, sel, n=int(sel.sum()))
+                out_rows.append(row)
         if st.having is not None:
             out_rows = [
                 r for r in out_rows if _eval_plain(st.having, having_view(r))

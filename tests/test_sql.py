@@ -265,3 +265,31 @@ def test_settings_override_coercion():
         st.override({"no_such": 1})
     with pytest.raises(ValueError):
         st.override({"use_approx_topk": "yes"})  # ambiguous bool string
+
+
+def test_sql_group_by_multiple_keys(db):
+    db.sql(
+        "CREATE TABLE mk (id UInt64, a UInt64, b UInt64, price Float32, "
+        "vec Array(Float32), CONSTRAINT c CHECK length(vec)=4) "
+        "ENGINE=MergeTree"
+    )
+    for i in range(12):
+        db.sql(
+            f"INSERT INTO mk VALUES ({i}, {i % 2}, {i % 3}, {float(i)}, "
+            "[0.0, 0.0, 0.0, 0.0])"
+        )
+    r = db.sql(
+        "SELECT a, b, count(*) AS n, sum(price) AS s FROM mk "
+        "GROUP BY a, b ORDER BY a ASC, b ASC"
+    )
+    # 2x3 key grid, 2 rows each; verify one group exactly: a=0,b=0 ->
+    # ids 0 and 6 -> sum 6.0
+    assert len(r) == 6
+    assert r[0] == {"a": 0, "b": 0, "n": 2, "s": 6.0}
+    assert all(row["n"] == 2 for row in r)
+    # HAVING over a multi-key grouping
+    r = db.sql(
+        "SELECT a, b, sum(price) AS s FROM mk GROUP BY a, b "
+        "HAVING s > 12 ORDER BY s DESC"
+    )
+    assert all(row["s"] > 12 for row in r) and len(r) == 2
