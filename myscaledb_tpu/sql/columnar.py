@@ -5,16 +5,17 @@ oracle but costs O(rows) Python per operation — fine at the reference
 contract tests' sizes, unusable at millions of rows. This module runs
 the common analytic shape
 
-    SELECT cols/exprs FROM A [INNER JOIN B ON a = b] [WHERE pred]
-    [ORDER BY ...] [LIMIT n [OFFSET m]]
+    SELECT [DISTINCT] cols/exprs FROM A [INNER|LEFT JOIN B ON a = b]
+    [WHERE pred] [ORDER BY ...] [LIMIT n [OFFSET m]]
 
-entirely in numpy: a vectorized sort/searchsorted equality join,
-vectorized predicates and scalar expressions, stable multi-key sort.
+entirely in numpy: a vectorized sort/searchsorted equality join (LEFT
+JOIN fills unmatched right columns with None), vectorized predicates
+and scalar expressions, stable multi-key sort, unique-code DISTINCT.
 Row dicts are materialized only for the final (post-LIMIT) output.
 
 `run_composite` returns None whenever any element falls outside the
-vectorizable subset (LEFT JOIN null semantics, DISTINCT, text
-predicates, unknown functions, mixed-type keys, ...) — the caller then
+vectorizable subset (text predicates on None-bearing columns,
+unknown functions, mixed-type keys, ...) — the caller then
 falls back to the row-dict path, so semantics never change; the fast
 path only widens the workable size range.
 
@@ -85,15 +86,30 @@ def _frame_of_source(runner, source) -> Tuple[Frame, int]:
     return frame, n
 
 
-def _join_inner(
-    lf: Frame, ln: int, rf: Frame, rn: int, on_left: str, on_right: str
+def _join(
+    lf: Frame,
+    ln: int,
+    rf: Frame,
+    rn: int,
+    on_left: str,
+    on_right: str,
+    kind: str,
 ) -> Tuple[Frame, int]:
-    """Vectorized inner equality join; match order identical to the
-    row-dict path (left order outer, right original order inner)."""
+    """Vectorized equality join (inner or left); match order identical
+    to the row-dict path (left order outer, right original order inner;
+    an unmatched LEFT JOIN row sits at its left-row position with None
+    in every right-side column — the row oracle leaves those keys
+    absent, which projects to the same None)."""
     lk = _col(lf, on_left)
     rk = _col(rf, on_right)
-    if ln == 0 or rn == 0:
+    if ln == 0 or (rn == 0 and kind == "inner"):
         return {k: v[:0] for k, v in {**rf, **lf}.items()}, 0
+    if rn == 0:  # LEFT JOIN against an empty right side
+        out: Frame = {
+            k: np.full(ln, None, dtype=object) for k in rf
+        }
+        out.update(lf)
+        return out, ln
     try:
         order = np.argsort(rk, kind="stable")
         rs = rk[order]
@@ -102,15 +118,45 @@ def _join_inner(
     except TypeError as e:  # incomparable / mixed-type keys
         raise Unsupported(str(e))
     cnt = hi - lo
-    total = int(cnt.sum())
-    lidx = np.repeat(np.arange(ln), cnt)
-    seq = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
-    ridx = order[np.repeat(lo, cnt) + seq]
+    out_cnt = np.maximum(cnt, 1) if kind == "left" else cnt
+    total = int(out_cnt.sum())
+    lidx = np.repeat(np.arange(ln), out_cnt)
+    seq = np.arange(total) - np.repeat(np.cumsum(out_cnt) - out_cnt, out_cnt)
+    matched = seq < np.repeat(cnt, out_cnt)
+    ridx = order[np.where(matched, np.repeat(lo, out_cnt) + seq, 0)]
     # dict-merge semantics of the row path ({**right, **left}): left
     # wins bare-name collisions, alias-qualified names keep both sides
-    out: Frame = {k: v[ridx] for k, v in rf.items()}
+    has_unmatched = not bool(matched.all())
+    out = {}
+    for k, v in rf.items():
+        col = v[ridx]
+        if has_unmatched:
+            col = col.astype(object)
+            col[~matched] = None
+        out[k] = col
     out.update({k: v[lidx] for k, v in lf.items()})
     return out, total
+
+
+def _distinct(frame: Frame, n: int) -> Tuple[Frame, int]:
+    """Order-preserving vectorized row dedup over ALL frame columns
+    (the row oracle dedups full row dicts before the LIMIT slice)."""
+    codes = []
+    for v in frame.values():
+        if v.dtype.kind == "f" and np.isnan(v).any():
+            # the row oracle's tuple-key dedup treats distinct NaN
+            # objects as unequal; stay out of that corner
+            raise Unsupported("NaN in DISTINCT key")
+        try:
+            _, inv = np.unique(v, return_inverse=True)
+        except TypeError as e:
+            raise Unsupported(str(e))
+        codes.append(inv.astype(np.int64))
+    if not codes:
+        return frame, n
+    _, first = np.unique(np.stack(codes, axis=1), axis=0, return_index=True)
+    keep = np.sort(first)
+    return {k: v[keep] for k, v in frame.items()}, len(keep)
 
 
 _CMP = {
@@ -269,11 +315,10 @@ def run_composite(runner, st: "P.Select") -> Optional[List[Dict[str, Any]]]:
         left_src = st.source or ("table", st.table, None)
         frame, n = _frame_of_source(runner, left_src)
         if st.join is not None:
-            if st.join.kind != "inner":
-                raise Unsupported("left join null semantics")
             rf, rn = _frame_of_source(runner, st.join.right)
-            frame, n = _join_inner(
-                frame, n, rf, rn, st.join.on_left, st.join.on_right
+            frame, n = _join(
+                frame, n, rf, rn,
+                st.join.on_left, st.join.on_right, st.join.kind,
             )
         if st.where is not None and n:
             m = _eval_pred(st.where, frame, n)
@@ -304,8 +349,8 @@ def run_composite(runner, st: "P.Select") -> Optional[List[Dict[str, Any]]]:
         if st.order_by and n:
             order = _sort_order(frame, st.order_by, n)
             frame = {k: v[order] for k, v in frame.items()}
-        if st.distinct:
-            raise Unsupported("DISTINCT")
+        if st.distinct and n:
+            frame, n = _distinct(frame, n)
         lo = st.offset
         hi = None if st.limit is None else st.offset + st.limit
         frame = {k: v[lo:hi] for k, v in frame.items()}

@@ -45,6 +45,13 @@ QUERIES = [
     "WHERE id < 100 ORDER BY s LIMIT 10 OFFSET 3",
     "SELECT id FROM l WHERE grp IN (1, 2, 3) ORDER BY id DESC LIMIT 12",
     "SELECT id, abs(x) AS ax FROM l ORDER BY ax DESC LIMIT 7",
+    # LEFT JOIN: grp 40..49 rows have no right match -> w is None
+    "SELECT id, w FROM l LEFT JOIN r ON l.grp = r.grp ORDER BY id LIMIT 30",
+    "SELECT id, grp, w FROM l LEFT JOIN r ON grp = grp "
+    "WHERE grp IN (38, 39, 40, 41) ORDER BY id LIMIT 25",
+    "SELECT DISTINCT grp FROM l ORDER BY grp LIMIT 60",
+    "SELECT DISTINCT grp, w FROM l JOIN r ON l.grp = r.grp "
+    "ORDER BY grp DESC LIMIT 15",
 ]
 
 
@@ -83,14 +90,37 @@ def test_columnar_used_for_joins(two_tables, monkeypatch):
     assert called["hit"]
 
 
-def test_left_join_falls_back(two_tables):
-    """LEFT JOIN null semantics stay on the row-dict oracle."""
+def test_left_join_and_distinct_on_columnar(two_tables, monkeypatch):
+    """LEFT JOIN null fill and DISTINCT run on the columnar engine (not
+    a silent fallback), and unmatched rows carry None."""
     db = two_tables
+    called = {}
+    orig = columnar.run_composite
+
+    def spy(runner, st):
+        out = orig(runner, st)
+        called["hit"] = out is not None
+        return out
+
+    monkeypatch.setattr(columnar, "run_composite", spy)
     rows = db.sql(
-        "SELECT id, w FROM l LEFT JOIN r ON l.grp = r.grp "
-        "WHERE id < 5 ORDER BY id LIMIT 5"
+        "SELECT id, grp, w FROM l LEFT JOIN r ON l.grp = r.grp "
+        "ORDER BY id LIMIT 500"
     )
-    assert len(rows) == 5  # every left row appears (grp 40..49 unmatched)
+    assert called["hit"]
+    assert len(rows) == 500  # every left row appears
+    assert all(
+        (r["w"] is None) == (r["grp"] >= 40) for r in rows
+    )  # right table has grp 0..39 only
+    called.clear()
+    # plain-table DISTINCT never enters the composite path; a joined
+    # DISTINCT exercises the columnar unique-code dedup
+    rows = db.sql(
+        "SELECT DISTINCT grp FROM l JOIN r ON l.grp = r.grp ORDER BY grp"
+    )
+    assert called["hit"]
+    vals = [r["grp"] for r in rows]
+    assert vals == sorted(set(vals)) and len(vals) == 40
 
 
 def test_million_row_join_bounded(db, rng):
