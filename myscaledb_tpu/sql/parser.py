@@ -219,6 +219,11 @@ class ScalarExpr:
     node: Any
 
 
+# one-column aggregate functions (count() is parsed separately); all
+# lowercase — the tokenizer lowercases names, so uniqExact == uniqexact
+AGG_FUNCS = {"sum", "avg", "min", "max", "uniq", "uniqexact", "any"}
+
+
 @dataclasses.dataclass
 class SearchCall:
     func: str  # distance | batch_distance | textsearch | hybridsearch
@@ -763,7 +768,7 @@ class Parser:
             self.next()
             col = f"{col}.{self.expect_name()}"
         if (
-            col.lower() in ("count", "sum", "avg", "min", "max")
+            (col.lower() == "count" or col.lower() in AGG_FUNCS)
             and self.peek().kind == "op"
             and self.peek().value == "("
         ):
@@ -1064,7 +1069,7 @@ class Parser:
                 items.append(self._window_item(fname, None))
             elif (
                 t.kind == "name"
-                and t.lower() in ("sum", "avg", "min", "max")
+                and t.lower() in AGG_FUNCS
                 and self.peek(1).kind == "op"
                 and self.peek(1).value == "("
             ):
@@ -1073,6 +1078,8 @@ class Parser:
                 acol = self.expect_name()
                 self.expect_op(")")
                 if self._at_over():
+                    if fname not in ("sum", "avg", "min", "max"):
+                        self.error(f"{fname}() is not a window function")
                     items.append(self._window_item(fname, acol))
                 else:
                     alias = None

@@ -1059,6 +1059,10 @@ class SQLRunner:
             v = v[sel]
             if len(v) == 0:
                 return None
+            if fn in ("uniq", "uniqexact"):
+                return int(len(np.unique(v)))
+            if fn == "any":
+                return _pyval(v[0])
             out = {"sum": np.sum, "avg": np.mean, "min": np.min, "max": np.max}[
                 fn
             ](v.astype(np.float64))
@@ -1110,17 +1114,22 @@ class SQLRunner:
         ]
         out_rows = []
         if len(key_cols[0]):
-            # multi-key groups enumerated in sorted tuple order (the
-            # single-key np.unique order, generalized)
-            combos = sorted(set(zip(*[kc.tolist() for kc in key_cols])))
-            for kv in combos:
-                sel = np.ones(len(key_cols[0]), bool)
-                for kc, v in zip(key_cols, kv):
-                    sel &= kc == v
-                row = {g: _pyval(v) for g, v in zip(st.group_by, kv)}
-                for it in agg_items:
-                    row[name_of(it)] = compute(it, sel, n=int(sel.sum()))
-                out_rows.append(row)
+            out_rows = self._grouped_fast(
+                st, agg_items, agg_vals, key_cols, name_of
+            )
+            if out_rows is None:
+                # mixed-type / non-unique-able keys: tuple-loop oracle
+                # in the same sorted tuple order
+                out_rows = []
+                combos = sorted(set(zip(*[kc.tolist() for kc in key_cols])))
+                for kv in combos:
+                    sel = np.ones(len(key_cols[0]), bool)
+                    for kc, v in zip(key_cols, kv):
+                        sel &= kc == v
+                    row = {g: _pyval(v) for g, v in zip(st.group_by, kv)}
+                    for it in agg_items:
+                        row[name_of(it)] = compute(it, sel, n=int(sel.sum()))
+                    out_rows.append(row)
         if st.having is not None:
             out_rows = [
                 r for r in out_rows if _eval_plain(st.having, having_view(r))
@@ -1129,6 +1138,83 @@ class SQLRunner:
             _sort_rows(out_rows, st.order_by)
         hi = None if st.limit is None else st.offset + st.limit
         return out_rows[st.offset : hi]
+
+    @staticmethod
+    def _grouped_fast(st, agg_items, agg_vals, key_cols, name_of):
+        """Vectorized GROUP BY: unique-code group ids + bincount /
+        ufunc.at reductions — O(n log n) instead of the tuple loop's
+        O(groups x n). Returns None when a column defeats np.unique
+        (mixed types), which sends the caller to the tuple-loop oracle.
+        Group order and output value types match the oracle exactly."""
+        n = len(key_cols[0])
+        try:
+            uniqs, invs = [], []
+            for kc in key_cols:
+                u, inv = np.unique(kc, return_inverse=True)
+                uniqs.append(u)
+                invs.append(inv.astype(np.int64))
+        except TypeError:
+            return None
+        gid = invs[0]
+        for u, inv in zip(uniqs[1:], invs[1:]):
+            gid = gid * len(u) + inv
+        codes, gidx = np.unique(gid, return_inverse=True)
+        G = len(codes)
+        counts = np.bincount(gidx, minlength=G)
+        # decode the mixed-radix code back into per-key group values;
+        # ascending code order == the oracle's sorted-tuple order
+        key_vals = []
+        rem = codes.copy()
+        for u in reversed(uniqs):
+            key_vals.append(u[rem % len(u)])
+            rem //= len(u)
+        key_vals.reverse()
+        cols_out: Dict[str, Any] = dict(zip(st.group_by, key_vals))
+        kinds: Dict[str, str] = {g: "key" for g in st.group_by}
+        for it in agg_items:
+            nm = name_of(it)
+            if it.expr[0] == "count":
+                cols_out[nm], kinds[nm] = counts, "int"
+                continue
+            fn, c = it.expr
+            v = np.concatenate(agg_vals[c])
+            try:
+                if fn in ("sum", "avg"):
+                    s = np.bincount(
+                        gidx, weights=v.astype(np.float64), minlength=G
+                    )
+                    cols_out[nm] = s if fn == "sum" else s / counts
+                    kinds[nm] = "float"
+                elif fn in ("min", "max"):
+                    out = np.full(G, np.inf if fn == "min" else -np.inf)
+                    getattr(np, "minimum" if fn == "min" else "maximum").at(
+                        out, gidx, v.astype(np.float64)
+                    )
+                    cols_out[nm], kinds[nm] = out, "key"
+                elif fn in ("uniq", "uniqexact"):
+                    vu, vinv = np.unique(v, return_inverse=True)
+                    pairs = np.unique(gidx * np.int64(len(vu)) + vinv)
+                    cols_out[nm] = np.bincount(
+                        (pairs // len(vu)).astype(np.int64), minlength=G
+                    )
+                    kinds[nm] = "int"
+                elif fn == "any":
+                    firsts = np.full(G, n, np.int64)
+                    np.minimum.at(firsts, gidx, np.arange(n, dtype=np.int64))
+                    cols_out[nm], kinds[nm] = v[firsts], "key"
+                else:
+                    return None
+            except (TypeError, ValueError):
+                return None
+        names = list(cols_out)
+
+        def cast(nm, x):
+            k = kinds[nm]
+            return int(x) if k == "int" else float(x) if k == "float" else _pyval(x)
+
+        return [
+            {nm: cast(nm, cols_out[nm][i]) for nm in names} for i in range(G)
+        ]
 
     def _project_plain(self, rows: List[Dict[str, Any]], st: P.Select):
         filt = st.where

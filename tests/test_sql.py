@@ -293,3 +293,76 @@ def test_sql_group_by_multiple_keys(db):
         "HAVING s > 12 ORDER BY s DESC"
     )
     assert all(row["s"] > 12 for row in r) and len(r) == 2
+
+
+def test_sql_uniq_any_aggregates(db):
+    db.sql(
+        "CREATE TABLE ua (id UInt64, g UInt64, v UInt64, vec Array(Float32), "
+        "CONSTRAINT c CHECK length(vec)=4) ENGINE=MergeTree"
+    )
+    for i in range(20):
+        db.sql(
+            f"INSERT INTO ua VALUES ({i}, {i % 2}, {i % 5}, [0.0,0.0,0.0,0.0])"
+        )
+    r = db.sql("SELECT uniq(v) AS u, uniqExact(v) AS ue, any(v) AS a FROM ua")
+    assert r == [{"u": 5, "ue": 5, "a": 0}]
+    r = db.sql(
+        "SELECT g, uniq(v) AS u, any(id) AS first_id FROM ua "
+        "GROUP BY g ORDER BY g"
+    )
+    # g=0 rows are even ids: v in {0,2,4,1,3} -> 5 distinct; first id 0
+    assert r == [
+        {"g": 0, "u": 5, "first_id": 0},
+        {"g": 1, "u": 5, "first_id": 1},
+    ]
+    # HAVING over an inline-spelled uniq
+    r = db.sql("SELECT g, uniq(v) AS u FROM ua GROUP BY g HAVING u >= 5")
+    assert len(r) == 2
+    # uniq OVER (...) is not a window function
+    import pytest
+    from myscaledb_tpu.errors import SQLError
+    with pytest.raises(SQLError):
+        db.sql("SELECT uniq(v) OVER (PARTITION BY g) FROM ua")
+
+
+def test_sql_grouped_fast_matches_oracle(db, rng):
+    """The vectorized GROUP BY path returns exactly what the tuple-loop
+    oracle returns on randomized multi-key input."""
+    import numpy as np
+    import myscaledb_tpu as ms
+    from myscaledb_tpu.sql import runner as R
+
+    t = db.create_table(
+        "gf",
+        ms.Schema({
+            "id": ms.UInt64(), "a": ms.UInt64(), "b": ms.UInt64(),
+            "x": ms.Float32(),
+        }),
+    )
+    n = 5000
+    t.insert({
+        "id": np.arange(n, dtype=np.uint64),
+        "a": rng.integers(0, 7, n).astype(np.uint64),
+        "b": rng.integers(0, 11, n).astype(np.uint64),
+        "x": rng.standard_normal(n).astype(np.float32),
+    })
+    q = (
+        "SELECT a, b, count(*) AS n, sum(x) AS s, min(x) AS lo, "
+        "max(x) AS hi, avg(x) AS m, uniq(b) AS u, any(id) AS f "
+        "FROM gf GROUP BY a, b ORDER BY a, b"
+    )
+    fast = db.sql(q)
+    orig = R.SQLRunner._grouped_fast
+    R.SQLRunner._grouped_fast = staticmethod(lambda *a, **k: None)
+    try:
+        slow = db.sql(q)
+    finally:
+        R.SQLRunner._grouped_fast = orig
+    assert len(fast) == len(slow) == 77
+    for rf, rs in zip(fast, slow):
+        assert rf.keys() == rs.keys()
+        for k in rf:
+            if isinstance(rf[k], float):
+                assert abs(rf[k] - rs[k]) < 1e-9, (k, rf, rs)
+            else:
+                assert rf[k] == rs[k], (k, rf, rs)
