@@ -352,7 +352,9 @@ def test_sql_grouped_fast_matches_oracle(db, rng):
         "FROM gf GROUP BY a, b ORDER BY a, b"
     )
     fast = db.sql(q)
-    orig = R.SQLRunner._grouped_fast
+    # Class-attribute access unwraps staticmethod to a plain function; restore
+    # the original descriptor from __dict__ or it rebinds as an instance method.
+    orig = R.SQLRunner.__dict__["_grouped_fast"]
     R.SQLRunner._grouped_fast = staticmethod(lambda *a, **k: None)
     try:
         slow = db.sql(q)
