@@ -281,6 +281,296 @@ def _reduce_minmax(args, fn, n):
     return out
 
 
+def _codes_of(col: np.ndarray) -> np.ndarray:
+    """Dense int codes of a column (np.unique inverse); Unsupported on
+    mixed/object keys."""
+    if col.dtype == object:
+        raise Unsupported("object-typed key")
+    try:
+        _, inv = np.unique(col, return_inverse=True)
+    except TypeError as e:
+        raise Unsupported(str(e))
+    return inv.astype(np.int64)
+
+
+def _win_sort(frame: Frame, wc, part: np.ndarray, n: int) -> np.ndarray:
+    """Sorted order for one window spec: stable by ORDER BY keys, then
+    stably grouped by partition (same tie behavior as the row oracle's
+    successive stable sorts)."""
+    order = np.arange(n)
+    for colname, d in reversed(wc.order_by):
+        key = _col(frame, colname)
+        if key.dtype == object or key.ndim != 1:
+            raise Unsupported("object-typed or non-scalar window sort key")
+        if d == "desc":
+            if key.dtype.kind in "iuf":
+                key = -key.astype(np.float64)
+            else:
+                _, inv = np.unique(key, return_inverse=True)
+                key = -inv
+        try:
+            order = order[np.argsort(key[order], kind="stable")]
+        except TypeError as e:
+            raise Unsupported(str(e))
+    return order[np.argsort(part[order], kind="stable")]
+
+
+def _apply_window_items(runner, frame: Frame, n: int, win_items) -> Frame:
+    """Vectorized window functions over the (joined, filtered) frame —
+    the columnar counterpart of runner._apply_windows (the row oracle):
+    per-partition segmentation via sorted codes, reduceat partition
+    aggregates, prefix-sum ROWS frames, shifted lag/lead. O(n log n)
+    instead of the oracle's per-partition Python sorts (reference:
+    src/Processors/Transforms/WindowTransform.cpp)."""
+    from .runner import _window_name
+
+    out: Frame = {}
+    for it in win_items:
+        wc = it.expr
+        name = it.alias or _window_name(wc)
+        if n == 0:
+            out[name] = np.empty(0)
+            continue
+        part = (
+            _codes_of(_col(frame, wc.partition_by))
+            if wc.partition_by
+            else np.zeros(n, np.int64)
+        )
+        order = _win_sort(frame, wc, part, n)
+        ps = part[order]
+        chg_p = np.r_[True, ps[1:] != ps[:-1]]
+        starts = np.nonzero(chg_p)[0]
+        sizes = np.diff(np.r_[starts, n])
+        start_of = np.repeat(starts, sizes)
+        size_of = np.repeat(sizes, sizes)
+        pos = np.arange(n) - start_of
+        vals = None
+        if wc.arg is not None:
+            vals = _col(frame, wc.arg)
+            if vals.dtype == object:
+                raise Unsupported("object-typed window argument")
+            vals = vals[order]
+
+        if wc.func == "row_number":
+            res = pos + 1
+        elif wc.func in ("rank", "dense_rank"):
+            chg = chg_p.copy()
+            for colname, _d in wc.order_by:
+                kv = _col(frame, colname)[order]
+                chg |= np.r_[True, kv[1:] != kv[:-1]]
+            if wc.func == "rank":
+                grp_start = np.maximum.accumulate(
+                    np.where(chg, np.arange(n), -1)
+                )
+                res = grp_start - start_of + 1
+            else:
+                cs = np.cumsum(chg)
+                res = cs - cs[start_of] + 1
+        elif wc.func in ("lag", "lead"):
+            j = pos + (-wc.offset if wc.func == "lag" else wc.offset)
+            valid = (j >= 0) & (j < size_of)
+            src = np.clip(start_of + j, 0, n - 1)
+            if wc.default is None:
+                res = vals[src].astype(object)
+                res[~valid] = None
+            else:
+                res = np.where(valid, vals[src], wc.default)
+        elif wc.frame is not None:
+            lo, hi = wc.frame
+            a_rel = (
+                np.zeros(n, np.int64) if lo is None
+                else np.maximum(pos + lo, 0)
+            )
+            b_rel = (
+                size_of - 1 if hi is None
+                else np.minimum(pos + hi, size_of - 1)
+            )
+            cnt = np.maximum(b_rel - a_rel + 1, 0)
+            if wc.func == "count":
+                res = cnt
+            elif wc.func in ("sum", "avg"):
+                if np.any(cnt == 0):
+                    # empty frames yield None (oracle) — rare corner,
+                    # keep the fast path simple
+                    raise Unsupported("empty ROWS frame")
+                prefix = np.cumsum(vals.astype(np.float64))
+                a_g = start_of + a_rel
+                b_g = start_of + b_rel
+                s = prefix[b_g] - np.where(a_g > 0, prefix[a_g - 1], 0.0)
+                res = s if wc.func == "sum" else s / cnt
+            else:
+                # min/max over a sliding frame: no O(n) vectorized form
+                # without a monotonic-deque pass — row oracle handles it
+                raise Unsupported("min/max over ROWS frame")
+        elif wc.func == "count":
+            res = size_of
+        else:  # whole-partition sum/avg/min/max
+            v64 = vals.astype(np.float64)
+            if wc.func == "sum":
+                res = np.repeat(np.add.reduceat(v64, starts), sizes)
+            elif wc.func == "avg":
+                res = np.repeat(np.add.reduceat(v64, starts) / sizes, sizes)
+            elif wc.func == "min":
+                res = np.repeat(np.minimum.reduceat(v64, starts), sizes)
+            else:
+                res = np.repeat(np.maximum.reduceat(v64, starts), sizes)
+
+        inv = np.empty(n, np.int64)
+        inv[order] = np.arange(n)
+        out[name] = res[inv]
+    return out
+
+
+def _agg_name(it) -> str:
+    if it.expr[0] == "count":
+        return it.alias or "count()"
+    return it.alias or f"{it.expr[0]}({it.expr[1]})"
+
+
+def _group_frame(
+    runner, st, frame: Frame, n: int, agg_items
+) -> List[Dict[str, Any]]:
+    """Vectorized GROUP BY over the (joined, filtered) frame: the
+    unique-code / bincount / ufunc.at machinery of
+    runner.SQLRunner._grouped_fast lifted onto columnar frames, so
+    GROUP-BY-over-JOIN runs at millions of rows (round-3 verdict #6).
+    Output rows, HAVING names, group order (sorted key tuples) and value
+    types match the row-path aggregate exactly."""
+    from .runner import _eval_plain, _pyval, _sort_rows
+
+    group_by = st.group_by or []
+    for it in agg_items:
+        if it.expr[0] not in (
+            "count", "sum", "avg", "min", "max", "uniq", "uniqexact", "any"
+        ):
+            raise Unsupported(f"aggregate {it.expr[0]}")
+
+    def having_rows(rows):
+        if st.having is None:
+            return rows
+        out = []
+        for r in rows:
+            aug = dict(r)
+            for it in agg_items:
+                nm = _agg_name(it)
+                if nm not in r:
+                    continue
+                inline = (
+                    "count()" if it.expr[0] == "count"
+                    else f"{it.expr[0]}({it.expr[1]})"
+                )
+                aug.setdefault(inline, r[nm])
+                if it.alias:
+                    aug.setdefault(it.alias, r[nm])
+            if _eval_plain(st.having, aug):
+                out.append(r)
+        return out
+
+    if not group_by:
+        row = {}
+        for it in agg_items:
+            fn = it.expr[0]
+            if fn == "count":
+                row[_agg_name(it)] = int(n)
+                continue
+            v = _col(frame, it.expr[1])
+            if v.dtype == object:
+                raise Unsupported("object-typed aggregate argument")
+            if n == 0:
+                row[_agg_name(it)] = None
+            elif fn in ("uniq", "uniqexact"):
+                row[_agg_name(it)] = int(len(np.unique(v)))
+            elif fn == "any":
+                row[_agg_name(it)] = _pyval(v[0])
+            else:
+                out = {
+                    "sum": np.sum, "avg": np.mean,
+                    "min": np.min, "max": np.max,
+                }[fn](v.astype(np.float64))
+                row[_agg_name(it)] = (
+                    _pyval(out) if fn in ("min", "max") else float(out)
+                )
+        rows = having_rows([row])
+        return rows
+
+    key_arrays = [_col(frame, g) for g in group_by]
+    if n == 0:
+        return []
+    uniqs, invs = [], []
+    for kc in key_arrays:
+        if kc.dtype == object:
+            raise Unsupported("object-typed group key")
+        try:
+            u, inv = np.unique(kc, return_inverse=True)
+        except TypeError as e:
+            raise Unsupported(str(e))
+        uniqs.append(u)
+        invs.append(inv.astype(np.int64))
+    gid = invs[0]
+    for u, inv in zip(uniqs[1:], invs[1:]):
+        gid = gid * len(u) + inv
+    codes, gidx = np.unique(gid, return_inverse=True)
+    G = len(codes)
+    counts = np.bincount(gidx, minlength=G)
+    key_vals = []
+    rem = codes.copy()
+    for u in reversed(uniqs):
+        key_vals.append(u[rem % len(u)])
+        rem //= len(u)
+    key_vals.reverse()
+    cols_out: Dict[str, Any] = dict(zip(group_by, key_vals))
+    kinds: Dict[str, str] = {g: "key" for g in group_by}
+    for it in agg_items:
+        nm = _agg_name(it)
+        if it.expr[0] == "count":
+            cols_out[nm], kinds[nm] = counts, "int"
+            continue
+        fn = it.expr[0]
+        v = _col(frame, it.expr[1])
+        if v.dtype == object:
+            raise Unsupported("object-typed aggregate argument")
+        try:
+            if fn in ("sum", "avg"):
+                s = np.bincount(
+                    gidx, weights=v.astype(np.float64), minlength=G
+                )
+                cols_out[nm] = s if fn == "sum" else s / counts
+                kinds[nm] = "float"
+            elif fn in ("min", "max"):
+                out = np.full(G, np.inf if fn == "min" else -np.inf)
+                getattr(np, "minimum" if fn == "min" else "maximum").at(
+                    out, gidx, v.astype(np.float64)
+                )
+                cols_out[nm], kinds[nm] = out, "key"
+            elif fn in ("uniq", "uniqexact"):
+                vu, vinv = np.unique(v, return_inverse=True)
+                pairs = np.unique(gidx * np.int64(len(vu)) + vinv)
+                cols_out[nm] = np.bincount(
+                    (pairs // len(vu)).astype(np.int64), minlength=G
+                )
+                kinds[nm] = "int"
+            else:  # any
+                firsts = np.full(G, n, np.int64)
+                np.minimum.at(firsts, gidx, np.arange(n, dtype=np.int64))
+                cols_out[nm], kinds[nm] = v[firsts], "key"
+        except (TypeError, ValueError) as e:
+            raise Unsupported(str(e))
+    names = list(cols_out)
+
+    def cast(nm, x):
+        k = kinds[nm]
+        return int(x) if k == "int" else float(x) if k == "float" else _pyval(x)
+
+    out_rows = [
+        {nm: cast(nm, cols_out[nm][i]) for nm in names} for i in range(G)
+    ]
+    out_rows = having_rows(out_rows)
+    if st.order_by:
+        _sort_rows(out_rows, st.order_by)
+    hi = None if st.limit is None else st.offset + st.limit
+    return out_rows[st.offset : hi]
+
+
 def _sort_order(frame: Frame, order_by, n: int) -> np.ndarray:
     """Stable multi-key argsort matching _sort_rows (successive stable
     sorts from the last key to the first; descending keys rank-encoded
@@ -324,9 +614,27 @@ def run_composite(runner, st: "P.Select") -> Optional[List[Dict[str, Any]]]:
             m = _eval_pred(st.where, frame, n)
             frame = {k: v[m] for k, v in frame.items()}
             n = int(m.sum())
+        agg_items = [it for it in st.items if isinstance(it.expr, tuple)]
+        win_items = [
+            it for it in st.items if isinstance(it.expr, P.WindowCall)
+        ]
+        if (agg_items or st.group_by) and win_items:
+            raise Unsupported("windows with aggregates")  # row path errors
+        if agg_items or st.group_by:
+            # GROUP BY path: every non-aggregate item must be a group key
+            # (the row-path aggregate emits keys + aggregates only)
+            for it in st.items:
+                if isinstance(it.expr, tuple) or it.expr == "*":
+                    continue
+                if isinstance(it.expr, str) and it.expr in (st.group_by or []):
+                    continue
+                raise Unsupported("non-key select item with GROUP BY")
+            return _group_frame(runner, st, frame, n, agg_items)
         keep: List[Tuple[str, str]] = []
         star = False
         computed: Frame = {}
+        from .runner import _window_name
+
         for it in st.items:
             if it.expr == "*":
                 star = True
@@ -343,8 +651,12 @@ def run_composite(runner, st: "P.Select") -> Optional[List[Dict[str, Any]]]:
                         val = np.broadcast_to(val, (n,)).copy()
                     computed[name] = val
                 keep.append((name, name))
+            elif isinstance(it.expr, P.WindowCall):
+                keep.append((it.alias or _window_name(it.expr),) * 2)
             else:
-                raise Unsupported("search/aggregate item")
+                raise Unsupported("search item")
+        if win_items:
+            computed.update(_apply_window_items(runner, frame, n, win_items))
         frame = {**frame, **computed}
         if st.order_by and n:
             order = _sort_order(frame, st.order_by, n)

@@ -235,15 +235,23 @@ class SearchCall:
 @dataclasses.dataclass
 class WindowCall:
     """Window function item: func(arg) OVER ([PARTITION BY p]
-    [ORDER BY c [ASC|DESC], ...]). Whole-partition frame only (the
+    [ORDER BY c [ASC|DESC], ...] [ROWS BETWEEN a AND b]) — the
     reference inherits ClickHouse window functions,
     src/Processors/Transforms/WindowTransform.cpp; this covers the
-    ranking + partition-aggregate forms)."""
+    ranking forms, partition aggregates (whole-partition default frame,
+    explicit ROWS frames), and lag/lead."""
 
-    func: str  # row_number | rank | dense_rank | count | sum | avg | min | max
+    func: str  # row_number | rank | dense_rank | count | sum | avg |
+    # min | max | lag | lead
     arg: Optional[str]  # aggregated column (None for ranking funcs/count)
     partition_by: Optional[str]
     order_by: List[Tuple[str, str]]  # [(column, asc|desc)]
+    # ROWS BETWEEN frame as (lo, hi) row offsets relative to the current
+    # row (negative = preceding); None bound = unbounded. None frame =
+    # the whole partition (this engine's pre-existing default).
+    frame: Optional[Tuple[Optional[int], Optional[int]]] = None
+    offset: int = 1  # lag/lead row offset
+    default: Any = None  # lag/lead out-of-partition fill
 
 
 @dataclasses.dataclass
@@ -1005,8 +1013,27 @@ class Parser:
         t = self.peek()
         return t.kind == "name" and t.lower() == "over"
 
-    def _window_item(self, func: str, arg: Optional[str]) -> SelectItem:
-        """OVER ([PARTITION BY p] [ORDER BY c [ASC|DESC], ...]) [AS a]."""
+    def _frame_bound(self, is_start: bool) -> Optional[int]:
+        """One ROWS BETWEEN bound -> row offset (None = unbounded)."""
+        if self.accept_kw("unbounded"):
+            self.expect_kw("preceding" if is_start else "following")
+            return None
+        if self.accept_kw("current", "row"):
+            return 0
+        t = self.peek()
+        if t.kind != "int":
+            self.error("expected UNBOUNDED, CURRENT ROW, or <n> in frame")
+        n = int(self.next().value)
+        if self.accept_kw("preceding"):
+            return -n
+        self.expect_kw("following")
+        return n
+
+    def _window_item(
+        self, func: str, arg: Optional[str], offset: int = 1, default=None
+    ) -> SelectItem:
+        """OVER ([PARTITION BY p] [ORDER BY c [ASC|DESC], ...]
+        [ROWS BETWEEN a AND b]) [AS a]."""
         self.expect_kw("over")
         self.expect_op("(")
         part = None
@@ -1024,13 +1051,27 @@ class Parser:
                 ob.append((name, d))
                 if not self.accept_op(","):
                     break
+        frame = None
+        if self.accept_kw("rows", "between"):
+            lo = self._frame_bound(True)
+            self.expect_kw("and")
+            hi = self._frame_bound(False)
+            if lo is not None and hi is not None and lo > hi:
+                self.error("frame start is after frame end")
+            frame = (lo, hi)
         self.expect_op(")")
-        if func in ("rank", "dense_rank") and not ob:
+        if func in ("rank", "dense_rank", "lag", "lead") and not ob:
             self.error(f"{func}() requires ORDER BY inside OVER()")
+        if frame is not None and func in (
+            "row_number", "rank", "dense_rank", "lag", "lead"
+        ):
+            self.error(f"{func}() does not accept a frame clause")
         alias = None
         if self.accept_kw("as"):
             alias = self.expect_name()
-        return SelectItem(WindowCall(func, arg, part, ob), alias)
+        return SelectItem(
+            WindowCall(func, arg, part, ob, frame, offset, default), alias
+        )
 
     def _select_body(self) -> Select:
         self.expect_kw("select")
@@ -1067,6 +1108,26 @@ class Parser:
                 self.expect_op("(")
                 self.expect_op(")")
                 items.append(self._window_item(fname, None))
+            elif (
+                t.kind == "name"
+                and t.lower() in ("lag", "lead")
+                and self.peek(1).kind == "op"
+                and self.peek(1).value == "("
+            ):
+                # lag(col[, n[, default]]) OVER (...) — WindowTransform's
+                # lagInFrame/leadInFrame family
+                fname = self.next().lower()
+                self.expect_op("(")
+                acol = self._qual_name()
+                off, dflt = 1, None
+                if self.accept_op(","):
+                    off = self.literal()
+                    if not isinstance(off, int) or off < 0:
+                        self.error(f"{fname}() offset must be a non-negative integer")
+                    if self.accept_op(","):
+                        dflt = self.literal()
+                self.expect_op(")")
+                items.append(self._window_item(fname, acol, off, dflt))
             elif (
                 t.kind == "name"
                 and t.lower() in AGG_FUNCS

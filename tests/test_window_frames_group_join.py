@@ -1,0 +1,216 @@
+"""Window ROWS frames + lag/lead, and GROUP BY over JOIN/subquery
+sources — columnar engine vs the row-dict oracle, plus million-row
+bounds (round-3 verdict item #6; reference inherits ClickHouse's
+src/Processors/Transforms/WindowTransform.cpp and Aggregator.cpp)."""
+
+import time
+
+import numpy as np
+import pytest
+
+import myscaledb_tpu as ms
+from myscaledb_tpu.errors import SQLError
+from myscaledb_tpu.sql import columnar
+
+
+@pytest.fixture()
+def tbl(db, rng):
+    t = db.create_table(
+        "w",
+        ms.Schema({"id": ms.UInt64(), "grp": ms.UInt64(), "x": ms.Float32()}),
+    )
+    n = 200
+    t.insert(
+        {
+            "id": np.arange(n, dtype=np.uint64),
+            "grp": rng.integers(0, 7, n).astype(np.uint64),
+            "x": rng.standard_normal(n).astype(np.float32),
+        }
+    )
+    t2 = db.create_table(
+        "dimw", ms.Schema({"grp": ms.UInt64(), "v": ms.Float32()})
+    )
+    t2.insert(
+        {
+            "grp": np.arange(5, dtype=np.uint64),  # grps 5,6 unmatched
+            "v": rng.standard_normal(5).astype(np.float32),
+        }
+    )
+    return db
+
+
+WINDOW_QUERIES = [
+    # ROWS frames over aggregates
+    "SELECT id, sum(x) OVER (PARTITION BY grp ORDER BY id "
+    "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS s FROM w ORDER BY id LIMIT 50",
+    "SELECT id, avg(x) OVER (PARTITION BY grp ORDER BY id "
+    "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS a FROM w ORDER BY id LIMIT 50",
+    "SELECT id, count() OVER (PARTITION BY grp ORDER BY id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c FROM w "
+    "ORDER BY id LIMIT 50",
+    "SELECT id, sum(x) OVER (ORDER BY id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS t "
+    "FROM w ORDER BY id LIMIT 20",
+    # lag / lead
+    "SELECT id, lag(x) OVER (PARTITION BY grp ORDER BY id) AS p "
+    "FROM w ORDER BY id LIMIT 50",
+    "SELECT id, lead(x, 2) OVER (PARTITION BY grp ORDER BY id) AS nx "
+    "FROM w ORDER BY id LIMIT 50",
+    "SELECT id, lag(id, 1, 999) OVER (ORDER BY id) AS p FROM w "
+    "ORDER BY id LIMIT 20",
+    # whole-partition aggregates and ranks still agree
+    "SELECT id, min(x) OVER (PARTITION BY grp) AS m, "
+    "rank() OVER (PARTITION BY grp ORDER BY x DESC) AS r FROM w "
+    "ORDER BY id LIMIT 60",
+]
+
+GROUP_JOIN_QUERIES = [
+    "SELECT grp, count() AS c, sum(x) AS s FROM w GROUP BY grp ORDER BY grp",
+    "SELECT w.grp, count() AS c, avg(v) AS av FROM w JOIN dimw ON "
+    "w.grp = dimw.grp GROUP BY w.grp ORDER BY w.grp",
+    "SELECT w.grp, count() AS c FROM w JOIN dimw ON w.grp = dimw.grp "
+    "WHERE x > 0 GROUP BY w.grp HAVING c > 5 ORDER BY c DESC, w.grp",
+    "SELECT grp, min(x) AS lo, max(x) AS hi, uniq(id) AS u FROM "
+    "(SELECT id, grp, x FROM w WHERE id < 150) AS sub GROUP BY grp "
+    "ORDER BY grp LIMIT 5",
+    "SELECT count() AS c, sum(v) AS s FROM w JOIN dimw ON w.grp = dimw.grp",
+]
+
+
+def _norm(rows):
+    out = []
+    for r in rows:
+        nr = {}
+        for k, v in r.items():
+            nr[k] = round(float(v), 4) if isinstance(v, float) else v
+        out.append(nr)
+    return out
+
+
+def test_window_frames_columnar_matches_oracle(tbl, monkeypatch):
+    db = tbl
+    for q in WINDOW_QUERIES:
+        fast = db.sql(q)
+        monkeypatch.setattr(columnar, "run_composite", lambda *_: None)
+        slow = db.sql(q)
+        monkeypatch.undo()
+        assert _norm(fast) == _norm(slow), q
+
+
+def test_window_plain_table_uses_columnar(tbl, monkeypatch):
+    db = tbl
+    called = {}
+    orig = columnar.run_composite
+
+    def spy(runner, st):
+        out = orig(runner, st)
+        called["hit"] = out is not None
+        return out
+
+    monkeypatch.setattr(columnar, "run_composite", spy)
+    db.sql(WINDOW_QUERIES[0])
+    assert called["hit"]
+
+
+def test_group_by_join_columnar_matches_oracle(tbl, monkeypatch):
+    db = tbl
+    for q in GROUP_JOIN_QUERIES:
+        fast = db.sql(q)
+        monkeypatch.setattr(columnar, "run_composite", lambda *_: None)
+        slow = db.sql(q)
+        monkeypatch.undo()
+        assert _norm(fast) == _norm(slow), q
+        assert fast, q  # non-empty results on this data
+
+
+def test_group_by_join_uses_columnar(tbl, monkeypatch):
+    db = tbl
+    called = {}
+    orig = columnar.run_composite
+
+    def spy(runner, st):
+        out = orig(runner, st)
+        called["hit"] = out is not None
+        return out
+
+    monkeypatch.setattr(columnar, "run_composite", spy)
+    db.sql(GROUP_JOIN_QUERIES[1])
+    assert called["hit"]
+
+
+def test_lag_default_and_bounds(tbl):
+    rows = tbl.sql(
+        "SELECT id, lag(id, 1, 777) OVER (ORDER BY id) AS p FROM w "
+        "ORDER BY id LIMIT 3"
+    )
+    assert rows[0]["p"] == 777 and rows[1]["p"] == 0 and rows[2]["p"] == 1
+    rows = tbl.sql(
+        "SELECT id, lead(id) OVER (ORDER BY id) AS nx FROM w "
+        "ORDER BY id DESC LIMIT 1"
+    )
+    assert rows[0]["nx"] is None  # last row has no lead
+
+
+def test_frame_validation_errors(tbl):
+    with pytest.raises(SQLError):
+        tbl.sql(
+            "SELECT row_number() OVER (ORDER BY id "
+            "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS r FROM w"
+        )
+    with pytest.raises(SQLError):
+        tbl.sql("SELECT lag(x) OVER (PARTITION BY grp) AS p FROM w")
+    with pytest.raises(SQLError):
+        tbl.sql(
+            "SELECT sum(x) OVER (ORDER BY id "
+            "ROWS BETWEEN CURRENT ROW AND 2 PRECEDING) AS s FROM w"
+        )
+
+
+def test_window_group_mix_rejected_on_join(tbl):
+    with pytest.raises(SQLError):
+        tbl.sql(
+            "SELECT w.grp, count() AS c, row_number() OVER (ORDER BY w.grp) "
+            "AS rn FROM w JOIN dimw ON w.grp = dimw.grp GROUP BY w.grp"
+        )
+
+
+def test_million_row_group_by_join_bounded(db, rng):
+    n1, n2 = 1_000_000, 1_000
+    t1 = db.create_table(
+        "bigg", ms.Schema({"id": ms.UInt64(), "k": ms.UInt64(), "x": ms.Float32()})
+    )
+    t2 = db.create_table(
+        "dimg", ms.Schema({"k": ms.UInt64(), "v": ms.Float32()})
+    )
+    t1.insert(
+        {
+            "id": np.arange(n1, dtype=np.uint64),
+            "k": rng.integers(0, n2, n1).astype(np.uint64),
+            "x": rng.standard_normal(n1).astype(np.float32),
+        }
+    )
+    t2.insert(
+        {
+            "k": np.arange(n2, dtype=np.uint64),
+            "v": rng.standard_normal(n2).astype(np.float32),
+        }
+    )
+    t0 = time.time()
+    rows = db.sql(
+        "SELECT bigg.k, count() AS c, sum(x) AS s, avg(v) AS av FROM bigg "
+        "JOIN dimg ON bigg.k = dimg.k GROUP BY bigg.k "
+        "HAVING c > 900 ORDER BY c DESC LIMIT 10"
+    )
+    dt = time.time() - t0
+    assert rows and all(r["c"] > 900 for r in rows)
+    assert dt < 10.0, f"1M-row GROUP-BY-over-JOIN took {dt:.1f}s"
+    # windowed query at the same scale
+    t0 = time.time()
+    rows = db.sql(
+        "SELECT id, sum(x) OVER (PARTITION BY k ORDER BY id "
+        "ROWS BETWEEN 10 PRECEDING AND CURRENT ROW) AS s FROM bigg "
+        "ORDER BY id LIMIT 10"
+    )
+    dt = time.time() - t0
+    assert len(rows) == 10
+    assert dt < 10.0, f"1M-row windowed query took {dt:.1f}s"
