@@ -83,6 +83,18 @@ class Database:
             cache_bytes = int(mem * ratio)
         self.index_cache = LRUCache(cache_bytes, on_evict=self._on_cache_evict)
         self.counters = GLOBAL_COUNTERS
+        # Persistent system logs (SystemLog.cpp contract): with a storage
+        # path, query_log / vector_index_event_log flush into backing
+        # engine tables and survive restarts. In-memory databases keep
+        # ring-only logs.
+        self.system_logs = None
+        if self.path:
+            from ..service.system_log import SystemLogs
+
+            self.system_logs = SystemLogs(
+                self,
+                flush_interval_s=self.settings.server.system_log_flush_interval_s,
+            )
 
     def _on_cache_evict(self, key, _value) -> None:
         """Route LRU evictions back to the owning table (CACHE_EXPIRE)."""
@@ -333,12 +345,16 @@ class Database:
                 rows.extend(t.system_vector_index_segments())
             return rows
         if which == "vector_index_event_log":
+            if self.system_logs is not None:
+                return self.system_logs.rows("vector_index_event_log")
             return self.event_log.rows()
         if which in ("span_log", "opentelemetry_span_log"):
             from ..service.tracing import GLOBAL_SPAN_LOG
 
             return GLOBAL_SPAN_LOG.rows()
         if which == "query_log":
+            if self.system_logs is not None:
+                return self.system_logs.rows("query_log")
             from ..service.event_log import GLOBAL_QUERY_LOG
 
             return GLOBAL_QUERY_LOG.rows()
@@ -406,6 +422,8 @@ class Database:
         return SQLRunner(self).execute(statement)
 
     def close(self):
+        if self.system_logs is not None:
+            self.system_logs.close()
         self.scheduler.shutdown()
 
 

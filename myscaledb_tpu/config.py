@@ -185,6 +185,12 @@ class ServerSettings:
     enable_primary_key_cache: bool = True
     primary_key_cache_size: int = 256 * 1024 * 1024
 
+    # SystemLog flush cadence (SystemLog.cpp flush_interval_milliseconds,
+    # default 7500): with a database storage path, query_log /
+    # vector_index_event_log rings flush into backing engine tables this
+    # often. 0 disables the thread (flush still runs on close()).
+    system_log_flush_interval_s: float = 7.5
+
 
 @dataclasses.dataclass
 class Settings:

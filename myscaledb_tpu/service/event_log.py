@@ -56,6 +56,7 @@ class EventLog:
         self._events: collections.deque = collections.deque(maxlen=max_events)
         self._lock = threading.Lock()
         self._path = path
+        self._n = 0  # total ever appended (drain cursor space)
 
     def record(
         self,
@@ -80,6 +81,7 @@ class EventLog:
         )
         with self._lock:
             self._events.append(ev)
+            self._n += 1
             if self._path:
                 try:
                     with open(self._path, "a") as f:
@@ -90,6 +92,17 @@ class EventLog:
     def rows(self) -> List[Dict[str, Any]]:
         with self._lock:
             return [e.as_row() for e in self._events]
+
+    def drain(self, cursor: int):
+        """Rows appended after `cursor` + the new cursor (the SystemLog
+        flush contract: each row lands in persistent storage exactly
+        once). Rows that scrolled off the ring before a flush are lost —
+        same as the reference under flush backpressure."""
+        with self._lock:
+            dropped = self._n - len(self._events)
+            start = max(cursor - dropped, 0)
+            rows = [e.as_row() for e in list(self._events)[start:]]
+            return rows, self._n
 
     def query(self, **eq) -> List[Dict[str, Any]]:
         out = []
@@ -131,6 +144,7 @@ class QueryLog:
     def __init__(self, max_entries: int = 100_000):
         self._rows: collections.deque = collections.deque(maxlen=max_entries)
         self._lock = threading.Lock()
+        self._n = 0  # total ever appended (drain cursor space)
 
     def record(
         self,
@@ -161,10 +175,19 @@ class QueryLog:
         }
         with self._lock:
             self._rows.append(row)
+            self._n += 1
 
     def rows(self) -> List[Dict[str, Any]]:
         with self._lock:
             return [dict(r) for r in self._rows]
+
+    def drain(self, cursor: int):
+        """See EventLog.drain."""
+        with self._lock:
+            dropped = self._n - len(self._rows)
+            start = max(cursor - dropped, 0)
+            rows = [dict(r) for r in list(self._rows)[start:]]
+            return rows, self._n
 
 
 GLOBAL_QUERY_LOG = QueryLog()
