@@ -723,12 +723,17 @@ class MeshTable:
         filter=None,
         params: Optional[Dict] = None,
         fusion_k: int = 60,
+        fusion_type: str = "rrf",
+        fusion_weight: float = 0.5,
     ):
         """Vector leg (exact or IVF per `params["nprobe"]`) + BM25 leg,
-        fused ON DEVICE with RRF over global slot ids (the Distributed
-        initiator fusion, StorageDistributed.cpp:1058, device-side).
-        Returns (ids int64[Q, k], rrf_scores f32[Q, k])."""
-        from ..search.fusion import rrf_fuse_t
+        fused ON DEVICE over global slot ids (the Distributed initiator
+        fusion, StorageDistributed.cpp:1058, device-side). fusion_type
+        "rrf" (rank fusion) or "rsf" (relative-score fusion,
+        HybridSearchUtils.cpp:212 — w·norm_text + (1-w)·norm_vec over
+        min-max-normalized leg scores). Returns
+        (ids int64[Q, k], fused_scores f32[Q, k])."""
+        from ..search.fusion import rrf_fuse_t, rsf_fuse_t
 
         s = self._seal()
         qdev, nq = self._queries_dev(query_vec)
@@ -740,40 +745,56 @@ class MeshTable:
             k,
             mask=mask,
         )
-        vr = vr[:nq]
-        fv, _ftag, fr = rrf_fuse_t(
-            jnp.where(vr >= 0, 0, -1), vr,
-            jnp.where(tr >= 0, 0, -1), tr,
-            k,
-            fusion_k=fusion_k,
-        )
+        vv, vr = vv[:nq], vr[:nq]
+        if fusion_type == "rsf":
+            fv, _ftag, fr = rsf_fuse_t(
+                jnp.where(vr >= 0, 0, -1), vr, vv,
+                jnp.where(tr >= 0, 0, -1), tr, tv,
+                k,
+                fusion_weight=fusion_weight,
+                vec_ascending_better=False,  # internal scores: max = best
+            )
+        elif fusion_type == "rrf":
+            fv, _ftag, fr = rrf_fuse_t(
+                jnp.where(vr >= 0, 0, -1), vr,
+                jnp.where(tr >= 0, 0, -1), tr,
+                k,
+                fusion_k=fusion_k,
+            )
+        else:
+            raise QueryShapeError(f"unknown fusion_type {fusion_type!r}")
         vh = np.asarray(jax.device_get(fv))
         rh = np.asarray(jax.device_get(fr))
         vh = np.where(rh >= 0, vh, -np.inf)
         return self._ids_of(rh, vh), vh
 
+    def batch_distance(
+        self, queries, k: int, *, filter=None, params: Optional[Dict] = None
+    ):
+        """batch_distance semantics (LIMIT k BY batch index,
+        MergeTreeVSManager multi-query form): [Q, D] queries -> flattened
+        (query_index, id, score) triples, k per query, rank order within
+        each query — the shape the SQL layer's `batch_distance(...)
+        LIMIT k BY d.1` emits on single-node tables."""
+        ids, scores = self.search(queries, k, filter=filter, params=params)
+        out = []
+        for qi in range(ids.shape[0]):
+            for j in range(ids.shape[1]):
+                if ids[qi, j] >= 0:
+                    out.append((qi, int(ids[qi, j]), float(scores[qi, j])))
+        return out
+
     # ------------------------------------------------------------- persist
     def save(self, path: str) -> None:
-        """Persist the host source of truth (ids/vectors/columns/docs/
-        deletes). Device state and indexes are rebuilt on load — the
-        cold-start model of the object-store tier."""
+        """PER-SHARD checkpoint files: shard s's rows (per the sealed slot
+        assignment) land in shard_{s}.npz. No whole-corpus host
+        concatenation: rows are gathered per shard from the chunked host
+        staging lists, so peak transient memory is one shard's payload —
+        the per-part/per-disk shape of the reference (round 3 wrote a
+        single monolithic npz, wrong at 8x16 GB HBM scale; on a multi-host
+        pod each host writes only its own shards' files). Device state and
+        indexes rebuild on load."""
         os.makedirs(path, exist_ok=True)
-        arrays = {
-            "ids": np.concatenate(self._ids) if self._ids else np.zeros(0, np.int64),
-            "vecs": (
-                np.concatenate(self._vecs)
-                if self._vecs
-                else np.zeros((0, self.dim), np.float32)
-            ),
-            "deleted": np.fromiter(
-                sorted(self._deleted), np.int64, len(self._deleted)
-            ),
-        }
-        for c in self.filter_columns:
-            arrays[f"col_{c}"] = np.concatenate(self._cols[c])
-        if self.text_column is not None and self._texts:
-            arrays["texts"] = np.concatenate(self._texts).astype(np.str_)
-        np.savez(os.path.join(path, "meshtable.npz"), **arrays)
         meta = {
             "name": self.name,
             "dim": self.dim,
@@ -781,15 +802,53 @@ class MeshTable:
             "filter_columns": list(self.filter_columns),
             "text_column": self.text_column,
             "analyzer_params": self._analyzer_params,
+            "shards": self.n_shards if self._ids else 0,
         }
         with open(os.path.join(path, "meshtable.json"), "w") as f:
             json.dump(meta, f)
+        if not self._ids:
+            return
+        s = self._seal()
+        lens = [len(a) for a in self._ids]
+        starts = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+        all_ids = np.concatenate(self._ids)  # int64 index only — not payload
+        sorter = np.argsort(all_ids, kind="stable")
+        sorted_ids = all_ids[sorter]
+        deleted = np.fromiter(
+            sorted(self._deleted), np.int64, len(self._deleted)
+        )
+
+        def rows_of(chunks: List[np.ndarray], pos: np.ndarray) -> np.ndarray:
+            """Gather staged rows at global positions without
+            concatenating the chunk list."""
+            first = chunks[0]
+            out = np.empty((len(pos),) + first.shape[1:], first.dtype)
+            ci = np.searchsorted(starts, pos, "right") - 1
+            off = pos - starts[ci]
+            for c in np.unique(ci):
+                m = ci == c
+                out[m] = chunks[c][off[m]]
+            return out
+
+        for sh in range(self.n_shards):
+            sl = slice(sh * s.cap, sh * s.cap + int(s.fill[sh]))
+            shard_ids = np.asarray(s.ids_pad[sl], np.int64)
+            pos = sorter[np.searchsorted(sorted_ids, shard_ids)]
+            arrays = {
+                "ids": shard_ids,
+                "vecs": rows_of(self._vecs, pos),
+                "deleted": shard_ids[np.isin(shard_ids, deleted)],
+            }
+            for c in self.filter_columns:
+                arrays[f"col_{c}"] = rows_of(self._cols[c], pos)
+            if self.text_column is not None and self._texts:
+                arrays["texts"] = rows_of(self._texts, pos).astype(np.str_)
+            np.savez(os.path.join(path, f"shard_{sh}.npz"), **arrays)
 
     @classmethod
     def load(cls, path: str, *, mesh: Optional[Mesh] = None) -> "MeshTable":
         with open(os.path.join(path, "meshtable.json")) as f:
             meta = json.load(f)
-        z = np.load(os.path.join(path, "meshtable.npz"), allow_pickle=False)
         t = cls(
             meta["name"],
             meta["dim"],
@@ -799,13 +858,37 @@ class MeshTable:
             text_column=meta["text_column"],
             analyzer_params=meta["analyzer_params"],
         )
-        if len(z["ids"]):
+
+        def ingest(z) -> Optional[np.ndarray]:
+            if not len(z["ids"]):
+                return None
             cols = {"id": z["ids"], "vec": z["vecs"]}
             for c in t.filter_columns:
                 cols[c] = z[f"col_{c}"]
             if t.text_column is not None and "texts" in z:
                 cols[t.text_column] = z["texts"].astype(object)
             t.insert(cols)
-        if len(z["deleted"]):
-            t.delete(z["deleted"])
+            return z["deleted"]
+
+        legacy = os.path.join(path, "meshtable.npz")
+        deleted_parts: List[np.ndarray] = []
+        if os.path.exists(legacy):  # round-3 monolithic checkpoints
+            with np.load(legacy, allow_pickle=False) as z:
+                d = ingest(z)
+            if d is not None:
+                deleted_parts.append(d)
+        else:
+            # shard files from the SAVING mesh's layout; the loading mesh
+            # may have a different shard count — insert() redistributes
+            for sh in range(int(meta.get("shards", 0))):
+                with np.load(
+                    os.path.join(path, f"shard_{sh}.npz"), allow_pickle=False
+                ) as z:
+                    d = ingest(z)
+                if d is not None:
+                    deleted_parts.append(d)
+        if deleted_parts:
+            dead = np.concatenate(deleted_parts)
+            if len(dead):
+                t.delete(dead)
         return t

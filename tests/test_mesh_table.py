@@ -249,3 +249,81 @@ def test_save_load(tmp_path, corpus):
     assert out[0, 0] != ids[3]  # delete survived persistence
     out, _ = t2.text_search("tok42", 1)
     assert out[0, 0] == ids[42]
+    # round-4 layout: one file per shard, no monolithic npz
+    import os
+
+    files = sorted(os.listdir(tmp_path / "mt"))
+    assert "meshtable.npz" not in files
+    assert sum(f.startswith("shard_") for f in files) == t.n_shards
+    # every shard file holds only its shard's rows (sizes sum to 500)
+    total = 0
+    for f in files:
+        if f.startswith("shard_"):
+            with np.load(tmp_path / "mt" / f, allow_pickle=False) as z:
+                total += len(z["ids"])
+    assert total == 500
+
+
+def test_load_legacy_monolithic(tmp_path, corpus):
+    """Round-3 single-npz checkpoints keep loading."""
+    import json
+
+    ids, vecs, price = corpus
+    root = tmp_path / "legacy"
+    root.mkdir()
+    np.savez(
+        root / "meshtable.npz",
+        ids=ids[:100],
+        vecs=vecs[:100],
+        deleted=np.array([int(ids[5])], np.int64),
+        col_price=price[:100],
+    )
+    with open(root / "meshtable.json", "w") as f:
+        json.dump(
+            {
+                "name": "mleg",
+                "dim": 32,
+                "metric": "L2",
+                "filter_columns": ["price"],
+                "text_column": None,
+                "analyzer_params": None,
+            },
+            f,
+        )
+    t = MeshTable.load(str(root))
+    assert t.n_rows == 99
+    out, _ = t.search(vecs[7], 1)
+    assert out[0, 0] == ids[7]
+
+
+def test_hybrid_rsf_and_batch_distance(corpus):
+    ids, vecs, price = corpus
+    t = MeshTable("m13", 32, text_column="body")
+    docs = np.array(
+        ["alpha beta" if i % 3 else f"needle{i} gamma" for i in range(600)],
+        dtype=object,
+    )
+    t.insert({"id": ids[:600], "vec": vecs[:600], "body": docs})
+    h_ids, h_sc = t.hybrid_search(
+        vecs[33], "needle33", 3, fusion_type="rsf", fusion_weight=0.5
+    )
+    assert h_ids[0, 0] == ids[33]
+    # RSF scores live in [0, 1] (w*norm_text + (1-w)*norm_vec)
+    assert 0.0 <= float(h_sc[0, 0]) <= 1.0 + 1e-6
+    # rrf still the default; unknown fusion types rejected
+    h_ids, _ = t.hybrid_search(vecs[33], "needle33", 3)
+    assert h_ids[0, 0] == ids[33]
+    import pytest as _pytest
+
+    from myscaledb_tpu.errors import QueryShapeError
+
+    with _pytest.raises(QueryShapeError):
+        t.hybrid_search(vecs[33], "needle33", 3, fusion_type="nope")
+    # batch_distance: k triples per query index, rank-ordered
+    triples = t.batch_distance(vecs[[10, 20]], 3)
+    per_q = {}
+    for qi, rid, _s in triples:
+        per_q.setdefault(qi, []).append(rid)
+    assert set(per_q) == {0, 1}
+    assert per_q[0][0] == ids[10] and per_q[1][0] == ids[20]
+    assert len(per_q[0]) == 3 and len(per_q[1]) == 3
