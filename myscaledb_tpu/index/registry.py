@@ -52,9 +52,18 @@ VALID_SEARCH_PARAMS: Dict[IndexKind, Dict[str, tuple]] = {
     IndexKind.IVFFLAT: {"nprobe": (int, lambda v: v >= 1)},
     IndexKind.IVFPQ: {"nprobe": (int, lambda v: v >= 1)},
     IndexKind.IVFSQ: {"nprobe": (int, lambda v: v >= 1)},
-    IndexKind.HNSWFLAT: {"ef_s": (int, lambda v: v >= 1)},
-    IndexKind.HNSWPQ: {"ef_s": (int, lambda v: v >= 1)},
-    IndexKind.HNSWSQ: {"ef_s": (int, lambda v: v >= 1)},
+    IndexKind.HNSWFLAT: {
+        "ef_s": (int, lambda v: v >= 1),
+        "entries": (int, lambda v: v >= 1),
+    },
+    IndexKind.HNSWPQ: {
+        "ef_s": (int, lambda v: v >= 1),
+        "entries": (int, lambda v: v >= 1),
+    },
+    IndexKind.HNSWSQ: {
+        "ef_s": (int, lambda v: v >= 1),
+        "entries": (int, lambda v: v >= 1),
+    },
     IndexKind.MSTG: {
         "alpha": ((int, float), lambda v: v > 0),
         "nprobe": (int, lambda v: v >= 1),

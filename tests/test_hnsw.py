@@ -61,6 +61,123 @@ def test_hnsw_recall(rng, metric):
         assert len(set(live.tolist())) == len(live)
 
 
+def test_hnsw_connectivity_repair_isolated_clusters(rng):
+    """Well-separated clusters build near-clique components; clusters
+    whose k-means cell shares its head with a neighbor would be
+    UNREACHABLE at any ef without the build-time repair (_repair_entries)
+    — the round-3 recall plateau's structural cause. Every cluster must
+    be findable."""
+    from collections import deque
+
+    n_blobs, per, d, k = 40, 50, 24, 5
+    centers = 50.0 * rng.standard_normal((n_blobs, d)).astype(np.float32)
+    vecs = np.repeat(centers, per, axis=0) + 0.1 * rng.standard_normal(
+        (n_blobs * per, d)
+    ).astype(np.float32)
+    n = len(vecs)
+    schema = Schema({"id": UInt64(), "vec": FloatVector(d)})
+    seg = Segment.from_columns(
+        0, schema, {"id": np.arange(n, dtype=np.uint64), "vec": vecs},
+        storage_dtype=jnp.float32,
+    )
+    idx = HNSWFlatIndex.build(
+        seg.vector("vec"), n, metric=Metric.L2, dim=d,
+        params={"m": 8, "ef_c": 40},
+    )
+    # structural: every node forward-reachable from the entry set
+    neighbors = np.asarray(idx.neighbors)
+    entries = np.asarray(idx.entry_rows)
+    seen = np.zeros(n, bool)
+    dq = deque(int(e) for e in entries if 0 <= e < n)
+    for e in list(dq):
+        seen[e] = True
+    while dq:
+        u = dq.popleft()
+        for v in neighbors[u]:
+            if v >= 0 and not seen[v]:
+                seen[v] = True
+                dq.append(int(v))
+    assert seen.all(), f"{(~seen).sum()} nodes unreachable from entries"
+    # behavioral: a query in EVERY blob finds its blob
+    dpad = seg.vector("vec").data.shape[1]
+    q = np.pad(centers, ((0, 0), (0, dpad - d))).astype(np.float32)
+    _, r = idx.search(jnp.asarray(q), k, params={"ef_s": 50})
+    r = np.asarray(r)
+    for b in range(n_blobs):
+        got = r[b][r[b] >= 0]
+        assert len(got) and (got // per == b).any(), f"blob {b} unreachable"
+
+
+def test_hnsw_entries_param_and_scaling(rng):
+    """`entries` search param widens the entry seed set; the default
+    scales with ef_s."""
+    n, d, k = 6_000, 16, 5
+    seg, vecs = _make(rng, n, d)
+    idx = HNSWFlatIndex.build(
+        seg.vector("vec"), n, metric=Metric.L2, dim=d,
+        params={"m": 8, "ef_c": 40},
+    )
+    dpad = seg.vector("vec").data.shape[1]
+    q = jnp.asarray(
+        np.pad(vecs[:8], ((0, 0), (0, dpad - d))).astype(np.float32)
+    )
+    v1, r1 = idx.search(q, k, params={"ef_s": 64})
+    v2, r2 = idx.search(q, k, params={"ef_s": 64, "entries": 64})
+    assert np.asarray(r1)[0, 0] == 0 and np.asarray(r2)[0, 0] == 0
+    # validated at the registry layer too
+    from myscaledb_tpu.index.registry import validate_search_params
+    from myscaledb_tpu.index.base import IndexKind
+
+    out = validate_search_params(
+        IndexKind.HNSWFLAT, {"ef_s": 32, "entries": 16}
+    )
+    assert out == {"ef_s": 32, "entries": 16}
+
+
+def test_hnsw_cosine_scores_match_exact_scan(db, rng):
+    """Raw-codec cosine re-scores must be numerically consistent with the
+    exact tile scan over the same payload (round 3 normalized-then-bf16
+    storage skewed the same row's distance by ~2^-8 relative, capping
+    measured recall at ~0.95 regardless of ef)."""
+    n, d, k = 20_000, 64, 10
+    st = ms.Settings()
+    st.table.min_rows_to_build_vector_index = 1
+    t = db.create_table(
+        "hc", ms.Schema({"id": ms.UInt64(), "vec": ms.FloatVector(d)}),
+        settings=st,
+    )
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    t.insert({"id": np.arange(n, dtype=np.uint64), "vec": vecs})
+    st_bf = ms.Settings()
+    st_bf.query.use_approx_topk = False
+    q = vecs[rng.choice(n, 8, replace=False)] + 0.01 * rng.standard_normal(
+        (8, d)
+    ).astype(np.float32)
+    gt = t.search("vec", q, k=k, settings=st_bf, metric="Cosine")
+    t.add_vector_index("h", "vec", type="HNSWFLAT", m=16, metric_type="Cosine")
+    t.wait_index_built(timeout=300)
+    st_graph = ms.Settings()
+    st_graph.query.cost_based_index_routing = False
+    res = t.search(
+        "vec", q, k=k, params={"ef_s": 200}, settings=st_graph,
+        metric="Cosine",
+    )
+    # same rows -> near-identical distances (both paths: raw payload x
+    # f32 invnorm). Tolerance 1e-4 relative covers the scan's bf16 hi/lo
+    # split rounding (~2^-16); the round-3 normalize-then-bf16 scheme
+    # skewed by ~4e-3 relative and fails this 40x over.
+    gtd = {(qi, int(r)): float(x) for qi in range(8)
+           for r, x in zip(np.asarray(gt.rows)[qi], np.asarray(gt.distances)[qi])}
+    checked = 0
+    for qi in range(8):
+        for r, x in zip(np.asarray(res.rows)[qi], np.asarray(res.distances)[qi]):
+            key = (qi, int(r))
+            if r >= 0 and key in gtd:
+                assert abs(float(x) - gtd[key]) <= 1e-4 + 1e-4 * abs(gtd[key])
+                checked += 1
+    assert checked >= 8 * k * 0.8  # the overwhelming majority overlap
+
+
 def test_hnsw_ef_s_tradeoff(rng):
     n, d, k = 8_000, 16, 10
     seg, vecs = _make(rng, n, d)
