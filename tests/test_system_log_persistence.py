@@ -16,9 +16,11 @@ def _settings():
 
 
 def test_query_log_survives_restart(tmp_path, rng):
+    # NOTE: the query_log ring is process-global; a unique table name +
+    # LIKE filtering keeps this robust under a full polluted test run
     db = ms.connect(_settings(), path=str(tmp_path))
     t = db.create_table(
-        "t", ms.Schema({"id": ms.UInt64(), "vec": ms.FloatVector(8)})
+        "qlog_r4_t", ms.Schema({"id": ms.UInt64(), "vec": ms.FloatVector(8)})
     )
     t.insert(
         {
@@ -26,11 +28,11 @@ def test_query_log_survives_restart(tmp_path, rng):
             "vec": rng.standard_normal((32, 8)).astype(np.float32),
         }
     )
-    db.sql("SELECT id FROM t ORDER BY id LIMIT 3")
+    db.sql("SELECT id FROM qlog_r4_t ORDER BY id LIMIT 3")
     t.search("vec", np.zeros(8, np.float32), k=4)
     pre = [
         r for r in db.system_table("query_log")
-        if r["table"] == "t" or "FROM t" in r.get("query", "")
+        if r["table"] == "qlog_r4_t" or "FROM qlog_r4_t" in r.get("query", "")
     ]
     assert pre, "query_log empty before flush"
     db.close()  # close() flushes
@@ -41,15 +43,19 @@ def test_query_log_survives_restart(tmp_path, rng):
     kinds = {r["kind"] for r in rows}
     assert "sql" in kinds and "vector_search" in kinds
     # pre-restart rows are retroactively visible with their payloads
-    sqls = [r for r in rows if r["kind"] == "sql" and "FROM t" in r["query"]]
+    sqls = [
+        r for r in rows
+        if r["kind"] == "sql" and "FROM qlog_r4_t" in r["query"]
+    ]
     assert sqls and sqls[0]["duration_ms"] >= 0
     assert isinstance(sqls[0]["settings"], dict)
     # and queryable through SQL, both the system view and the backing
     # engine table (full SQL over log history)
     via_sql = db2.sql(
-        "SELECT kind, query FROM system.query_log ORDER BY event_time LIMIT 500"
+        "SELECT kind, query FROM system.query_log "
+        "WHERE query LIKE '%FROM qlog_r4_t%' LIMIT 100"
     )
-    assert any("FROM t" in r["query"] for r in via_sql)
+    assert any("FROM qlog_r4_t" in r["query"] for r in via_sql)
     agg = db2.sql(
         "SELECT kind, count() AS c FROM system_query_log GROUP BY kind ORDER BY kind"
     )
