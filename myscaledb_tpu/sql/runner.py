@@ -1620,6 +1620,18 @@ def _eval_plain(expr, row: Dict[str, Any]) -> bool:
     if isinstance(expr, P.InList):
         r = row.get(expr.column) in expr.values
         return not r if expr.negate else r
+    if isinstance(expr, P.LikeExpr):
+        import re as _re
+
+        val = row.get(expr.column)
+        rx = _re.compile(
+            "^"
+            + _re.escape(expr.pattern).replace("%", ".*").replace("_", ".")
+            + "$",
+            _re.DOTALL,
+        )
+        hit = isinstance(val, str) and rx.match(val) is not None
+        return not hit if expr.negate else hit
     if isinstance(expr, P.BoolOp):
         if expr.op == "and":
             return all(_eval_plain(a, row) for a in expr.args)
