@@ -595,9 +595,27 @@ class IVFIndex(VectorIndex):
         prw = self.perm_rows.reshape(self.n_windows, WINDOW)
         paw = self.perm_aux.reshape(self.n_windows, WINDOW)
 
-        # group G windows per scan step: fewer, larger device ops (the
-        # sequential lax.scan step count is a latency term)
-        group = max(1, min(4, w_budget))
+        # NOTE on a tempting non-optimization (measured, round 4): scoring
+        # the gathered bf16 codes with a hi/lo-split query does NOT help —
+        # (a) accuracy collapses to single-bf16 because XLA merges
+        # dot(hi,g)+dot(lo,g) into dot(hi+lo,g), re-rounding hi+lo in
+        # bf16; an optimization_barrier on the SPLIT cannot block that
+        # rewrite (only one on the dot OUTPUTS could); and (b) there is no
+        # bandwidth to win: the _decode astype is a convert that XLA fuses
+        # into the matmul operand, so no f32 copy of the gather ever
+        # materializes (isolated probe: default-precision f32 dot and the
+        # decode path both measure ~1e-6 relative of host truth).
+
+        # Group G windows per scan step: fewer, larger device ops — the
+        # sequential lax.scan step count is a latency term, and every
+        # step costs two top_k passes. When the whole probe budget fits a
+        # transient-memory cap, run ONE step (no scan, one matmul, one
+        # selection pass): at bench shapes (nprobe 2, w_budget ~10,
+        # batch<=512) this replaces 3 sequential steps + 6 top_ks with
+        # 1 gather + 1 matmul + 2 top_ks per call.
+        elem = 4 * max(1, pdw.shape[-1])
+        cap_windows = max(1, int((512 << 20) // max(1, nq * WINDOW * elem)))
+        group = max(1, min(w_budget, cap_windows))
         w_pad = -(-w_budget // group) * group
         if w_pad != w_budget:
             widx = jnp.pad(widx, ((0, 0), (0, w_pad - w_budget)))
@@ -608,10 +626,10 @@ class IVFIndex(VectorIndex):
             bv, br = carry
             sl = jax.lax.dynamic_slice_in_dim(widx, s * group, group, axis=1)
             live = jax.lax.dynamic_slice_in_dim(valid_w, s * group, group, axis=1)
-            xb = self._decode(jnp.take(pdw, sl, axis=0))  # [Q, G, WIN, D']
-            xb = xb.reshape(nq, group * WINDOW, xb.shape[-1])
             rows = jnp.take(prw, sl, axis=0)  # [Q, G, WIN]
             rows = jnp.where(live[..., None], rows, -1).reshape(nq, -1)
+            xb = self._decode(jnp.take(pdw, sl, axis=0))  # [Q, G, WIN, D']
+            xb = xb.reshape(nq, group * WINDOW, xb.shape[-1])
             scores = self._dot(q_parts, xb)
             if self.metric == Metric.L2:
                 aux = jnp.take(paw, sl, axis=0).reshape(nq, -1)
