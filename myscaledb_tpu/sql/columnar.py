@@ -315,6 +315,31 @@ def _win_sort(frame: Frame, wc, part: np.ndarray, n: int) -> np.ndarray:
     return order[np.argsort(part[order], kind="stable")]
 
 
+def _range_reduce(v64, a_g, b_g, op) -> np.ndarray:
+    """Vectorized range min/max (RMQ) over inclusive index ranges
+    [a_g[i], b_g[i]] of v64 via a sparse table: O(n log n) build, two
+    overlapping power-of-two lookups per query. Rows are bucketed by
+    their window-length exponent so each level answers all its queries
+    with one fancy-index — this is what lets sliding-frame min/max
+    OVER (... ROWS BETWEEN ...) run columnar instead of on the row
+    oracle (reference: WindowTransform.cpp frame aggregation)."""
+    if len(a_g) == 0:
+        return np.empty(0, np.float64)
+    lens = b_g - a_g + 1  # every range non-empty by construction
+    k = np.floor(np.log2(lens)).astype(np.int64)
+    levels = [v64]
+    for j in range(1, int(k.max()) + 1):
+        prev = levels[-1]
+        step = 1 << (j - 1)
+        levels.append(op(prev[: len(prev) - step], prev[step:]))
+    res = np.empty(len(a_g), np.float64)
+    for j, tbl in enumerate(levels):
+        m = k == j
+        if m.any():
+            res[m] = op(tbl[a_g[m]], tbl[b_g[m] - (1 << j) + 1])
+    return res
+
+
 def _apply_window_items(runner, frame: Frame, n: int, win_items) -> Frame:
     """Vectorized window functions over the (joined, filtered) frame —
     the columnar counterpart of runner._apply_windows (the row oracle):
@@ -388,20 +413,26 @@ def _apply_window_items(runner, frame: Frame, n: int, win_items) -> Frame:
             cnt = np.maximum(b_rel - a_rel + 1, 0)
             if wc.func == "count":
                 res = cnt
-            elif wc.func in ("sum", "avg"):
-                if np.any(cnt == 0):
-                    # empty frames yield None (oracle) — rare corner,
-                    # keep the fast path simple
-                    raise Unsupported("empty ROWS frame")
-                prefix = np.cumsum(vals.astype(np.float64))
-                a_g = start_of + a_rel
-                b_g = start_of + b_rel
-                s = prefix[b_g] - np.where(a_g > 0, prefix[a_g - 1], 0.0)
-                res = s if wc.func == "sum" else s / cnt
             else:
-                # min/max over a sliding frame: no O(n) vectorized form
-                # without a monotonic-deque pass — row oracle handles it
-                raise Unsupported("min/max over ROWS frame")
+                ne = cnt > 0
+                a_g = (start_of + a_rel)[ne]
+                b_g = (start_of + b_rel)[ne]
+                v64 = vals.astype(np.float64)
+                if wc.func in ("sum", "avg"):
+                    prefix = np.cumsum(v64)
+                    s = prefix[b_g] - np.where(a_g > 0, prefix[a_g - 1], 0.0)
+                    body = s if wc.func == "sum" else s / cnt[ne]
+                else:
+                    op = np.minimum if wc.func == "min" else np.maximum
+                    body = _range_reduce(v64, a_g, b_g, op)
+                if ne.all():
+                    res = body
+                else:
+                    # frames entirely outside the partition (e.g. ROWS
+                    # BETWEEN 3 PRECEDING AND 2 PRECEDING near the
+                    # partition head) aggregate over zero rows -> None
+                    res = np.full(n, None, object)
+                    res[ne] = body
         elif wc.func == "count":
             res = size_of
         else:  # whole-partition sum/avg/min/max

@@ -127,3 +127,58 @@ def test_http_frontend(db, served):
                                           "vector": [0.0], "k": 1})
     finally:
         front.close()
+
+
+def test_http_batched_search_and_keepalive(db, served):
+    t, vecs = served
+    front = HttpFrontend(db, max_delay_ms=2.0)
+    try:
+        # batched form: M queries in one request/response (RTT amortized)
+        out = _post(
+            front.port,
+            "/search",
+            {"table": "t", "column": "vec",
+             "vectors": [vecs[3].tolist(), vecs[11].tolist()], "k": 2},
+        )
+        assert out["results"][0]["rows"][0] == 3
+        assert out["results"][1]["rows"][0] == 11
+        # HTTP/1.1 keep-alive: two requests over ONE connection
+        import http.client
+
+        conn = http.client.HTTPConnection("127.0.0.1", front.port, timeout=30)
+        for i in (5, 8):
+            body = json.dumps(
+                {"table": "t", "column": "vec", "vector": vecs[i].tolist(),
+                 "k": 1}
+            )
+            conn.request("POST", "/search", body,
+                         {"Content-Type": "application/json"})
+            r = conn.getresponse()
+            assert r.version == 11
+            assert json.loads(r.read())["rows"][0] == i
+        conn.close()
+    finally:
+        front.close()
+
+
+def test_adaptive_flush_tracks_bursts(db, served):
+    t, vecs = served
+    srv = SearchServer(db, max_batch=64, max_delay_ms=50.0)
+    try:
+        assert srv.adaptive_flush and srv._expected == 1
+        # a lone blocking client must not pay the 50 ms coalescing delay
+        import time
+
+        srv.search("t", "vec", vecs[0], 1)  # warm (compile + expected=1)
+        t0 = time.time()
+        out = srv.search("t", "vec", vecs[1], 1)
+        dt = time.time() - t0
+        assert out["rows"][0] == 1
+        assert dt < 0.05, f"single sync call waited the full delay ({dt:.3f}s)"
+        # a burst grows the tracker so later rounds wait for the full burst
+        futs = [srv.submit_search("t", "vec", vecs[i], 1) for i in range(16)]
+        for i, f in enumerate(futs):
+            assert f.result(timeout=30)["rows"][0] == i
+        assert srv._expected > 1
+    finally:
+        srv.close()

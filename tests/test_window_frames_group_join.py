@@ -51,6 +51,19 @@ WINDOW_QUERIES = [
     "SELECT id, sum(x) OVER (ORDER BY id "
     "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS t "
     "FROM w ORDER BY id LIMIT 20",
+    # min/max over sliding frames (sparse-table RMQ path)
+    "SELECT id, min(x) OVER (PARTITION BY grp ORDER BY id "
+    "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS m FROM w ORDER BY id LIMIT 50",
+    "SELECT id, max(x) OVER (PARTITION BY grp ORDER BY id "
+    "ROWS BETWEEN 1 PRECEDING AND 3 FOLLOWING) AS m FROM w ORDER BY id LIMIT 50",
+    "SELECT id, min(x) OVER (ORDER BY id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m FROM w "
+    "ORDER BY id LIMIT 30",
+    # frames that are empty near the partition head/tail -> None
+    "SELECT id, sum(x) OVER (PARTITION BY grp ORDER BY id "
+    "ROWS BETWEEN 3 PRECEDING AND 2 PRECEDING) AS s FROM w ORDER BY id LIMIT 50",
+    "SELECT id, max(x) OVER (ORDER BY id "
+    "ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS m FROM w ORDER BY id LIMIT 20",
     # lag / lead
     "SELECT id, lag(x) OVER (PARTITION BY grp ORDER BY id) AS p "
     "FROM w ORDER BY id LIMIT 50",
@@ -110,6 +123,10 @@ def test_window_plain_table_uses_columnar(tbl, monkeypatch):
     monkeypatch.setattr(columnar, "run_composite", spy)
     db.sql(WINDOW_QUERIES[0])
     assert called["hit"]
+    # sliding min/max no longer falls back to the row oracle
+    called.clear()
+    db.sql(WINDOW_QUERIES[4])
+    assert "min(x) OVER" in WINDOW_QUERIES[4] and called["hit"]
 
 
 def test_group_by_join_columnar_matches_oracle(tbl, monkeypatch):
