@@ -251,12 +251,31 @@ def enable_compile_cache(root_dir: str) -> None:
     platform+machine: AOT artifacts are NOT portable across CPU feature
     sets (XLA warns of SIGILL), so a checkout shared between hosts must
     not share cache entries. One helper for tests/bench/driver entry."""
+    import hashlib
     import os
     import platform
 
     import jax
 
-    tag = f"{platform.machine()}-{platform.node()}"
+    # hostname is NOT a sufficient key: identically-named VMs migrate
+    # across physical hosts with different CPU feature sets, and XLA:CPU
+    # AOT artifacts from a host with (say) avx512/amx load here with a
+    # machine-mismatch warning — at best different FP reduction order
+    # (observed: the same HNSW build producing a different graph
+    # depending on which cache entries hit), at worst SIGILL. Fold the
+    # actual CPU feature flags into the tag.
+    feat = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feat = hashlib.sha256(
+                        " ".join(sorted(line.split(":", 1)[1].split())).encode()
+                    ).hexdigest()[:10]
+                    break
+    except OSError:
+        pass
+    tag = f"{platform.machine()}-{platform.node()}-{feat}"
     try:
         jax.config.update(
             "jax_compilation_cache_dir",

@@ -134,11 +134,16 @@ def test_hnsw_entries_param_and_scaling(rng):
     assert out == {"ef_s": 32, "entries": 16}
 
 
-def test_hnsw_cosine_scores_match_exact_scan(db, rng):
+def test_hnsw_cosine_scores_match_exact_scan(db):
     """Raw-codec cosine re-scores must be numerically consistent with the
     exact tile scan over the same payload (round 3 normalized-then-bf16
     storage skewed the same row's distance by ~2^-8 relative, capping
-    measured recall at ~0.95 regardless of ef)."""
+    measured recall at ~0.95 regardless of ef).
+
+    Own seeded rng: the shared session-scoped fixture's state depends on
+    which tests ran before this one, and the overlap floor below is
+    tight enough that selection-dependent draws flipped it."""
+    rng = np.random.default_rng(0xC0FFEE)
     n, d, k = 20_000, 64, 10
     st = ms.Settings()
     st.table.min_rows_to_build_vector_index = 1
