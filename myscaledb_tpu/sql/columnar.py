@@ -340,6 +340,40 @@ def _range_reduce(v64, a_g, b_g, op) -> np.ndarray:
     return res
 
 
+def _range_frame_bounds(frame, wc, order, ps, start_of, size_of, n):
+    """Inclusive global [a_g, b_g] for a RANGE frame (bounds are VALUES
+    on the single ORDER BY key; bound 0 = peer group). Vectorized via
+    ONE global searchsorted: each partition's (per-partition ascending)
+    keys get a per-partition shift large enough that the composite key
+    is globally nondecreasing and a row's value band never crosses into
+    a neighboring partition; falls back to the row oracle when the
+    shift would lose float64 precision."""
+    lo, hi = wc.frame
+    col0, d0 = wc.order_by[0]
+    keys = _col(frame, col0)
+    if keys.ndim != 1 or keys.dtype.kind not in "iuf":
+        raise Unsupported("RANGE frame key must be a numeric column")
+    keys = keys[order].astype(np.float64)
+    if d0 == "desc":
+        keys = -keys
+    if n and not np.isfinite(keys).all():
+        raise Unsupported("non-finite RANGE key")
+    span = float(keys.max() - keys.min()) if n else 0.0
+    unit = span + abs(lo or 0) + abs(hi or 0) + 1.0
+    g = keys + ps * unit
+    if not np.isfinite(g).all() or np.any(np.diff(g) < 0):
+        raise Unsupported("RANGE composite key lost precision")
+    a_g = (
+        start_of if lo is None
+        else np.searchsorted(g, g + lo, side="left")
+    )
+    b_g = (
+        start_of + size_of - 1 if hi is None
+        else np.searchsorted(g, g + hi, side="right") - 1
+    )
+    return np.maximum(a_g, start_of), np.minimum(b_g, start_of + size_of - 1)
+
+
 def _apply_window_items(runner, frame: Frame, n: int, win_items) -> Frame:
     """Vectorized window functions over the (joined, filtered) frame —
     the columnar counterpart of runner._apply_windows (the row oracle):
@@ -402,21 +436,28 @@ def _apply_window_items(runner, frame: Frame, n: int, win_items) -> Frame:
                 res = np.where(valid, vals[src], wc.default)
         elif wc.frame is not None:
             lo, hi = wc.frame
-            a_rel = (
-                np.zeros(n, np.int64) if lo is None
-                else np.maximum(pos + lo, 0)
-            )
-            b_rel = (
-                size_of - 1 if hi is None
-                else np.minimum(pos + hi, size_of - 1)
-            )
-            cnt = np.maximum(b_rel - a_rel + 1, 0)
+            if wc.frame_mode == "range":
+                a_g_all, b_g_all = _range_frame_bounds(
+                    frame, wc, order, ps, start_of, size_of, n
+                )
+            else:
+                a_rel = (
+                    np.zeros(n, np.int64) if lo is None
+                    else np.maximum(pos + lo, 0)
+                )
+                b_rel = (
+                    size_of - 1 if hi is None
+                    else np.minimum(pos + hi, size_of - 1)
+                )
+                a_g_all = start_of + a_rel
+                b_g_all = start_of + b_rel
+            cnt = np.maximum(b_g_all - a_g_all + 1, 0)
             if wc.func == "count":
                 res = cnt
             else:
                 ne = cnt > 0
-                a_g = (start_of + a_rel)[ne]
-                b_g = (start_of + b_rel)[ne]
+                a_g = a_g_all[ne]
+                b_g = b_g_all[ne]
                 v64 = vals.astype(np.float64)
                 if wc.func in ("sum", "avg"):
                     prefix = np.cumsum(v64)

@@ -246,10 +246,16 @@ class WindowCall:
     arg: Optional[str]  # aggregated column (None for ranking funcs/count)
     partition_by: Optional[str]
     order_by: List[Tuple[str, str]]  # [(column, asc|desc)]
-    # ROWS BETWEEN frame as (lo, hi) row offsets relative to the current
-    # row (negative = preceding); None bound = unbounded. None frame =
-    # the whole partition (this engine's pre-existing default).
+    # ROWS/RANGE BETWEEN frame as (lo, hi) offsets relative to the
+    # current row (negative = preceding); None bound = unbounded.
+    # frame_mode "rows": offsets count rows. "range": offsets are VALUES
+    # added to the (single) ORDER BY key; bound 0 = the peer group.
+    # None frame = whole partition for aggregates WITHOUT ORDER BY;
+    # aggregates WITH ORDER BY default to RANGE UNBOUNDED PRECEDING AND
+    # CURRENT ROW — the running-aggregate-over-peers default the
+    # reference inherits (WindowTransform.cpp default frame).
     frame: Optional[Tuple[Optional[int], Optional[int]]] = None
+    frame_mode: str = "rows"
     offset: int = 1  # lag/lead row offset
     default: Any = None  # lag/lead out-of-partition fill
 
@@ -1013,17 +1019,20 @@ class Parser:
         t = self.peek()
         return t.kind == "name" and t.lower() == "over"
 
-    def _frame_bound(self, is_start: bool) -> Optional[int]:
-        """One ROWS BETWEEN bound -> row offset (None = unbounded)."""
+    def _frame_bound(self, is_start: bool, mode: str = "rows"):
+        """One ROWS/RANGE BETWEEN bound -> offset (None = unbounded).
+        ROWS offsets are row counts (int); RANGE offsets are values added
+        to the ORDER BY key (int or float)."""
         if self.accept_kw("unbounded"):
             self.expect_kw("preceding" if is_start else "following")
             return None
         if self.accept_kw("current", "row"):
             return 0
         t = self.peek()
-        if t.kind != "int":
+        if t.kind != "int" and not (mode == "range" and t.kind == "float"):
             self.error("expected UNBOUNDED, CURRENT ROW, or <n> in frame")
-        n = int(self.next().value)
+        v = self.next().value
+        n = float(v) if "." in str(v) else int(v)
         if self.accept_kw("preceding"):
             return -n
         self.expect_kw("following")
@@ -1053,11 +1062,25 @@ class Parser:
                     break
         frame = None
         if self.accept_kw("rows", "between"):
-            lo = self._frame_bound(True)
+            fmode = "rows"
+        elif self.accept_kw("range", "between"):
+            fmode = "range"
+        else:
+            fmode = None
+        if fmode is not None:
+            lo = self._frame_bound(True, fmode)
             self.expect_kw("and")
-            hi = self._frame_bound(False)
+            hi = self._frame_bound(False, fmode)
             if lo is not None and hi is not None and lo > hi:
                 self.error("frame start is after frame end")
+            if fmode == "range":
+                if not ob:
+                    self.error("RANGE frame requires ORDER BY inside OVER()")
+                if len(ob) > 1 and ((lo not in (None, 0)) or (hi not in (None, 0))):
+                    self.error(
+                        "RANGE frame with value offsets requires exactly "
+                        "one ORDER BY column"
+                    )
             frame = (lo, hi)
         self.expect_op(")")
         if func in ("rank", "dense_rank", "lag", "lead") and not ob:
@@ -1066,11 +1089,16 @@ class Parser:
             "row_number", "rank", "dense_rank", "lag", "lead"
         ):
             self.error(f"{func}() does not accept a frame clause")
-        alias = None
-        if self.accept_kw("as"):
-            alias = self.expect_name()
+        if frame is None and ob and func in ("count", "sum", "avg", "min", "max"):
+            # the reference's inherited default frame for aggregates with
+            # ORDER BY: RANGE UNBOUNDED PRECEDING AND CURRENT ROW — a
+            # running aggregate over the peer group (WindowTransform.cpp)
+            frame, fmode = (None, 0), "range"
         return SelectItem(
-            WindowCall(func, arg, part, ob, frame, offset, default), alias
+            WindowCall(
+                func, arg, part, ob, frame, fmode or "rows", offset, default
+            ),
+            self.expect_name() if self.accept_kw("as") else None,
         )
 
     def _select_body(self) -> Select:

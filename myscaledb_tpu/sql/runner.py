@@ -1009,9 +1009,20 @@ class SQLRunner:
                 if wc.partition_by:
                     cols.append(wc.partition_by)
                 cols.extend(n for n, _ in wc.order_by)
+        extra_sort_cols = []
         for e, _ in st.order_by or []:
             if isinstance(e, P.ScalarExpr):
                 _scalar_cols(e.node, cols)
+            elif (
+                isinstance(e, str)
+                and e not in cols
+                and e in t.schema.scalar_columns()
+            ):
+                # ORDER BY a non-selected column: fetch it for the sort,
+                # strip it again right after (before DISTINCT, which
+                # hashes whole rows)
+                cols.append(e)
+                extra_sort_cols.append(e)
         cols = list(dict.fromkeys(cols))
         if st.having is not None and not agg_items:
             raise SQLError("HAVING requires aggregation")
@@ -1059,6 +1070,9 @@ class SQLRunner:
                         _eval_scalar(it.expr.node, r)
                     )
             _sort_rows(rows, st.order_by)
+        for c in extra_sort_cols:
+            for r in rows:
+                r.pop(c, None)
         if st.distinct:
             rows = _distinct_rows(rows)
         lo = st.offset
@@ -1484,7 +1498,11 @@ def _window_name(wc: "P.WindowCall") -> str:
         parts.append(
             "ORDER BY " + ", ".join(f"{n} {d}" for n, d in wc.order_by)
         )
-    if wc.frame is not None:
+    default_range = wc.frame_mode == "range" and wc.frame == (None, 0)
+    if wc.frame is not None and not default_range:
+        # the implicit with-ORDER-BY default (RANGE UNBOUNDED PRECEDING
+        # AND CURRENT ROW) stays out of generated column names — the
+        # user never typed it
         def b(v, side):
             if v is None:
                 return f"UNBOUNDED {side}"
@@ -1492,7 +1510,7 @@ def _window_name(wc: "P.WindowCall") -> str:
                 return "CURRENT ROW"
             return f"{abs(v)} {'PRECEDING' if v < 0 else 'FOLLOWING'}"
         parts.append(
-            f"ROWS BETWEEN {b(wc.frame[0], 'PRECEDING')} "
+            f"{wc.frame_mode.upper()} BETWEEN {b(wc.frame[0], 'PRECEDING')} "
             f"AND {b(wc.frame[1], 'FOLLOWING')}"
         )
     return f"{wc.func}({inner}) OVER ({' '.join(parts)})"
@@ -1555,9 +1573,41 @@ def _apply_windows(rows: List[Dict[str, Any]], items) -> None:
                     )
             elif wc.frame is not None:
                 lo, hi = wc.frame
+                if wc.frame_mode == "range":
+                    # bounds are VALUES on the (single) ORDER BY key;
+                    # bound 0 = the current row's peer group. Keys are
+                    # ascending in sort direction — negate desc keys so
+                    # bisect sees an ascending list either way.
+                    col0, d0 = wc.order_by[0]
+                    sgn = -1.0 if d0 == "desc" else 1.0
+                    try:
+                        keys = [sgn * float(rows[j].get(col0)) for j in idxs]
+                    except (TypeError, ValueError):
+                        raise SQLError(
+                            "RANGE frame requires a numeric ORDER BY key"
+                        )
+                    import bisect
+
+                    bounds = [
+                        (
+                            0 if lo is None
+                            else bisect.bisect_left(keys, keys[pos] + lo),
+                            len(idxs) if hi is None
+                            else bisect.bisect_right(keys, keys[pos] + hi),
+                        )
+                        for pos in range(len(idxs))
+                    ]
+                else:
+                    bounds = [
+                        (
+                            0 if lo is None else max(0, pos + lo),
+                            len(idxs) if hi is None
+                            else min(len(idxs), pos + hi + 1),
+                        )
+                        for pos in range(len(idxs))
+                    ]
                 for pos, i in enumerate(idxs):
-                    a = 0 if lo is None else max(0, pos + lo)
-                    b = len(idxs) if hi is None else min(len(idxs), pos + hi + 1)
+                    a, b = bounds[pos]
                     window = idxs[a:b] if b > a else []
                     if wc.func == "count":
                         rows[i][name] = len(window)

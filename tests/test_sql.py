@@ -64,6 +64,17 @@ def test_distance_requires_limit(sdb):
         sdb.sql("SELECT id, distance(vec, [1.0,1,1,1,1,1,1,1]) AS d FROM docs ORDER BY d")
 
 
+def test_order_by_non_selected_column(sdb):
+    """ORDER BY a column absent from the SELECT list: fetched for the
+    sort, stripped from the output (standard SQL; the row path used to
+    sort on missing keys)."""
+    rows = sdb.sql("SELECT body FROM docs ORDER BY price DESC LIMIT 2")
+    assert [set(r) for r in rows] == [{"body"}, {"body"}]
+    assert rows[0]["body"] == "quiet night sky"  # highest price
+    rows = sdb.sql("SELECT DISTINCT body FROM docs ORDER BY id LIMIT 2")
+    assert [r["body"] for r in rows] == ["red fox jumps", "lazy dog sleeps"]
+
+
 def test_order_by_direction_check(sdb):
     with pytest.raises(ms.QueryShapeError):
         sdb.sql(

@@ -51,6 +51,24 @@ WINDOW_QUERIES = [
     "SELECT id, sum(x) OVER (ORDER BY id "
     "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS t "
     "FROM w ORDER BY id LIMIT 20",
+    # default frame with ORDER BY = running aggregate over peers
+    # (RANGE UNBOUNDED PRECEDING AND CURRENT ROW, the reference default)
+    "SELECT id, sum(x) OVER (PARTITION BY grp ORDER BY id) AS s FROM w "
+    "ORDER BY id LIMIT 50",
+    "SELECT id, avg(x) OVER (ORDER BY grp) AS a FROM w ORDER BY id LIMIT 50",
+    # explicit RANGE frames (value offsets on the ORDER BY key; peers)
+    "SELECT id, count() OVER (ORDER BY x "
+    "RANGE BETWEEN 0.5 PRECEDING AND 0.5 FOLLOWING) AS c FROM w "
+    "ORDER BY id LIMIT 50",
+    "SELECT id, sum(x) OVER (PARTITION BY grp ORDER BY id "
+    "RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) AS s FROM w "
+    "ORDER BY id LIMIT 50",
+    "SELECT id, min(x) OVER (PARTITION BY grp ORDER BY id DESC "
+    "RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) AS m FROM w "
+    "ORDER BY id LIMIT 50",
+    "SELECT id, max(x) OVER (ORDER BY id "
+    "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m FROM w "
+    "ORDER BY id LIMIT 30",
     # min/max over sliding frames (sparse-table RMQ path)
     "SELECT id, min(x) OVER (PARTITION BY grp ORDER BY id "
     "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS m FROM w ORDER BY id LIMIT 50",
@@ -124,9 +142,10 @@ def test_window_plain_table_uses_columnar(tbl, monkeypatch):
     db.sql(WINDOW_QUERIES[0])
     assert called["hit"]
     # sliding min/max no longer falls back to the row oracle
+    q_min = next(q for q in WINDOW_QUERIES if "min(x) OVER (PARTITION" in q)
     called.clear()
-    db.sql(WINDOW_QUERIES[4])
-    assert "min(x) OVER" in WINDOW_QUERIES[4] and called["hit"]
+    db.sql(q_min)
+    assert called["hit"]
 
 
 def test_group_by_join_columnar_matches_oracle(tbl, monkeypatch):
@@ -166,6 +185,49 @@ def test_lag_default_and_bounds(tbl):
         "ORDER BY id DESC LIMIT 1"
     )
     assert rows[0]["nx"] is None  # last row has no lead
+
+
+def test_range_frame_semantics(db):
+    """Hand-checked RANGE semantics: peers share one value; value
+    offsets select by key distance, not row distance."""
+    t = db.create_table(
+        "rr", ms.Schema({"id": ms.UInt64(), "k": ms.UInt64(), "x": ms.Float32()})
+    )
+    t.insert(
+        {
+            "id": np.arange(6, dtype=np.uint64),
+            "k": np.asarray([1, 1, 2, 5, 5, 9], np.uint64),
+            "x": np.asarray([1, 2, 4, 8, 16, 32], np.float32),
+        }
+    )
+    # running sum over peers: k=1 rows both see 1+2; k=5 rows both see 31
+    rows = db.sql("SELECT id, sum(x) OVER (ORDER BY k) AS s FROM rr ORDER BY id")
+    assert [r["s"] for r in rows] == [3.0, 3.0, 7.0, 31.0, 31.0, 63.0]
+    # value offsets: k within +-1 of the current key
+    rows = db.sql(
+        "SELECT id, count() OVER (ORDER BY k "
+        "RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS c FROM rr ORDER BY id"
+    )
+    assert [r["c"] for r in rows] == [3, 3, 3, 2, 2, 1]
+    # empty value band -> None for aggregates
+    rows = db.sql(
+        "SELECT id, sum(x) OVER (ORDER BY k "
+        "RANGE BETWEEN 3 PRECEDING AND 2 PRECEDING) AS s FROM rr ORDER BY id"
+    )
+    assert rows[0]["s"] is None and rows[3]["s"] == 4.0
+
+
+def test_range_frame_validation(tbl):
+    with pytest.raises(SQLError):
+        tbl.sql(
+            "SELECT sum(x) OVER (RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) "
+            "AS s FROM w"
+        )
+    with pytest.raises(SQLError):
+        tbl.sql(
+            "SELECT sum(x) OVER (ORDER BY id, grp "
+            "RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS s FROM w"
+        )
 
 
 def test_frame_validation_errors(tbl):
