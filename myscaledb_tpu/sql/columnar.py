@@ -405,7 +405,12 @@ def _apply_window_items(runner, frame: Frame, n: int, win_items) -> Frame:
         pos = np.arange(n) - start_of
         vals = None
         if wc.arg is not None:
-            vals = _col(frame, wc.arg)
+            if isinstance(wc.arg, tuple):  # scalar-expression argument
+                vals = np.asarray(_eval_scalar(wc.arg, frame, n))
+                if vals.ndim == 0:
+                    vals = np.full(n, vals[()])
+            else:
+                vals = _col(frame, wc.arg)
             if vals.dtype == object:
                 raise Unsupported("object-typed window argument")
             vals = vals[order]

@@ -1164,13 +1164,21 @@ class Parser:
             ):
                 fname = self.next().lower()
                 self.expect_op("(")
-                acol = self.expect_name()
+                # full scalar expression as the argument; a plain column
+                # keeps its historical string form
+                anode = self._scalar_expr()
                 self.expect_op(")")
+                acol = anode[1] if anode[0] == "col" else anode
                 if self._at_over():
                     if fname not in ("sum", "avg", "min", "max"):
                         self.error(f"{fname}() is not a window function")
                     items.append(self._window_item(fname, acol))
                 else:
+                    if anode[0] != "col":
+                        self.error(
+                            f"{fname}() over an expression is only "
+                            "supported as a window function"
+                        )
                     alias = None
                     if self.accept_kw("as"):
                         alias = self.expect_name()

@@ -1004,7 +1004,9 @@ class SQLRunner:
                 _scalar_cols(it.expr.node, cols)
             elif isinstance(it.expr, P.WindowCall):
                 wc = it.expr
-                if wc.arg:
+                if isinstance(wc.arg, tuple):
+                    _scalar_cols(wc.arg, cols)
+                elif wc.arg:
                     cols.append(wc.arg)
                 if wc.partition_by:
                     cols.append(wc.partition_by)
@@ -1485,8 +1487,17 @@ def _pred_columns(expr, out: set) -> None:
             _pred_columns(a, out)
 
 
+def _warg(r: Dict[str, Any], arg):
+    """One window-argument value for a row: plain column get, or a
+    scalar-expression evaluation (sum(x * 2) OVER ... forms)."""
+    return _eval_scalar(arg, r) if isinstance(arg, tuple) else r.get(arg)
+
+
 def _window_name(wc: "P.WindowCall") -> str:
-    inner = wc.arg or ("*" if wc.func == "count" else "")
+    inner = (
+        _render_scalar(wc.arg) if isinstance(wc.arg, tuple)
+        else wc.arg or ("*" if wc.func == "count" else "")
+    )
     if wc.func in ("lag", "lead") and (wc.offset != 1 or wc.default is not None):
         inner = f"{inner}, {wc.offset}"
         if wc.default is not None:
@@ -1613,13 +1624,13 @@ def _apply_windows(rows: List[Dict[str, Any]], items) -> None:
                         rows[i][name] = len(window)
                     else:
                         rows[i][name] = _win_agg(
-                            wc.func, [rows[j].get(wc.arg) for j in window]
+                            wc.func, [_warg(rows[j], wc.arg) for j in window]
                         )
             elif wc.func == "count":
                 for i in idxs:
                     rows[i][name] = len(idxs)
             else:
-                agg = _win_agg(wc.func, [rows[i].get(wc.arg) for i in idxs])
+                agg = _win_agg(wc.func, [_warg(rows[i], wc.arg) for i in idxs])
                 for i in idxs:
                     rows[i][name] = agg
 

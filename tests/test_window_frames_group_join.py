@@ -69,6 +69,12 @@ WINDOW_QUERIES = [
     "SELECT id, max(x) OVER (ORDER BY id "
     "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m FROM w "
     "ORDER BY id LIMIT 30",
+    # scalar expressions as window arguments
+    "SELECT id, sum(x * 2) OVER (PARTITION BY grp ORDER BY id) AS s "
+    "FROM w ORDER BY id LIMIT 50",
+    "SELECT id, max(x + id) OVER (PARTITION BY grp ORDER BY id "
+    "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS m FROM w "
+    "ORDER BY id LIMIT 50",
     # min/max over sliding frames (sparse-table RMQ path)
     "SELECT id, min(x) OVER (PARTITION BY grp ORDER BY id "
     "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS m FROM w ORDER BY id LIMIT 50",
