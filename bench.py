@@ -383,8 +383,12 @@ def main():
     hnsw1m_build_s = time.time() - t6b
     _progress(f"1M x 960 hnsw built ({hnsw1m_build_s:.1f}s)")
     hnsw1m_curve = []
-    for ef in (50, 100, 400):
-        res_ef = [t5b.search("vec", qb, k=K, params={"ef_s": ef},
+    # grid = the reference ef_s points, plus one wide-rerank operating
+    # point: the default exact re-rank pool is 2*ef; 4*ef buys the last
+    # strict-id tail on near-tie blob corpora (~0.98 ids at ef 400)
+    for ef, rr in ((50, None), (100, None), (400, None), (400, 1600)):
+        p = {"ef_s": ef} if rr is None else {"ef_s": ef, "rerank": rr}
+        res_ef = [t5b.search("vec", qb, k=K, params=p,
                              settings=st_graph) for qb in b3]
         d3s = np.concatenate([r.distances for r in res_ef])
         rows3 = np.concatenate([np.asarray(r.rows) for r in res_ef])
@@ -395,16 +399,20 @@ def main():
             for i in range(len(rows3))
         ]))
         q_best, q_med = measure_qps(
-            lambda qb: t5b.search("vec", qb, k=K, params={"ef_s": ef},
+            lambda qb: t5b.search("vec", qb, k=K, params=p,
                                   settings=st_graph),
             b3, NQ3, repeats=2,
         )
-        hnsw1m_curve.append({"ef_s": ef, "recall": round(r, 4),
-                             "recall_ids": round(rid, 4),
-                             "qps": round(q_best),
-                             "qps_median": round(q_med)})
+        point = {"ef_s": ef, "recall": round(r, 4),
+                 "recall_ids": round(rid, 4),
+                 "qps": round(q_best),
+                 "qps_median": round(q_med)}
+        if rr is not None:
+            point["rerank"] = rr
+        hnsw1m_curve.append(point)
         _progress(
-            f"1M hnsw ef_s={ef} recall={r:.4f} (ids {rid:.4f}) "
+            f"1M hnsw ef_s={ef}{f' rerank={rr}' if rr else ''} "
+            f"recall={r:.4f} (ids {rid:.4f}) "
             f"qps={q_best:.0f} (med {q_med:.0f})"
         )
     db.drop_table("bench_gist1m")

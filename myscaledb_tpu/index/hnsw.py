@@ -81,6 +81,9 @@ SCAN_BYTES_PER_S = 200e9  # effective exact-scan rate (bench r2: 204 GB/s)
 SCAN_FIXED_S = 3e-4  # tile-scan top-k/merge overhead per launch
 ITER_FIXED_S = 4.5e-4  # per-frontier-iteration fixed cost
 ITER_PER_QUERY_S = 1.4e-5  # per-query marginal cost per iteration
+# Final-cut exact re-score: bound on the decoded-f32 gather transient
+# [Q, chunk, D]; wide rerank pools re-score in chunks under this cap.
+RESCORE_TRANSIENT_CAP = 256 * 1024 * 1024
 
 
 def scan_beats_graph(nq: int, ef: int, scan_bytes: int) -> bool:
@@ -792,14 +795,19 @@ class _HNSWBase(VectorIndex):
         escores = jnp.take_along_axis(escores, pos0, axis=1)
         erows = jnp.take_along_axis(erows, pos0, axis=1)
         tril = jnp.asarray(np.tril(np.ones((BEAM, BEAM), bool), -1))
-        # result-pool width = ef: the pool accumulates the best ef
+        # result-pool width: the pool accumulates the best `rerank`
         # traverse-scored candidates seen across ALL iterations (the
         # frontier alone forgets anything it cut), and the final cut
         # re-scores pool ∪ frontier EXACTLY. At 2k (round 3) dense
         # near-tie corpora lost true top-10 rows that the int8/PCA
         # traversal misranked past the frontier edge: 1M x 960 strict
-        # recall@10 was 0.96 at ef 400 with rp=2k.
-        rp = max(k, ef)
+        # recall@10 was 0.96 at ef 400 with rp=2k. Default 2*ef: the
+        # int8/PCA-256 traversal misorders near-ties (~0.5% score bands),
+        # so true top-k rows the walk DID score can sit past the ef-th
+        # traverse rank; a wider pool recovers them at the exact re-score
+        # for one extra chunked gather, no extra loop iterations (the
+        # strict-id recall fix at 1M x 960 blob corpora).
+        rp = max(k, int(p.get("rerank", 0)) or 2 * ef)
         pad = ef - n_entry if ef > n_entry else 0
         fv = jnp.pad(escores, ((0, 0), (0, pad)), constant_values=NEG_INF)[:, :ef]
         fr = jnp.pad(erows, ((0, 0), (0, pad)), constant_values=-1)[:, :ef]
@@ -887,13 +895,30 @@ class _HNSWBase(VectorIndex):
             0, iters, body, (fv, fr, fe, rv, rr, known)
         )
         # final cut: pool ∪ frontier, dedup by row id, EXACT re-score
-        # (raw payload / codec — traversal used int8 approximations)
+        # (raw payload / codec — traversal used int8 approximations).
+        # The re-score gathers [Q, W, D] decoded f32 — chunk the pool so
+        # the transient stays bounded at wide rerank pools (a 2k-wide
+        # pool at Q=256, D=960 would otherwise materialize ~2 GB).
         pool_r = jnp.concatenate([rr, fr], axis=1)
         pool_v = jnp.concatenate([rv, res_mask(fr, fv)], axis=1)
         _, pr, _ = dedup_rows(pool_v, pool_r, None)
-        ev = res_mask(pr, self._score_rows(q_parts, pr))  # exact re-score
-        rv, pos = jax.lax.top_k(ev, k)
-        rr = jnp.take_along_axis(pr, pos, axis=1)
+        W = pr.shape[1]
+        cap = RESCORE_TRANSIENT_CAP // max(1, nq * self.dim * 4)
+        if W <= max(cap, k):
+            ev = res_mask(pr, self._score_rows(q_parts, pr))
+            rv, pos = jax.lax.top_k(ev, k)
+            rr = jnp.take_along_axis(pr, pos, axis=1)
+        else:
+            step = max(k, cap, 128)
+            rv = jnp.full((nq, k), NEG_INF, jnp.float32)
+            rr = jnp.full((nq, k), -1, pr.dtype)
+            for s in range(0, W, step):
+                chunk = pr[:, s : s + step]
+                evc = res_mask(chunk, self._score_rows(q_parts, chunk))
+                cv = jnp.concatenate([rv, evc], axis=1)
+                cr = jnp.concatenate([rr, chunk], axis=1)
+                rv, pos = jax.lax.top_k(cv, k)
+                rr = jnp.take_along_axis(cr, pos, axis=1)
         rr = jnp.where(jnp.isfinite(rv), rr, -1)
         return rv, rr
 

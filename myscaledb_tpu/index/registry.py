@@ -55,14 +55,17 @@ VALID_SEARCH_PARAMS: Dict[IndexKind, Dict[str, tuple]] = {
     IndexKind.HNSWFLAT: {
         "ef_s": (int, lambda v: v >= 1),
         "entries": (int, lambda v: v >= 1),
+        "rerank": (int, lambda v: v >= 1),
     },
     IndexKind.HNSWPQ: {
         "ef_s": (int, lambda v: v >= 1),
         "entries": (int, lambda v: v >= 1),
+        "rerank": (int, lambda v: v >= 1),
     },
     IndexKind.HNSWSQ: {
         "ef_s": (int, lambda v: v >= 1),
         "entries": (int, lambda v: v >= 1),
+        "rerank": (int, lambda v: v >= 1),
     },
     IndexKind.MSTG: {
         "alpha": ((int, float), lambda v: v > 0),

@@ -134,6 +134,49 @@ def test_hnsw_entries_param_and_scaling(rng):
     assert out == {"ef_s": 32, "entries": 16}
 
 
+def test_hnsw_rerank_pool_param(rng):
+    """`rerank` widens the exact re-score pool past the traversal's ef
+    cut (near-tie corpora misrank past the pool edge in int8/PCA space);
+    wider pools never lose recall, and the chunked re-score path (pool
+    wider than the transient cap) returns identical results."""
+    from myscaledb_tpu.index import hnsw as H
+
+    n, d, k = 6_000, 24, 10
+    seg, vecs = _make(rng, n, d)
+    idx = HNSWFlatIndex.build(
+        seg.vector("vec"), n, metric=Metric.L2, dim=d,
+        params={"m": 8, "ef_c": 40},
+    )
+    dpad = seg.vector("vec").data.shape[1]
+    q = jnp.asarray(
+        np.pad(vecs[:8], ((0, 0), (0, dpad - d))).astype(np.float32)
+    )
+    s = ((vecs[:8, None] - vecs[None]) ** 2).sum(-1)
+    want = np.argsort(s, 1)[:, :k]
+    _, r1 = idx.search(q, k, params={"ef_s": 64, "rerank": 64})
+    _, r2 = idx.search(q, k, params={"ef_s": 64, "rerank": 512})
+    assert _recall(r2, want) >= _recall(r1, want)
+    # chunked exact re-score (cap forces multiple gather chunks): same
+    # quality, valid deduped rows
+    old = H.RESCORE_TRANSIENT_CAP
+    try:
+        H.RESCORE_TRANSIENT_CAP = 8 * 128 * dpad * 4  # step = 128
+        _, r3 = idx.search(q, k, params={"ef_s": 64, "rerank": 513})
+    finally:
+        H.RESCORE_TRANSIENT_CAP = old
+    assert _recall(r3, want) >= _recall(r1, want)
+    for row in np.asarray(r3):
+        live = row[row >= 0]
+        assert len(set(live.tolist())) == len(live)
+    # registry validation
+    from myscaledb_tpu.index.registry import validate_search_params
+    from myscaledb_tpu.index.base import IndexKind
+
+    assert validate_search_params(
+        IndexKind.HNSWFLAT, {"ef_s": 32, "rerank": 128}
+    ) == {"ef_s": 32, "rerank": 128}
+
+
 def test_hnsw_cosine_scores_match_exact_scan(db):
     """Raw-codec cosine re-scores must be numerically consistent with the
     exact tile scan over the same payload (round 3 normalized-then-bf16
