@@ -1142,11 +1142,12 @@ class Parser:
                 and self.peek(1).kind == "op"
                 and self.peek(1).value == "("
             ):
-                # lag(col[, n[, default]]) OVER (...) — WindowTransform's
-                # lagInFrame/leadInFrame family
+                # lag(col_or_expr[, n[, default]]) OVER (...) —
+                # WindowTransform's lagInFrame/leadInFrame family
                 fname = self.next().lower()
                 self.expect_op("(")
-                acol = self._qual_name()
+                anode = self._scalar_expr()
+                acol = anode[1] if anode[0] == "col" else anode
                 off, dflt = 1, None
                 if self.accept_op(","):
                     off = self.literal()

@@ -1578,7 +1578,7 @@ def _apply_windows(rows: List[Dict[str, Any]], items) -> None:
                 for pos, i in enumerate(idxs):
                     j = pos - wc.offset if wc.func == "lag" else pos + wc.offset
                     rows[i][name] = (
-                        rows[idxs[j]].get(wc.arg)
+                        _warg(rows[idxs[j]], wc.arg)
                         if 0 <= j < len(idxs)
                         else wc.default
                     )

@@ -70,6 +70,8 @@ WINDOW_QUERIES = [
     "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m FROM w "
     "ORDER BY id LIMIT 30",
     # scalar expressions as window arguments
+    "SELECT id, lag(x * 10, 1, 0) OVER (PARTITION BY grp ORDER BY id) AS p "
+    "FROM w ORDER BY id LIMIT 50",
     "SELECT id, sum(x * 2) OVER (PARTITION BY grp ORDER BY id) AS s "
     "FROM w ORDER BY id LIMIT 50",
     "SELECT id, max(x + id) OVER (PARTITION BY grp ORDER BY id "
