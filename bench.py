@@ -357,7 +357,12 @@ def main():
     # --- 1M x 960 graph build + curve (the regime the graph exists for:
     # multi-GB corpora where the cost model prefers traversal at small
     # batches; round-3 verdict missing #1 demanded this point) ---
+    # free HBM before the 1M x 960 graph: its node-block payload alone is
+    # ~8 GB (1M x m32 x 256 int8); with the config-1/2 tables still
+    # resident the first 1M search OOMs on a 16 GB chip
     db.drop_table("bench_gist")
+    db.drop_table("bench")
+    del table, seg, t2, gt2_res, res_ef  # drop device-array refs too
     NB, DB_ = 1_000_000, 960
     corpus3 = make_corpus(NB, DB_, seed=8)
     t5b = db.create_table(

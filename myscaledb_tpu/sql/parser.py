@@ -258,6 +258,9 @@ class WindowCall:
     frame_mode: str = "rows"
     offset: int = 1  # lag/lead row offset
     default: Any = None  # lag/lead out-of-partition fill
+    # OVER w: unresolved named-window reference, filled in from the
+    # statement's WINDOW clause once it parses (None after resolution)
+    ref: Optional[str] = None
 
 
 @dataclasses.dataclass
@@ -1038,12 +1041,11 @@ class Parser:
         self.expect_kw("following")
         return n
 
-    def _window_item(
-        self, func: str, arg: Optional[str], offset: int = 1, default=None
-    ) -> SelectItem:
-        """OVER ([PARTITION BY p] [ORDER BY c [ASC|DESC], ...]
-        [ROWS BETWEEN a AND b]) [AS a]."""
-        self.expect_kw("over")
+    def _window_spec(self):
+        """([PARTITION BY p] [ORDER BY c [ASC|DESC], ...]
+        [ROWS|RANGE BETWEEN a AND b]) -> (part, ob, frame, fmode).
+        Shared by inline OVER (...) and the statement-level WINDOW
+        clause (named windows)."""
         self.expect_op("(")
         part = None
         if self.accept_kw("partition", "by"):
@@ -1083,6 +1085,13 @@ class Parser:
                     )
             frame = (lo, hi)
         self.expect_op(")")
+        return part, ob, frame, fmode
+
+    def _finish_window(
+        self, func, arg, part, ob, frame, fmode, offset=1, default=None
+    ) -> WindowCall:
+        """Validate a (func, spec) pairing and build the WindowCall —
+        the same rules whether the spec was inline or a named window."""
         if func in ("rank", "dense_rank", "lag", "lead") and not ob:
             self.error(f"{func}() requires ORDER BY inside OVER()")
         if frame is not None and func in (
@@ -1094,10 +1103,28 @@ class Parser:
             # ORDER BY: RANGE UNBOUNDED PRECEDING AND CURRENT ROW — a
             # running aggregate over the peer group (WindowTransform.cpp)
             frame, fmode = (None, 0), "range"
+        return WindowCall(
+            func, arg, part, ob, frame, fmode or "rows", offset, default
+        )
+
+    def _window_item(
+        self, func: str, arg: Optional[str], offset: int = 1, default=None
+    ) -> SelectItem:
+        """OVER ( <window spec> ) [AS a], or OVER w referencing a named
+        window declared in the statement's WINDOW clause."""
+        self.expect_kw("over")
+        t = self.peek()
+        if t.kind == "name":  # OVER w — resolved after the WINDOW clause
+            ref = self.next().value
+            wc = WindowCall(
+                func, arg, None, [], None, "rows", offset, default, ref=ref
+            )
+            return SelectItem(
+                wc, self.expect_name() if self.accept_kw("as") else None
+            )
+        part, ob, frame, fmode = self._window_spec()
         return SelectItem(
-            WindowCall(
-                func, arg, part, ob, frame, fmode or "rows", offset, default
-            ),
+            self._finish_window(func, arg, part, ob, frame, fmode, offset, default),
             self.expect_name() if self.accept_kw("as") else None,
         )
 
@@ -1236,6 +1263,25 @@ class Parser:
             sel.group_by = gb
         if self.accept_kw("having"):
             sel.having = self.where_expr()
+        named_windows: Dict[str, tuple] = {}
+        if self.accept_kw("window"):
+            # WINDOW w AS (<spec>) [, w2 AS (<spec>)] — named windows
+            # shared by several OVER w items (WindowTransform.cpp)
+            while True:
+                wname = self.expect_name()
+                self.expect_kw("as")
+                named_windows[wname] = self._window_spec()
+                if not self.accept_op(","):
+                    break
+        for it in items:
+            if isinstance(it.expr, WindowCall) and it.expr.ref is not None:
+                spec = named_windows.get(it.expr.ref)
+                if spec is None:
+                    self.error(f"undefined window {it.expr.ref!r}")
+                wc = it.expr
+                it.expr = self._finish_window(
+                    wc.func, wc.arg, *spec, wc.offset, wc.default
+                )
         if self.accept_kw("order", "by"):
             while True:
                 expr = self._order_element()

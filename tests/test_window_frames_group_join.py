@@ -225,6 +225,27 @@ def test_range_frame_semantics(db):
     assert rows[0]["s"] is None and rows[3]["s"] == 4.0
 
 
+def test_named_window_clause(tbl, db):
+    """WINDOW w AS (<spec>): several OVER w items share one named spec;
+    validation matches the inline form."""
+    rows = tbl.sql(
+        "SELECT id, sum(x) OVER w AS s, row_number() OVER w AS rn FROM w "
+        "WINDOW w AS (PARTITION BY grp ORDER BY id) ORDER BY id LIMIT 50"
+    )
+    inline = tbl.sql(
+        "SELECT id, sum(x) OVER (PARTITION BY grp ORDER BY id) AS s, "
+        "row_number() OVER (PARTITION BY grp ORDER BY id) AS rn FROM w "
+        "ORDER BY id LIMIT 50"
+    )
+    assert _norm(rows) == _norm(inline)
+    with pytest.raises(SQLError):
+        tbl.sql("SELECT sum(x) OVER nope AS s FROM w")
+    with pytest.raises(SQLError):  # ranking validation applies to refs too
+        tbl.sql(
+            "SELECT rank() OVER w AS r FROM w WINDOW w AS (PARTITION BY grp)"
+        )
+
+
 def test_range_frame_validation(tbl):
     with pytest.raises(SQLError):
         tbl.sql(
