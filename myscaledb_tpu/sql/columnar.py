@@ -441,7 +441,25 @@ def _apply_window_items(runner, frame: Frame, n: int, win_items) -> Frame:
                 res = np.where(valid, vals[src], wc.default)
         elif wc.frame is not None:
             lo, hi = wc.frame
-            if wc.frame_mode == "range":
+            if wc.frame_mode == "range" and lo in (None, 0) and hi in (None, 0):
+                # Peer-group bounds need only EQUALITY on the ORDER BY
+                # keys (no value arithmetic), so they work over any key
+                # type — strings included — exactly like the reference's
+                # WindowTransform peer rows (ClickHouse requires numeric
+                # keys only for nonzero offsets). Also used for numeric
+                # keys: equality over ALL order keys is the correct peer
+                # definition (the searchsorted path bands on col0 only).
+                chg = chg_p.copy()
+                for colname, _d in wc.order_by:
+                    kv = _col(frame, colname)[order]
+                    chg |= np.r_[True, kv[1:] != kv[:-1]]
+                pidx = np.nonzero(chg)[0]
+                psz = np.diff(np.r_[pidx, n])
+                pstart = np.repeat(pidx, psz)
+                pend = np.repeat(pidx + psz - 1, psz)
+                a_g_all = start_of if lo is None else pstart
+                b_g_all = start_of + size_of - 1 if hi is None else pend
+            elif wc.frame_mode == "range":
                 a_g_all, b_g_all = _range_frame_bounds(
                     frame, wc, order, ps, start_of, size_of, n
                 )

@@ -1584,7 +1584,34 @@ def _apply_windows(rows: List[Dict[str, Any]], items) -> None:
                     )
             elif wc.frame is not None:
                 lo, hi = wc.frame
-                if wc.frame_mode == "range":
+                if (
+                    wc.frame_mode == "range"
+                    and lo in (None, 0)
+                    and hi in (None, 0)
+                ):
+                    # peer-group bounds: equality on ALL order keys, no
+                    # arithmetic — valid for any key type (strings too)
+                    kvs = [
+                        tuple(rows[j].get(c) for c, _ in wc.order_by)
+                        for j in idxs
+                    ]
+                    pstart = [0] * len(idxs)
+                    pend = [0] * len(idxs)
+                    s0 = 0
+                    for p in range(1, len(idxs) + 1):
+                        if p == len(idxs) or kvs[p] != kvs[p - 1]:
+                            for q in range(s0, p):
+                                pstart[q] = s0
+                                pend[q] = p
+                            s0 = p
+                    bounds = [
+                        (
+                            0 if lo is None else pstart[pos],
+                            len(idxs) if hi is None else pend[pos],
+                        )
+                        for pos in range(len(idxs))
+                    ]
+                elif wc.frame_mode == "range":
                     # bounds are VALUES on the (single) ORDER BY key;
                     # bound 0 = the current row's peer group. Keys are
                     # ascending in sort direction — negate desc keys so

@@ -225,6 +225,80 @@ def test_range_frame_semantics(db):
     assert rows[0]["s"] is None and rows[3]["s"] == 4.0
 
 
+def test_range_frame_string_keys(db):
+    """Peer-group RANGE bounds (UNBOUNDED/CURRENT ROW) need only key
+    EQUALITY, so they work over string ORDER BY keys — the reference
+    requires numeric keys only for nonzero value offsets."""
+    t = db.create_table(
+        "rs", ms.Schema({"id": ms.UInt64(), "name": ms.String(), "x": ms.Float32()})
+    )
+    t.insert(
+        {
+            "id": np.arange(6, dtype=np.uint64),
+            "name": np.asarray(["a", "a", "b", "c", "c", "d"], object),
+            "x": np.asarray([1, 2, 4, 8, 16, 32], np.float32),
+        }
+    )
+    # running sum over string peers (the implicit with-ORDER-BY frame)
+    rows = db.sql(
+        "SELECT id, sum(x) OVER (ORDER BY name) AS s FROM rs ORDER BY id"
+    )
+    assert [r["s"] for r in rows] == [3.0, 3.0, 7.0, 31.0, 31.0, 63.0]
+    # explicit peer-group frame, DESC key
+    rows = db.sql(
+        "SELECT id, count() OVER (ORDER BY name DESC RANGE BETWEEN "
+        "CURRENT ROW AND UNBOUNDED FOLLOWING) AS c FROM rs ORDER BY id"
+    )
+    # DESC sort: [d, c, c, b, a, a]; frame = current peer group -> end
+    assert [r["c"] for r in rows] == [2, 2, 3, 5, 5, 6]
+    # nonzero value offsets still demand a numeric key
+    with pytest.raises(SQLError):
+        db.sql(
+            "SELECT sum(x) OVER (ORDER BY name "
+            "RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS s FROM rs"
+        )
+
+
+def test_range_peer_frame_columnar_matches_oracle(db, monkeypatch):
+    """String/multi-key peer RANGE frames: columnar vs row oracle on a
+    bulkier random corpus."""
+    rng = np.random.default_rng(11)
+    n = 300
+    t = db.create_table(
+        "rp", ms.Schema({"id": ms.UInt64(), "g": ms.UInt64(),
+                         "name": ms.String(), "x": ms.Float32()})
+    )
+    t.insert(
+        {
+            "id": np.arange(n, dtype=np.uint64),
+            "g": rng.integers(0, 4, n).astype(np.uint64),
+            "name": np.asarray(
+                [f"w{int(v)}" for v in rng.integers(0, 9, n)], object
+            ),
+            "x": rng.standard_normal(n).astype(np.float32),
+        }
+    )
+    queries = [
+        "SELECT id, sum(x) OVER (PARTITION BY g ORDER BY name) AS s "
+        "FROM rp ORDER BY id LIMIT 80",
+        "SELECT id, avg(x) OVER (ORDER BY name RANGE BETWEEN UNBOUNDED "
+        "PRECEDING AND CURRENT ROW) AS a FROM rp ORDER BY id LIMIT 80",
+        # multi-key peers: equality over BOTH order keys
+        "SELECT id, count() OVER (ORDER BY g, name RANGE BETWEEN "
+        "UNBOUNDED PRECEDING AND CURRENT ROW) AS c FROM rp "
+        "ORDER BY id LIMIT 80",
+        "SELECT id, min(x) OVER (PARTITION BY g ORDER BY name DESC "
+        "RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS m "
+        "FROM rp ORDER BY id LIMIT 80",
+    ]
+    for q in queries:
+        fast = db.sql(q)
+        monkeypatch.setattr(columnar, "run_composite", lambda *_: None)
+        slow = db.sql(q)
+        monkeypatch.undo()
+        assert _norm(fast) == _norm(slow), q
+
+
 def test_named_window_clause(tbl, db):
     """WINDOW w AS (<spec>): several OVER w items share one named spec;
     validation matches the inline form."""
