@@ -257,6 +257,124 @@ def distributed_ivf_topk(
     )
 
 
+# ----------------------------------------------- sharded two-stage (MSTG)
+def distributed_twostage_topk(
+    mesh: Mesh,
+    queries: jax.Array,  # [Q, D] sharded on "query"
+    centroids: jax.Array,  # [S, C, D] sharded on "data"
+    csq: jax.Array,  # [S, C]
+    lo: jax.Array,  # f32[D] SQ8 codec (global, replicated)
+    scale: jax.Array,  # f32[D]
+    perm_codes: jax.Array,  # uint8[S, NP, D] cluster-major SQ8 codes
+    perm_sq: jax.Array,  # f32[S, NP] |decode(code)|^2 (inf pad)
+    perm_rows: jax.Array,  # int32[S, NP] local row ids (-1 pad)
+    cluster_start: jax.Array,  # int32[S, C+1]
+    raw: jax.Array,  # [S*cap, D] row-sharded full-precision slots
+    raw_aux: jax.Array,  # f32[S*cap] |x|^2
+    *,
+    k: int,
+    nprobe: int,
+    num_reorder: int,
+    bucket_pad: int,
+    rows_per_shard: int,
+    mask: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Two-stage MSTG-style sharded search (SURVEY §3.5): per shard, an
+    SQ8 first pass over the probed clusters selects `num_reorder`
+    candidates by approximate score, then the shard re-ranks ITS OWN
+    candidates exactly against the full-precision slots it already holds
+    (computeTopDistanceSubset runs where the data lives — no cross-shard
+    candidate gather), and the exact per-shard top-k lists merge over
+    ICI. The SQ8 windows are the only per-shard index payload (1 byte/dim
+    vs the IVF layout's full-precision copy), which is the point of the
+    two-stage kind at mesh scale: index HBM shrinks ~4x. L2 metric, like
+    distributed_ivf_topk. Reference: MergeTreeVSManager
+    executeSecondStageVectorScan (.cpp:510) + VIWithDataPart
+    computeTopDistanceSubset."""
+    mask_in = (
+        mask
+        if mask is not None
+        else jnp.ones((perm_rows.shape[0] * rows_per_shard,), jnp.bool_)
+    )
+
+    def local(q, cents, cq, lo, scale, pcodes, psq, prows, cstart, x, a, m):
+        cents, cq = cents[0], cq[0]
+        pcodes, psq, prows, cstart = pcodes[0], psq[0], prows[0], cstart[0]
+        my = jax.lax.axis_index("data")
+        nq = q.shape[0]
+        qs = q.astype(jnp.float32)
+        cs = 2.0 * jnp.dot(qs, cents.T, preferred_element_type=jnp.float32) - cq[None, :]
+        _, probe = jax.lax.top_k(cs, min(nprobe, cents.shape[0]))
+        starts = jnp.take(cstart, probe)
+        sizes = jnp.take(cstart, probe + 1) - starts
+        offs = jnp.arange(bucket_pad, dtype=jnp.int32)
+        idx = starts[..., None] + offs[None, None, :]  # [Q, P, B]
+        valid = offs[None, None, :] < sizes[..., None]
+        idx = jnp.where(valid, idx, 0).reshape(nq, -1)
+        # first pass: q.decode(c) = (q*scale).c + q.lo  (decode fused into
+        # the einsum operand; the codes stream as uint8)
+        codes_mat = jnp.take(pcodes, idx, axis=0).astype(jnp.float32)
+        qlo = jnp.dot(qs, lo, preferred_element_type=jnp.float32)  # [Q]
+        dots = jnp.einsum(
+            "qd,qbd->qb", qs * scale[None, :], codes_mat,
+            preferred_element_type=jnp.float32,
+        ) + qlo[:, None]
+        approx = 2.0 * dots - jnp.take(psq, idx)
+        rows = jnp.take(prows, idx)
+        ok = jnp.logical_and(valid.reshape(nq, -1), rows >= 0)
+        ok = jnp.logical_and(ok, jnp.take(m, jnp.maximum(rows, 0)))
+        approx = jnp.where(ok, approx, NEG_INF)
+        rr = min(num_reorder, approx.shape[-1])
+        av, apos = jax.lax.top_k(approx, rr)
+        cand = jnp.take_along_axis(rows, apos, axis=-1)  # [Q, R] local rows
+        # second stage: exact re-rank of the shard's own candidates
+        xi = jnp.take(x, jnp.maximum(cand, 0), axis=0).astype(jnp.float32)
+        exact = 2.0 * jnp.einsum(
+            "qd,qrd->qr", qs, xi, preferred_element_type=jnp.float32
+        ) - jnp.take(a, jnp.maximum(cand, 0))
+        exact = jnp.where(jnp.isfinite(av), exact, NEG_INF)
+        kk = min(k, exact.shape[-1])
+        v, pos = jax.lax.top_k(exact, kk)
+        r = jnp.take_along_axis(cand, pos, axis=-1)
+        r = jnp.where(jnp.isfinite(v), r + my * rows_per_shard, -1)
+        if kk < k:
+            v = jnp.pad(v, ((0, 0), (0, k - kk)), constant_values=NEG_INF)
+            r = jnp.pad(r, ((0, 0), (0, k - kk)), constant_values=-1)
+        gv = jax.lax.all_gather(v, "data")
+        gr = jax.lax.all_gather(r, "data")
+        gv = jnp.transpose(gv, (1, 0, 2)).reshape(nq, -1)
+        gr = jnp.transpose(gr, (1, 0, 2)).reshape(nq, -1)
+        mv, mpos = jax.lax.top_k(gv, k)
+        mr = jnp.take_along_axis(gr, mpos, axis=-1)
+        mr = jnp.where(jnp.isfinite(mv), mr, -1)
+        return mv, mr
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P("query", None),
+            P("data", None, None),
+            P("data", None),
+            P(),
+            P(),
+            P("data", None, None),
+            P("data", None),
+            P("data", None),
+            P("data", None),
+            P("data", None),
+            P("data"),
+            P("data"),
+        ),
+        out_specs=(P("query", None), P("query", None)),
+        check_vma=False,
+    )
+    return fn(
+        queries, centroids, csq, lo, scale, perm_codes, perm_sq, perm_rows,
+        cluster_start, raw, raw_aux, mask_in,
+    )
+
+
 # ------------------------------------------------------- sharded BM25 leg
 def distributed_bm25_topk(
     mesh: Mesh,

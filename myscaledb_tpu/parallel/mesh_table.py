@@ -25,11 +25,12 @@ DELTA exact scan merged with the index probe — the reference's
 (MergeTreeVSManager: parts without a built index fall back to brute
 force). A full reseal happens only when a shard's slack is exhausted.
 
-Scope: float vectors, L2/IP/Cosine, exact scan + sharded IVF (both with
-filters + deletes), BM25 text + hybrid RRF legs over per-shard inverted
-indexes with GLOBAL statistics, numeric filter columns (device-resident,
-evaluated inside the program), save/load. Rows are identified by the
-caller's `id` column.
+Scope: float vectors, L2/IP/Cosine, exact scan + sharded IVF + sharded
+two-stage MSTG (SQ8 first pass + shard-local exact re-rank; all with
+filters + deletes), BM25 text + hybrid RRF/RSF legs over per-shard
+inverted indexes with GLOBAL statistics, numeric filter columns
+(device-resident, evaluated inside the program), per-shard save/load.
+Rows are identified by the caller's `id` column.
 """
 
 from __future__ import annotations
@@ -55,6 +56,7 @@ from .distributed import (
     distributed_bm25_topk_batch,
     distributed_ivf_topk,
     distributed_scan_topk,
+    distributed_twostage_topk,
     make_mesh,
     shard_map,
     shard_rows,
@@ -252,8 +254,9 @@ class MeshTable:
         self._deleted: set = set()
         self._s: Optional[_Sealed] = None
         self._ivf = None  # (centroids, csq, perm_*, cluster_start, bucket_pad)
+        self._mstg = None  # (cents, csq, lo, scale, codes, psq, prows, cstart, bpad)
         self._ivf_fill: Optional[np.ndarray] = None  # fill snapshot at build
-        self._delta_mask = None  # device bool[n_slots]: slots not in the IVF
+        self._delta_mask = None  # device bool[n_slots]: slots not in the index
         self._text: Optional[_TextIndex] = None
         self._text_stale = True
         self._pred_cache = _PredicateCache()
@@ -286,6 +289,7 @@ class MeshTable:
         if self._s is not None and not self._append_sealed(ids, vecs, cols, texts):
             self._s = None  # slack exhausted: reseal lazily
             self._ivf = None
+            self._mstg = None
             self._delta_mask = None
             self._text = None
             self._text_stale = True
@@ -482,18 +486,29 @@ class MeshTable:
             nq,
         )
 
-    def _vector_rows(self, qdev, k, *, mask, nprobe):
+    def _vector_rows(self, qdev, k, *, mask, nprobe, num_reorder=0):
         """Device (scores, global slot rows) [Qpad, k] for the vector leg:
-        exact scan, or IVF probe merged with the DELTA exact scan covering
-        slots appended after the IVF build."""
+        exact scan, or IVF/two-stage probe merged with the DELTA exact
+        scan covering slots appended after the index build."""
         s = self._s
-        if self._ivf is not None and nprobe > 0:
+        v = r = None
+        if self._mstg is not None and nprobe > 0:
+            cents, csq, lo, scale, pcodes, psq, prows, cstart, bpad = self._mstg
+            v, r = distributed_twostage_topk(
+                self.mesh, qdev, cents, csq, lo, scale, pcodes, psq,
+                prows, cstart, s.data, s.aux,
+                k=k, nprobe=nprobe,
+                num_reorder=num_reorder or max(4 * k, 64),
+                bucket_pad=bpad, rows_per_shard=s.cap, mask=mask,
+            )
+        elif self._ivf is not None and nprobe > 0:
             cents, csq, pdata, paux, prows, cstart, bpad = self._ivf
             v, r = distributed_ivf_topk(
                 self.mesh, qdev, cents, csq, pdata, paux, prows, cstart,
                 k=k, nprobe=nprobe, bucket_pad=bpad, rows_per_shard=s.cap,
                 mask=mask,
             )
+        if v is not None:
             if bool((s.fill > self._ivf_fill).any()):
                 dm = self._delta_mask_dev()
                 dv, dr = distributed_scan_topk(
@@ -539,7 +554,10 @@ class MeshTable:
         qdev, nq = self._queries_dev(query)
         mask = self._mask_for(filter, s)
         nprobe = int((params or {}).get("nprobe", 0))
-        v, r = self._vector_rows(qdev, k, mask=mask, nprobe=nprobe)
+        num_reorder = int((params or {}).get("num_reorder", 0))
+        v, r = self._vector_rows(
+            qdev, k, mask=mask, nprobe=nprobe, num_reorder=num_reorder
+        )
         vh = np.asarray(jax.device_get(v))[:nq]
         rh = np.asarray(jax.device_get(r))[:nq]
         return self._ids_of(rh, vh), vh
@@ -598,6 +616,83 @@ class MeshTable:
             cstart.reshape(S, c + 1),
             bpad,
         )
+        self._ivf_fill = s.fill.copy()
+        self._mstg = None
+        self._delta_mask = None
+
+    def build_mstg(self, ncentroids: int = 0, *, n_iters: int = 8) -> None:
+        """Sharded two-stage (MSTG-kind) index: GLOBAL k-means + a GLOBAL
+        SQ8 codec (per-dim lo/scale over live rows), then a per-shard
+        cluster-major layout of uint8 CODES — 1 byte/dim where build_ivf
+        keeps a full-precision permuted copy, so index HBM shrinks ~4x
+        per shard. Search probes the codes, keeps `num_reorder`
+        candidates, and re-ranks them EXACTLY against the shard's own
+        full-precision slots before the ICI merge (SURVEY §3.5 two-stage
+        semantics; single-chip counterpart index/ivf.py codec='sq8').
+        Delta/deletes/filters behave exactly like build_ivf."""
+        s = self._seal()
+        n = int(s.fill.sum())
+        c = int(ncentroids) or max(16, 1 << int(math.log2(max(16, 4 * math.isqrt(n)))))
+        c = min(c, max(ALIGN, int(s.fill[0])))
+        cents = sharded_kmeans_fit(self.mesh, s.data, n_clusters=c, n_iters=n_iters)
+        csq = jnp.sum(cents * cents, axis=1)
+
+        @jax.jit
+        def _codec(x, al):
+            xf = x.astype(jnp.float32)
+            lo = jnp.min(jnp.where(al[:, None], xf, jnp.inf), axis=0)
+            hi = jnp.max(jnp.where(al[:, None], xf, -jnp.inf), axis=0)
+            scale = (hi - lo) / 255.0
+            return lo, jnp.where(scale > 0, scale, 1.0)
+
+        lo, scale = _codec(s.data, s.alive)  # sharded-in, replicated-out
+
+        def build_local(x, a, al):
+            xf = x.astype(jnp.float32)
+            scores = 2.0 * jnp.dot(
+                xf, cents.T, preferred_element_type=jnp.float32
+            ) - csq[None, :]
+            assign = jnp.argmax(scores, axis=1)
+            rows = jnp.arange(x.shape[0], dtype=jnp.int32)
+            assign = jnp.where(al, assign, c)
+            order = jnp.argsort(assign)
+            sa = jnp.take(assign, order)
+            pf = jnp.take(xf, order, axis=0)
+            codes = jnp.clip(
+                jnp.round((pf - lo[None, :]) / scale[None, :]), 0, 255
+            ).astype(jnp.uint8)
+            dec = codes.astype(jnp.float32) * scale[None, :] + lo[None, :]
+            psq = jnp.where(sa < c, jnp.sum(dec * dec, axis=1), jnp.inf)
+            prows = jnp.where(sa < c, jnp.take(rows, order), -1)
+            cstart = jnp.searchsorted(sa, jnp.arange(c + 1))
+            sizes = cstart[1:] - cstart[:-1]
+            return codes, psq, prows, cstart.astype(jnp.int32), jnp.max(sizes)[None]
+
+        fn = shard_map(
+            build_local,
+            mesh=self.mesh,
+            in_specs=(P("data", None), P("data"), P("data")),
+            out_specs=(
+                P("data", None), P("data"), P("data"), P("data"), P("data"),
+            ),
+            check_vma=False,
+        )
+        pcodes, psq, prows, cstart, maxsz = jax.jit(fn)(s.data, s.aux, s.alive)
+        bpad = int(np.max(np.asarray(jax.device_get(maxsz))))
+        bpad = max(ALIGN, -(-bpad // ALIGN) * ALIGN)
+        S = self.n_shards
+        self._mstg = (
+            jnp.broadcast_to(cents[None], (S,) + cents.shape),
+            jnp.broadcast_to(csq[None], (S, c)),
+            lo,
+            scale,
+            pcodes.reshape(S, s.cap, -1),
+            psq.reshape(S, s.cap),
+            prows.reshape(S, s.cap),
+            cstart.reshape(S, c + 1),
+            bpad,
+        )
+        self._ivf = None
         self._ivf_fill = s.fill.copy()
         self._delta_mask = None
 
@@ -739,7 +834,10 @@ class MeshTable:
         qdev, nq = self._queries_dev(query_vec)
         mask = self._mask_for(filter, s)
         nprobe = int((params or {}).get("nprobe", 0))
-        vv, vr = self._vector_rows(qdev, k, mask=mask, nprobe=nprobe)
+        num_reorder = int((params or {}).get("num_reorder", 0))
+        vv, vr = self._vector_rows(
+            qdev, k, mask=mask, nprobe=nprobe, num_reorder=num_reorder
+        )
         tv, tr = self._text_rows(
             [query_text] * nq if isinstance(query_text, str) else list(query_text),
             k,

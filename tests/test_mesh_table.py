@@ -119,6 +119,69 @@ def test_ivf_filters_and_deletes(corpus):
     assert after[0, 0] != top[0, 0]
 
 
+def test_sharded_mstg_two_stage(corpus):
+    """Two-stage MSTG on the mesh: SQ8 first pass + shard-local exact
+    re-rank (SURVEY §3.5). Full probe + wide reorder must be exhaustive
+    and EXACT (the re-rank scores full precision), and scores must match
+    the exact scan's to float tolerance."""
+    ids, vecs, price = corpus
+    t = MeshTable("m5b", 32)
+    t.insert({"id": ids, "vec": vecs})
+    t.build_mstg(ncentroids=64)
+    # index payload is uint8 codes (the point: ~4x HBM shrink vs IVF)
+    assert t._mstg[4].dtype == np.uint8
+    hits = 0
+    for i in (3, 900, 7777):
+        out_ids, _ = t.search(
+            vecs[i], 5, params={"nprobe": 16, "num_reorder": 64}
+        )
+        hits += int(out_ids[0, 0] == ids[i])
+    assert hits >= 2
+    # full probe, reorder >= k x shards: exact top-k with exact scores
+    q = vecs[11]
+    got_ids, got_scores = t.search(q, 5, params={"nprobe": 64})
+    exact_ids, exact_scores = t.search(q, 5)  # exact scan
+    assert got_ids[0, 0] == ids[11]
+    assert set(got_ids[0]) == set(exact_ids[0])
+    np.testing.assert_allclose(got_scores[0], exact_scores[0], rtol=1e-4)
+    # tight num_reorder still returns k valid exact-scored rows
+    out_ids, _ = t.search(q, 5, params={"nprobe": 64, "num_reorder": 8})
+    assert (out_ids[0] >= 0).all()
+
+
+def test_mstg_filters_deletes_delta(corpus):
+    """The two-stage probe composes with filters, deletes, and the
+    delta scan over post-build appends, like the IVF path."""
+    ids, vecs, price = corpus
+    t = MeshTable("m6b", 32, filter_columns=("price",))
+    t.insert(
+        {"id": ids[:16_000], "vec": vecs[:16_000], "price": price[:16_000]}
+    )
+    t.build_mstg(ncentroids=32)
+    q = vecs[500]
+    out_ids, _ = t.search(
+        q, 5, params={"nprobe": 32}, filter=lambda price: price < 200
+    )
+    sel = {int(i) for i, p in zip(ids[:16_000], price[:16_000]) if p < 200}
+    got = [int(i) for i in out_ids[0] if i >= 0]
+    assert got and all(i in sel for i in got)
+    # delete the top hit: masked at probe time, no rebuild
+    top, _ = t.search(q, 1, params={"nprobe": 32})
+    t.delete(int(top[0, 0]))
+    after, _ = t.search(q, 1, params={"nprobe": 32})
+    assert after[0, 0] != top[0, 0]
+    # post-build appends served via the delta exact scan
+    t.insert(
+        {
+            "id": ids[16_000:17_000],
+            "vec": vecs[16_000:17_000],
+            "price": price[16_000:17_000],
+        }
+    )
+    out, _ = t.search(vecs[16_500], 1, params={"nprobe": 4})
+    assert out[0, 0] == ids[16_500]
+
+
 def test_incremental_insert_no_reseal(corpus):
     """Appends scatter into per-shard slack slots — the sealed device
     arrays are UPDATED, not rebuilt (per-part searchability, SURVEY §3.4)."""
