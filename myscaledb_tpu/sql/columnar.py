@@ -430,6 +430,20 @@ def _apply_window_items(runner, frame: Frame, n: int, win_items) -> Frame:
             else:
                 cs = np.cumsum(chg)
                 res = cs - cs[start_of] + 1
+        elif wc.func == "ntile":
+            nb = wc.offset
+            q_ = size_of // nb
+            r_ = size_of % nb
+            boundary = r_ * (q_ + 1)
+            res = np.where(
+                q_ == 0,
+                pos + 1,
+                np.where(
+                    pos < boundary,
+                    pos // np.maximum(q_ + 1, 1) + 1,
+                    r_ + (pos - boundary) // np.maximum(q_, 1) + 1,
+                ),
+            )
         elif wc.func in ("lag", "lead"):
             j = pos + (-wc.offset if wc.func == "lag" else wc.offset)
             valid = (j >= 0) & (j < size_of)
@@ -481,6 +495,17 @@ def _apply_window_items(runner, frame: Frame, n: int, win_items) -> Frame:
                 ne = cnt > 0
                 a_g = a_g_all[ne]
                 b_g = b_g_all[ne]
+                if wc.func in ("first_value", "last_value"):
+                    body = vals[a_g if wc.func == "first_value" else b_g]
+                    if ne.all():
+                        res = body
+                    else:
+                        res = np.full(n, None, object)
+                        res[ne] = body
+                    inv = np.empty(n, np.int64)
+                    inv[order] = np.arange(n)
+                    out[name] = res[inv]
+                    continue
                 v64 = vals.astype(np.float64)
                 if wc.func in ("sum", "avg"):
                     prefix = np.cumsum(v64)
@@ -499,6 +524,12 @@ def _apply_window_items(runner, frame: Frame, n: int, win_items) -> Frame:
                     res[ne] = body
         elif wc.func == "count":
             res = size_of
+        elif wc.func in ("first_value", "last_value"):
+            res = (
+                vals[start_of]
+                if wc.func == "first_value"
+                else vals[start_of + size_of - 1]
+            )
         else:  # whole-partition sum/avg/min/max
             v64 = vals.astype(np.float64)
             if wc.func == "sum":

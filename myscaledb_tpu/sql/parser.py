@@ -1092,13 +1092,15 @@ class Parser:
     ) -> WindowCall:
         """Validate a (func, spec) pairing and build the WindowCall —
         the same rules whether the spec was inline or a named window."""
-        if func in ("rank", "dense_rank", "lag", "lead") and not ob:
+        if func in ("rank", "dense_rank", "lag", "lead", "ntile") and not ob:
             self.error(f"{func}() requires ORDER BY inside OVER()")
         if frame is not None and func in (
-            "row_number", "rank", "dense_rank", "lag", "lead"
+            "row_number", "rank", "dense_rank", "lag", "lead", "ntile"
         ):
             self.error(f"{func}() does not accept a frame clause")
-        if frame is None and ob and func in ("count", "sum", "avg", "min", "max"):
+        if frame is None and ob and func in (
+            "count", "sum", "avg", "min", "max", "first_value", "last_value"
+        ):
             # the reference's inherited default frame for aggregates with
             # ORDER BY: RANGE UNBOUNDED PRECEDING AND CURRENT ROW — a
             # running aggregate over the peer group (WindowTransform.cpp)
@@ -1163,6 +1165,33 @@ class Parser:
                 self.expect_op("(")
                 self.expect_op(")")
                 items.append(self._window_item(fname, None))
+            elif (
+                t.kind == "name"
+                and t.lower() == "ntile"
+                and self.peek(1).kind == "op"
+                and self.peek(1).value == "("
+            ):
+                # ntile(n): n equal-ish buckets over the ordered partition
+                # (WindowTransform.cpp:1972; larger buckets first)
+                self.next()
+                self.expect_op("(")
+                nb = self.literal()
+                if not isinstance(nb, int) or nb <= 0:
+                    self.error("ntile() needs a positive integer bucket count")
+                self.expect_op(")")
+                items.append(self._window_item("ntile", None, offset=nb))
+            elif (
+                t.kind == "name"
+                and t.lower() in ("first_value", "last_value")
+                and self.peek(1).kind == "op"
+                and self.peek(1).value == "("
+            ):
+                fname = self.next().lower()
+                self.expect_op("(")
+                anode = self._scalar_expr()
+                acol = anode[1] if anode[0] == "col" else anode
+                self.expect_op(")")
+                items.append(self._window_item(fname, acol))
             elif (
                 t.kind == "name"
                 and t.lower() in ("lag", "lead")

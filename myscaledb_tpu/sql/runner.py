@@ -1498,6 +1498,8 @@ def _window_name(wc: "P.WindowCall") -> str:
         _render_scalar(wc.arg) if isinstance(wc.arg, tuple)
         else wc.arg or ("*" if wc.func == "count" else "")
     )
+    if wc.func == "ntile":
+        inner = str(wc.offset)
     if wc.func in ("lag", "lead") and (wc.offset != 1 or wc.default is not None):
         inner = f"{inner}, {wc.offset}"
         if wc.default is not None:
@@ -1582,6 +1584,17 @@ def _apply_windows(rows: List[Dict[str, Any]], items) -> None:
                         if 0 <= j < len(idxs)
                         else wc.default
                     )
+            elif wc.func == "ntile":
+                nb, cnt = wc.offset, len(idxs)
+                q_, r_ = divmod(cnt, nb)
+                boundary = r_ * (q_ + 1)
+                for pos, i in enumerate(idxs):
+                    if q_ == 0:
+                        rows[i][name] = pos + 1
+                    elif pos < boundary:
+                        rows[i][name] = pos // (q_ + 1) + 1
+                    else:
+                        rows[i][name] = r_ + (pos - boundary) // q_ + 1
             elif wc.frame is not None:
                 lo, hi = wc.frame
                 if (
@@ -1649,6 +1662,15 @@ def _apply_windows(rows: List[Dict[str, Any]], items) -> None:
                     window = idxs[a:b] if b > a else []
                     if wc.func == "count":
                         rows[i][name] = len(window)
+                    elif wc.func in ("first_value", "last_value"):
+                        rows[i][name] = (
+                            _warg(
+                                rows[window[0 if wc.func == "first_value" else -1]],
+                                wc.arg,
+                            )
+                            if window
+                            else None
+                        )
                     else:
                         rows[i][name] = _win_agg(
                             wc.func, [_warg(rows[j], wc.arg) for j in window]
@@ -1656,6 +1678,12 @@ def _apply_windows(rows: List[Dict[str, Any]], items) -> None:
             elif wc.func == "count":
                 for i in idxs:
                     rows[i][name] = len(idxs)
+            elif wc.func in ("first_value", "last_value"):
+                v = _warg(
+                    rows[idxs[0 if wc.func == "first_value" else -1]], wc.arg
+                )
+                for i in idxs:
+                    rows[i][name] = v
             else:
                 agg = _win_agg(wc.func, [_warg(rows[i], wc.arg) for i in idxs])
                 for i in idxs:

@@ -101,6 +101,22 @@ WINDOW_QUERIES = [
     "SELECT id, min(x) OVER (PARTITION BY grp) AS m, "
     "rank() OVER (PARTITION BY grp ORDER BY x DESC) AS r FROM w "
     "ORDER BY id LIMIT 60",
+    # first_value / last_value / ntile (WindowTransform.cpp family tail)
+    "SELECT id, first_value(x) OVER (PARTITION BY grp ORDER BY id) AS f "
+    "FROM w ORDER BY id LIMIT 50",
+    "SELECT id, last_value(x) OVER (PARTITION BY grp ORDER BY id) AS l "
+    "FROM w ORDER BY id LIMIT 50",
+    "SELECT id, first_value(x) OVER (PARTITION BY grp) AS f FROM w "
+    "ORDER BY id LIMIT 50",
+    "SELECT id, last_value(x) OVER (PARTITION BY grp ORDER BY id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS l "
+    "FROM w ORDER BY id LIMIT 50",
+    "SELECT id, first_value(x * 2) OVER (ORDER BY id "
+    "ROWS BETWEEN 3 PRECEDING AND 2 PRECEDING) AS f FROM w "
+    "ORDER BY id LIMIT 20",
+    "SELECT id, ntile(4) OVER (PARTITION BY grp ORDER BY id) AS b "
+    "FROM w ORDER BY id LIMIT 60",
+    "SELECT id, ntile(7) OVER (ORDER BY x) AS b FROM w ORDER BY id LIMIT 60",
 ]
 
 GROUP_JOIN_QUERIES = [
@@ -223,6 +239,45 @@ def test_range_frame_semantics(db):
         "RANGE BETWEEN 3 PRECEDING AND 2 PRECEDING) AS s FROM rr ORDER BY id"
     )
     assert rows[0]["s"] is None and rows[3]["s"] == 4.0
+
+
+def test_first_last_ntile_semantics(db):
+    """Hand-checked: last_value's default frame ends at the CURRENT PEER
+    GROUP (the famous surprise); ntile splits larger-buckets-first."""
+    t = db.create_table(
+        "fl", ms.Schema({"id": ms.UInt64(), "k": ms.UInt64(), "x": ms.Float32()})
+    )
+    t.insert(
+        {
+            "id": np.arange(5, dtype=np.uint64),
+            "k": np.asarray([1, 1, 2, 3, 3], np.uint64),
+            "x": np.asarray([10, 20, 30, 40, 50], np.float32),
+        }
+    )
+    rows = db.sql(
+        "SELECT id, last_value(x) OVER (ORDER BY k) AS l FROM fl ORDER BY id"
+    )
+    # peers share the frame end: k=1 -> 20, k=2 -> 30, k=3 -> 50
+    assert [r["l"] for r in rows] == [20.0, 20.0, 30.0, 50.0, 50.0]
+    rows = db.sql(
+        "SELECT id, first_value(x) OVER (ORDER BY k) AS f FROM fl ORDER BY id"
+    )
+    assert [r["f"] for r in rows] == [10.0] * 5
+    # ntile(2) over 5 rows: buckets of 3 then 2
+    rows = db.sql("SELECT id, ntile(2) OVER (ORDER BY id) AS b FROM fl ORDER BY id")
+    assert [r["b"] for r in rows] == [1, 1, 1, 2, 2]
+    # ntile(10) with fewer rows than buckets: one row per bucket
+    rows = db.sql("SELECT id, ntile(10) OVER (ORDER BY id) AS b FROM fl ORDER BY id")
+    assert [r["b"] for r in rows] == [1, 2, 3, 4, 5]
+    with pytest.raises(SQLError):
+        db.sql("SELECT ntile(0) OVER (ORDER BY id) AS b FROM fl")
+    with pytest.raises(SQLError):
+        db.sql("SELECT ntile(2) OVER (PARTITION BY k) AS b FROM fl")
+    with pytest.raises(SQLError):  # no frame clause on ntile
+        db.sql(
+            "SELECT ntile(2) OVER (ORDER BY id ROWS BETWEEN 1 PRECEDING "
+            "AND CURRENT ROW) AS b FROM fl"
+        )
 
 
 def test_range_frame_string_keys(db):
