@@ -68,6 +68,9 @@ class Database:
             )
         self.event_log = EventLog(path=event_log_path)
         self._tables: Dict[str, Table] = {}
+        # DETACH TABLE registry: name -> Table (in-memory db) or None
+        # (persisted: ATTACH reloads from disk)
+        self._detached: Dict[str, Optional[Table]] = {}
         self._lock = threading.RLock()
         self.scheduler = BuildScheduler(
             n_fast=self.settings.server.background_vector_pool_size,
@@ -289,6 +292,43 @@ class Database:
             t = self._tables.pop(name, None)
         if t is not None:
             self.index_cache.expire_prefix((name,))
+
+    def detach_table(self, name: str) -> None:
+        """DETACH TABLE: remove from the registry without dropping data.
+        With a storage path the table is checkpointed first, so the
+        matching ATTACH exercises the full deserialization path — the
+        reference's DETACH/ATTACH round-trip in
+        00004_mqvs_filter_by_distance.sh. Pathless databases park the
+        live object in a detached registry instead."""
+        with self._lock:
+            if name not in self._tables:
+                raise SchemaError(f"no such table: {name}")
+            t = self._tables.pop(name)
+        if t.storage_dir:
+            t.persist()
+            with self._lock:
+                self._detached[name] = None  # reload from disk on ATTACH
+        else:
+            with self._lock:
+                self._detached[name] = t
+        self.index_cache.expire_prefix((name,))
+
+    def attach_table(self, name: str) -> Table:
+        """ATTACH TABLE: re-register a detached table, reloading it from
+        its checkpoint when one exists (deserializes segments; built ANN
+        indexes stay BUILT on disk and reload lazily on first search)."""
+        with self._lock:
+            if name in self._tables:
+                raise SchemaError(f"table {name!r} already exists")
+            missing = name not in self._detached
+            t = self._detached.pop(name, None)
+        if t is not None:
+            with self._lock:
+                self._tables[name] = t
+            return t
+        if missing and not self.path:
+            raise SchemaError(f"no detached table: {name}")
+        return self.load_table(name)
 
     def rename_table(self, name: str, new_name: str) -> None:
         """RENAME TABLE: registry + Table.name swap, and the on-disk

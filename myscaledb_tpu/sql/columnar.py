@@ -233,6 +233,12 @@ def _eval_scalar(node, frame: Frame, n: int):
         return node[1]
     if tag == "str":
         return node[1]
+    if tag == "const":
+        # substituted scalar WITH alias; arrays are row-invariant objects
+        v = node[1]
+        if isinstance(v, list):
+            raise Unsupported("array const in columnar expression")
+        return v
     if tag == "col":
         return _col(frame, node[1])
     if tag == "neg":

@@ -45,7 +45,7 @@ _TOKEN_RE = re.compile(
   | (?P<int>\d+)
   | (?P<string>'(?:[^'\\]|\\.|'')*')
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op><=|>=|!=|<>|==|=|<|>|\(|\)|\[|\]|,|\.|\*|\+|-|/|%)
+  | (?P<op>->|<=|>=|!=|<>|==|=|<|>|\(|\)|\[|\]|,|\.|\*|\+|-|/|%)
 """,
     re.VERBOSE,
 )
@@ -128,6 +128,17 @@ class CreateTable:
     engine: str = "MergeTree"
     engine_args: List[str] = dataclasses.field(default_factory=list)
     order_by: Optional[str] = None
+    # CREATE TABLE ... SETTINGS k=v (MergeTreeSettings overrides)
+    settings: Dict[str, Any] = dataclasses.field(default_factory=dict)
+
+
+@dataclasses.dataclass
+class ModifySetting:
+    """ALTER TABLE t MODIFY SETTING k = v [, ...]
+    (00038_mqvs_brute_force_setting.sql)."""
+
+    table: str
+    assigns: Dict[str, Any]
 
 
 @dataclasses.dataclass
@@ -214,7 +225,9 @@ class ScalarExpr:
     """Scalar expression tree in SELECT / ORDER BY (the ClickHouse
     ExpressionAnalyzer tail): nodes are tuples —
     ("num", v) | ("str", s) | ("col", name) | ("neg", e) |
-    ("bin", op, a, b) | ("call", fname, [args])."""
+    ("bin", op, a, b) | ("call", fname, [args]) — plus const-only forms
+    ("cmp", op, a, b) | ("lambda", [params], body) | ("subq", Select) |
+    ("const", value) (a substituted WITH-scalar alias)."""
 
     node: Any
 
@@ -326,6 +339,16 @@ class TruncateTable:
 
 
 @dataclasses.dataclass
+class DetachTable:
+    table: str
+
+
+@dataclasses.dataclass
+class AttachTable:
+    table: str
+
+
+@dataclasses.dataclass
 class RenameTable:
     table: str
     new_name: str
@@ -375,6 +398,11 @@ class Select:
     table_func: Optional["TableFunc"] = None  # FROM full_text_search(...)
     source: Any = None  # ("sub", Select, alias) when FROM (subquery)
     join: Optional["JoinSpec"] = None
+    # WITH scalar aliases: name -> const-expr tree | ("subq", Select).
+    # The reference evaluates these to const columns at analysis time
+    # (ExpressionAnalyzer.cpp:902-944); the runner does the same before
+    # dispatching the search.
+    scalar_withs: Dict[str, Any] = dataclasses.field(default_factory=dict)
 
 
 class Parser:
@@ -475,6 +503,14 @@ class Parser:
             self.next()
             self.accept_kw("table")
             return TruncateTable(self.table_name())
+        if kw == "detach":
+            self.next()
+            self.expect_kw("table")
+            return DetachTable(self.table_name())
+        if kw == "attach":
+            self.next()
+            self.expect_kw("table")
+            return AttachTable(self.table_name())
         if kw == "rename":
             self.next()
             self.expect_kw("table")
@@ -560,9 +596,8 @@ class Parser:
             elif self.accept_kw("vector", "index"):
                 name = self.expect_name()
                 col = self.expect_name()
-                self.expect_kw("type")
-                tname = self.expect_name()
-                vidx.append(VectorIndexDef(name, col, tname, self._index_params()))
+                tname, tp = self._index_type()
+                vidx.append(VectorIndexDef(name, col, tname, tp))
             elif self.accept_kw("index"):
                 name = self.expect_name()
                 cols_l: List[str] = []
@@ -606,10 +641,23 @@ class Parser:
                         eargs.append(str(t.value))
         if self.accept_kw("order", "by"):
             order_by = self.expect_name()
+        tsettings: Dict[str, Any] = {}
+        if self.accept_kw("settings"):
+            tsettings = self._settings_assigns()
         return CreateTable(
             table, cols, constraints, vidx, fts, ine,
             engine=engine, engine_args=eargs, order_by=order_by,
+            settings=tsettings,
         )
+
+    def _index_type(self) -> Tuple[str, Dict[str, Any]]:
+        """Optional `TYPE <name>[(params)]` tail of a vector-index DDL.
+        Omitted TYPE (or `TYPE DEFAULT`) selects the default index kind,
+        resolved per column type at ADD time (MSTG / BinaryMSTG —
+        VIDescriptions.cpp:133, 00041_mqvs_support_create_default_index)."""
+        if not self.accept_kw("type"):
+            return "default", {}
+        return self.expect_name(), self._index_params()
 
     def create_vector_index(self) -> AddVectorIndex:
         self.expect_kw("create", "vector", "index")
@@ -617,11 +665,8 @@ class Parser:
         self.expect_kw("on")
         table = self.table_name()
         col = self.expect_name()
-        self.expect_kw("type")
-        tname = self.expect_name()
-        return AddVectorIndex(
-            table, VectorIndexDef(name, col, tname, self._index_params())
-        )
+        tname, tp = self._index_type()
+        return AddVectorIndex(table, VectorIndexDef(name, col, tname, tp))
 
     def alter(self):
         self.expect_kw("alter", "table")
@@ -629,11 +674,8 @@ class Parser:
         if self.accept_kw("add", "vector", "index"):
             name = self.expect_name()
             col = self.expect_name()
-            self.expect_kw("type")
-            tname = self.expect_name()
-            return AddVectorIndex(
-                table, VectorIndexDef(name, col, tname, self._index_params())
-            )
+            tname, tp = self._index_type()
+            return AddVectorIndex(table, VectorIndexDef(name, col, tname, tp))
         if self.accept_kw("drop", "vector", "index"):
             return DropVectorIndex(table, self.expect_name())
         if self.accept_kw("add", "column"):
@@ -659,6 +701,8 @@ class Parser:
         if self.accept_kw("drop", "column"):
             ie = self.accept_kw("if", "exists")
             return DropColumn(table, self.expect_name(), ie)
+        if self.accept_kw("modify", "setting"):
+            return ModifySetting(table, self._settings_assigns())
         if self.accept_kw("update"):
             assigns: Dict[str, Any] = {}
             while True:
@@ -871,12 +915,26 @@ class Parser:
         t = self.peek()
         if t.kind == "op" and t.value == "(":
             self.next()
+            if self.peek().kind == "name" and self.peek().lower() == "select":
+                # scalar subquery: (SELECT ...) — evaluated to a const
+                # (first row, first column) by the runner at analysis time
+                body = self._select_body()
+                self.expect_op(")")
+                return ("subq", body)
             node = self._scalar_expr()
             self.expect_op(")")
             return node
         if t.kind == "op" and t.value == "-":
             self.next()
             return ("neg", self._s_factor())
+        if t.kind == "op" and t.value == "[":
+            # array literal in expression position (WITH [..] AS v)
+            self.next()
+            elems = []
+            while not self.accept_op("]"):
+                elems.append(self._scalar_expr())
+                self.accept_op(",")
+            return ("array", elems)
         if t.kind in ("int", "float"):
             self.next()
             return ("num", t.value)
@@ -884,17 +942,13 @@ class Parser:
             self.next()
             return ("str", t.value)
         if t.kind == "name":
-            if (
-                t.lower() in self.MATH_FUNCS
-                and self.peek(1).kind == "op"
-                and self.peek(1).value == "("
-            ):
+            if self.peek(1).kind == "op" and self.peek(1).value == "(":
                 fname = self.next().lower()
                 self.expect_op("(")
                 args = []
                 if not self.accept_op(")"):
                     while True:
-                        args.append(self._scalar_expr())
+                        args.append(self._call_arg())
                         if not self.accept_op(","):
                             break
                     self.expect_op(")")
@@ -902,8 +956,66 @@ class Parser:
             return ("col", self._qual_name())
         self.error("expected a scalar expression")
 
+    def _call_arg(self):
+        """One function-call argument: a lambda (`x -> expr` /
+        `(x, y) -> expr`), or a comparison/scalar expression. Lambdas and
+        comparisons only ever appear inside call parens (arrayMap bodies,
+        if() conditions — 00036_mqvs_with_clause_process_function.sql), so
+        parsing them here never changes a top-level SELECT item."""
+        t = self.peek()
+        if (
+            t.kind == "name"
+            and self.peek(1).kind == "op"
+            and self.peek(1).value == "->"
+        ):
+            param = self.expect_name()
+            self.expect_op("->")
+            return ("lambda", [param], self._call_arg())
+        if t.kind == "op" and t.value == "(":
+            # (a, b) -> body
+            pos = self.i
+            self.next()
+            params: List[str] = []
+            closed = False
+            while self.peek().kind == "name":
+                params.append(self.expect_name())
+                if self.accept_op(")"):
+                    closed = True
+                    break
+                if not self.accept_op(","):
+                    break
+            if (
+                closed
+                and params
+                and self.peek().kind == "op"
+                and self.peek().value == "->"
+            ):
+                self.next()
+                return ("lambda", params, self._call_arg())
+            self.i = pos
+        node = self._scalar_expr()
+        t = self.peek()
+        if t.kind == "op" and t.value in ("=", "==", "!=", "<>", "<", "<=", ">", ">="):
+            op = {"=": "==", "<>": "!="}.get(self.next().value, t.value)
+            return ("cmp", op, node, self._scalar_expr())
+        return node
+
     def _order_element(self):
-        """ORDER BY element: col | col.N (tuple index) | scalar expr."""
+        """ORDER BY element: col | col.N (tuple index) | scalar expr |
+        (e1, e2, ...) tuple shorthand for multiple keys sharing one
+        direction (`ORDER BY (d, id)` —
+        00036_mqvs_with_clause_process_function.sql)."""
+        if self.peek().kind == "op" and self.peek().value == "(":
+            pos = self.i
+            self.next()
+            elems = [self._order_element()]
+            is_tuple = False
+            while self.accept_op(","):
+                elems.append(self._order_element())
+                is_tuple = True
+            if is_tuple and self.accept_op(")"):
+                return ("__tuple__", elems)
+            self.i = pos
         t0, t1, t2 = self.peek(), self.peek(1), self.peek(2)
         if (
             t0.kind == "name"
@@ -940,7 +1052,15 @@ class Parser:
         while not self.accept_op(")"):
             t = self.peek()
             if t.kind == "name":
-                args.append(("col", self.expect_name()))
+                if self.peek(1).kind == "op" and self.peek(1).value == "(":
+                    # const expression query vector: arrayMap(x -> ..,
+                    # range(..)) — evaluated at analysis time like the
+                    # reference (ExpressionAnalyzer.cpp:902-944)
+                    args.append(("expr", self._call_arg()))
+                else:
+                    args.append(("col", self.expect_name()))
+            elif t.kind == "op" and t.value == "(":
+                args.append(("expr", self._call_arg()))
             else:
                 args.append(("lit", self.literal()))
             self.accept_op(",")
@@ -958,23 +1078,40 @@ class Parser:
     def with_select(self) -> Select:
         """WITH name AS (subquery) [, ...] SELECT ... — common table
         expressions, resolved by parse-time substitution into the FROM /
-        JOIN sources (ClickHouse's CTE form; scalar `WITH 1 AS x`
-        aliases are out of scope). Later CTEs may reference earlier
-        ones; each reference gets its own deep copy."""
+        JOIN sources (ClickHouse's CTE form) — plus the scalar forms
+        `WITH (expr) AS name`, `WITH expr AS name` and
+        `WITH (SELECT ...) AS name`, recorded on Select.scalar_withs and
+        evaluated to consts by the runner at analysis time, like the
+        reference (ExpressionAnalyzer.cpp:902-944;
+        00036_mqvs_with_clause_process_function.sql). Later CTEs may
+        reference earlier ones; each reference gets its own deep copy."""
         self.expect_kw("with")
         ctes: Dict[str, Select] = {}
+        scalars: Dict[str, Any] = {}
         while True:
-            name = self.expect_name()
-            self.expect_kw("as")
-            self.expect_op("(")
-            body = self._select_body()
-            self.expect_op(")")
-            _substitute_ctes(body, ctes)  # earlier CTEs visible here
-            ctes[name.lower()] = body
+            t0, t1, t2, t3 = (self.peek(i) for i in range(4))
+            if (
+                t0.kind == "name"
+                and t1.kind == "name" and t1.lower() == "as"
+                and t2.kind == "op" and t2.value == "("
+                and t3.kind == "name" and t3.lower() == "select"
+            ):
+                name = self.expect_name()
+                self.expect_kw("as")
+                self.expect_op("(")
+                body = self._select_body()
+                self.expect_op(")")
+                _substitute_ctes(body, ctes)  # earlier CTEs visible here
+                ctes[name.lower()] = body
+            else:
+                node = self._call_arg()
+                self.expect_kw("as")
+                scalars[self.expect_name()] = node
             if not self.accept_op(","):
                 break
         sel = self.select()
         _substitute_ctes(sel, ctes)
+        sel.scalar_withs.update(scalars)
         return sel
 
     def _qual_name(self) -> str:
@@ -1251,8 +1388,12 @@ class Parser:
                     items.append(SelectItem(ScalarExpr(node), alias))
             if not self.accept_op(","):
                 break
-        self.expect_kw("from")
-        source = self._from_source()
+        if self.accept_kw("from"):
+            source = self._from_source()
+        else:
+            # FROM-less SELECT (const expressions / scalar subqueries:
+            # `SELECT 1`, `WITH (SELECT arrayMap(...)) AS v ...`)
+            source = ("table", "", None)
         sel = Select(
             items=items,
             table=source[1] if source[0] == "table" else "",
@@ -1319,7 +1460,10 @@ class Parser:
                     direction = "desc"
                 elif self.accept_kw("asc"):
                     direction = "asc"
-                sel.order_by.append((expr, direction))
+                if isinstance(expr, tuple) and expr[0] == "__tuple__":
+                    sel.order_by.extend((e, direction) for e in expr[1])
+                else:
+                    sel.order_by.append((expr, direction))
                 if not self.accept_op(","):
                     break
         if self.accept_kw("limit"):
@@ -1344,20 +1488,27 @@ class Parser:
                 sel.offset = o.value
         if self.accept_kw("settings"):
             # per-query SETTINGS k=v, ... (Settings.h query settings)
-            while True:
-                name = self.expect_name()
-                self.expect_op("=")
-                neg = self.accept_op("-")
-                t = self.next()
-                if t.kind not in ("int", "float", "str", "name"):
-                    self.error("SETTINGS expects name = literal")
-                v = -t.value if neg and t.kind in ("int", "float") else t.value
-                if neg and t.kind not in ("int", "float"):
-                    self.error("SETTINGS '-' needs a numeric literal")
-                sel.settings[name] = v
-                if not self.accept_op(","):
-                    break
+            sel.settings.update(self._settings_assigns())
         return sel
+
+    def _settings_assigns(self) -> Dict[str, Any]:
+        """k = v [, ...] list shared by per-query SETTINGS, CREATE TABLE
+        ... SETTINGS, and ALTER TABLE ... MODIFY SETTING."""
+        out: Dict[str, Any] = {}
+        while True:
+            name = self.expect_name()
+            self.expect_op("=")
+            neg = self.accept_op("-")
+            t = self.next()
+            if t.kind not in ("int", "float", "str", "name"):
+                self.error("SETTINGS expects name = literal")
+            v = -t.value if neg and t.kind in ("int", "float") else t.value
+            if neg and t.kind not in ("int", "float"):
+                self.error("SETTINGS '-' needs a numeric literal")
+            out[name] = v
+            if not self.accept_op(","):
+                break
+        return out
 
 
 def _cte_source(src, ctes):

@@ -68,7 +68,9 @@ def _to_filter(expr, t=None) -> Optional[F.Expr]:
 
 def _column_type(cdef: P.ColumnDef, dims: Dict[str, int]):
     t = cdef.type_name.lower()
-    if t == "uint64":
+    if t in ("uint64", "uint32", "uint16", "uint8"):
+        # narrow unsigned types widen to UInt64 (host-resident scalars;
+        # the reference tests declare `id UInt32` throughout)
         return sch.UInt64()
     if t == "int64":
         return sch.Int64()
@@ -128,6 +130,9 @@ class SQLRunner:
             P.BackupTable: self._backup_table,
             P.RestoreTable: self._restore_table,
             P.TruncateTable: self._truncate_table,
+            P.DetachTable: self._detach_table,
+            P.AttachTable: self._attach_table,
+            P.ModifySetting: self._modify_setting,
             P.RenameTable: self._rename_table,
             P.AddColumn: self._add_column,
             P.DropColumn: self._drop_column,
@@ -175,9 +180,16 @@ class SQLRunner:
             sign_col = args[0] if args else None
         elif "replacing" in eng:
             version_col = args[0] if args else None
+        tset = None
+        if st.settings:
+            # CREATE TABLE ... SETTINGS k=v: per-table MergeTreeSettings
+            # overrides (00038_mqvs_brute_force_setting.sql); unknown
+            # names are rejected by Settings.override
+            tset = self.db.settings.override(st.settings)
         t = self.db.create_table(
             st.table,
             sch.Schema(cols),
+            settings=tset,
             engine=st.engine,
             key_column=st.order_by,
             version_column=version_col,
@@ -295,8 +307,24 @@ class SQLRunner:
         self.db.table(st.table).truncate()
         return []
 
+    def _detach_table(self, st: P.DetachTable):
+        self.db.detach_table(st.table)
+        return []
+
+    def _attach_table(self, st: P.AttachTable):
+        self.db.attach_table(st.table)
+        return []
+
     def _rename_table(self, st: P.RenameTable):
         self.db.rename_table(st.table, st.new_name)
+        return []
+
+    def _modify_setting(self, st: P.ModifySetting):
+        """ALTER TABLE ... MODIFY SETTING: rebinds the table to a fresh
+        overridden Settings copy (tables may share the database-level
+        Settings object, so in-place mutation would leak across tables)."""
+        t = self.db.table(st.table)
+        t.settings = t.settings.override(st.assigns)
         return []
 
     def _add_column(self, st: P.AddColumn):
@@ -616,7 +644,51 @@ class SQLRunner:
         return [{alias: r.get(c) for c, alias in keep} for r in rows]
 
     # ------------------------------------------------------------- SELECT
+    def _normalize_consts(self, st: P.Select, env: Optional[Dict[str, Any]] = None):
+        """Analysis-time const fold: evaluate scalar WITH aliases once,
+        rewrite search-call ("expr", ...) args and alias references into
+        literal query vectors, and substitute aliases into scalar trees —
+        recursing into subquery sources so WITH aliases are visible
+        inside them, matching the reference's scoping
+        (ExpressionAnalyzer.cpp:902-944)."""
+        env = dict(env) if env else {}
+        for name, node in st.scalar_withs.items():
+            env[name] = _eval_const(node, env, self)
+        for it in st.items:
+            e = it.expr
+            if isinstance(e, P.SearchCall):
+                new_args: List[Any] = []
+                for a in e.args:
+                    if a[0] == "expr":
+                        new_args.append(("lit", _eval_const(a[1], env, self)))
+                    elif a[0] == "col" and a[1] in env:
+                        new_args.append(("lit", env[a[1]]))
+                    else:
+                        new_args.append(a)
+                e.args = new_args
+            elif isinstance(e, P.ScalarExpr) and env:
+                it.expr = P.ScalarExpr(_subst_env(e.node, env))
+        if env:
+            st.order_by = [
+                (
+                    P.ScalarExpr(_subst_env(e.node, env))
+                    if isinstance(e, P.ScalarExpr)
+                    else e,
+                    d,
+                )
+                for e, d in st.order_by
+            ]
+        if st.source is not None and st.source[0] == "sub":
+            self._normalize_consts(st.source[1], env)
+        if (
+            st.join is not None
+            and isinstance(st.join.right, tuple)
+            and st.join.right[0] == "sub"
+        ):
+            self._normalize_consts(st.join.right[1], env)
+
     def _select(self, st: P.Select):
+        self._normalize_consts(st)
         out = self._select_stmt(st)
         # DISTINCT here covers every consumer (top-level, subqueries,
         # INSERT ... SELECT); the plain paths additionally dedup BEFORE
@@ -626,6 +698,24 @@ class SQLRunner:
         return out
 
     def _select_stmt(self, st: P.Select):
+        if (
+            not st.table
+            and st.source is None
+            and st.table_func is None
+            and st.join is None
+        ):
+            # FROM-less SELECT: one row of const expressions
+            row: Dict[str, Any] = {}
+            for it in st.items:
+                e = it.expr
+                if isinstance(e, P.ScalarExpr):
+                    name = it.alias or _render_scalar(e.node)
+                    row[name] = _eval_const(e.node, {}, self)
+                elif isinstance(e, str):
+                    row[it.alias or e] = _eval_const(("col", e), {}, self)
+                else:
+                    raise SQLError("FROM-less SELECT supports only const expressions")
+            return [row]
         if st.table.startswith("system."):
             rows = self.db.system_table(st.table.split(".", 1)[1])
             return self._project_plain(rows, st)
@@ -641,8 +731,16 @@ class SQLRunner:
             if any(c.func != "distance" for c in searches):
                 raise SQLError("only multiple distance() calls are supported")
         search = searches[0] if searches else None
+        # WHERE predicates over the search alias (`WHERE d < 10`,
+        # 00004_mqvs_filter_by_distance.sh) are only computable AFTER the
+        # search: split them out and apply them to the ranked rows
+        where = st.where
+        post_pred = None
+        if searches and where is not None:
+            aliases = {c.alias for c in searches}
+            where, post_pred = _split_alias_pred(where, aliases)
         filt = _to_filter(st.prewhere, t) if st.prewhere is not None else None
-        wfilt = _to_filter(st.where, t)
+        wfilt = _to_filter(where, t)
         if filt is not None and wfilt is not None:
             filt = F.And(filt, wfilt)
         elif wfilt is not None:
@@ -667,6 +765,14 @@ class SQLRunner:
                 if fast is not None:
                     return fast
             return self._plain_scan(t, st, filt)
+        if post_pred is not None:
+            if search.func == "batch_distance":
+                raise SQLError(
+                    "WHERE on the batch_distance alias is not supported"
+                )
+            return self._search_post_filtered(
+                t, st, searches, filt, post_pred
+            )
         if len(searches) > 1:
             return self._multi_distance(t, st, searches, filt)
         if search.func == "distance":
@@ -907,6 +1013,37 @@ class SQLRunner:
         )
         rows = rows[st.offset : st.offset + st.limit if st.limit else None]
         return self._finalize_items(st, rows)
+
+    def _search_post_filtered(
+        self, t, st: P.Select, searches, filt, post_pred
+    ):
+        """Search with WHERE predicates over the search alias: rank the
+        full result window (n+m <= max_search_result_window, same cap the
+        reference applies to any search — VSUtils.cpp:205), evaluate the
+        alias predicates on the ranked rows, then apply the original
+        LIMIT/OFFSET (00004_mqvs_filter_by_distance.sh)."""
+        eff = self._eff_settings(st, t)
+        nrows = sum(s.n_rows for s in t.live_segments())
+        cap = min(nrows, eff.query.max_search_result_window)
+        orig_limit, orig_offset = st.limit, st.offset
+        st.limit, st.offset = max(cap, 1), 0
+        try:
+            if len(searches) > 1:
+                rows = self._multi_distance(t, st, searches, filt)
+            else:
+                call = searches[0]
+                handler = {
+                    "distance": self._distance,
+                    "textsearch": self._textsearch,
+                    "hybridsearch": self._hybridsearch,
+                }[call.func]
+                rows = handler(t, st, call, filt)
+        finally:
+            st.limit, st.offset = orig_limit, orig_offset
+        rows = [r for r in rows if _eval_plain(post_pred, r)]
+        k = orig_limit if orig_limit is not None else eff.query.default_topk
+        off = orig_offset or 0
+        return rows[off:off + k]
 
     def _batch_distance(self, t, st: P.Select, call: P.SearchCall, filt):
         cols = [a[1] for a in call.args if a[0] == "col"]
@@ -1374,6 +1511,125 @@ _MATHF = {
     "greatest": lambda *a: max(a),
 }
 
+_CMPF = {
+    "==": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+}
+
+_BINF = {
+    "+": lambda a, b: a + b,
+    "-": lambda a, b: a - b,
+    "*": lambda a, b: a * b,
+    "/": lambda a, b: a / b,
+    "%": lambda a, b: a % b,
+}
+
+
+def _eval_const(node, env: Dict[str, Any], runner) -> Any:
+    """Evaluate an expression with NO row context: literals, scalar WITH
+    aliases (env), pure functions (range/arrayMap/if + math), and scalar
+    subqueries. This is the analysis-time const fold the reference does
+    for query vectors (ExpressionAnalyzer.cpp:902-944;
+    00036_mqvs_with_clause_process_function.sql)."""
+    tag = node[0]
+    if tag in ("num", "str", "const"):
+        return node[1]
+    if tag == "col":
+        name = node[1]
+        if name in env:
+            return env[name]
+        raise SQLError(
+            f"{name!r} is not a constant here (expected a literal, a "
+            f"scalar WITH alias, or a const expression)"
+        )
+    if tag == "neg":
+        return -_eval_const(node[1], env, runner)
+    if tag == "array":
+        return [_eval_const(e, env, runner) for e in node[1]]
+    if tag == "bin":
+        return _BINF[node[1]](
+            _eval_const(node[2], env, runner),
+            _eval_const(node[3], env, runner),
+        )
+    if tag == "cmp":
+        return _CMPF[node[1]](
+            _eval_const(node[2], env, runner),
+            _eval_const(node[3], env, runner),
+        )
+    if tag == "subq":
+        rows = runner._select(node[1])
+        if not rows:
+            raise SQLError("scalar subquery returned no rows")
+        return next(iter(rows[0].values()))
+    if tag == "call":
+        fname = node[1]
+        args = node[2]
+        if fname == "arraymap":
+            if not args or args[0][0] != "lambda":
+                raise SQLError("arrayMap expects a lambda first argument")
+            _, params, body = args[0]
+            arrays = [
+                list(_eval_const(a, env, runner)) for a in args[1:]
+            ]
+            if len(arrays) != len(params):
+                raise SQLError(
+                    f"arrayMap lambda takes {len(params)} args, "
+                    f"got {len(arrays)} arrays"
+                )
+            out = []
+            for vals in zip(*arrays):
+                lenv = dict(env)
+                lenv.update(zip(params, vals))
+                out.append(_eval_const(body, lenv, runner))
+            return out
+        if fname == "range":
+            vals = [int(_eval_const(a, env, runner)) for a in args]
+            return list(range(*vals))
+        if fname == "if":
+            c, a, b = (
+                _eval_const(x, env, runner) for x in args
+            )
+            return a if c else b
+        if fname == "arrayconcat":
+            out = []
+            for a in args:
+                out.extend(_eval_const(a, env, runner))
+            return out
+        if fname == "length":
+            return len(_eval_const(args[0], env, runner))
+        fn = _MATHF.get(fname)
+        if fn is None:
+            raise SQLError(f"unknown const function {fname}()")
+        return fn(*[_eval_const(a, env, runner) for a in args])
+    raise SQLError(f"expression node {tag!r} is not constant")
+
+
+def _subst_env(node, env: Dict[str, Any]):
+    """Rewrite ("col", name) references to scalar WITH aliases into
+    ("const", value) nodes so row/columnar evaluators see them as
+    literals."""
+    if not isinstance(node, tuple):
+        return node
+    tag = node[0]
+    if tag == "col" and node[1] in env:
+        return ("const", env[node[1]])
+    if tag == "neg":
+        return ("neg", _subst_env(node[1], env))
+    if tag in ("bin", "cmp"):
+        return (tag, node[1], _subst_env(node[2], env), _subst_env(node[3], env))
+    if tag == "call":
+        return (tag, node[1], [_subst_env(a, env) for a in node[2]])
+    if tag == "array":
+        return (tag, [_subst_env(e, env) for e in node[1]])
+    if tag == "lambda":
+        inner = {k: v for k, v in env.items() if k not in node[1]}
+        return (tag, node[1], _subst_env(node[2], inner))
+    return node
+
 
 def _eval_scalar(node, row: Dict[str, Any]):
     """Evaluate a parsed scalar-expression tree against one output row
@@ -1381,13 +1637,17 @@ def _eval_scalar(node, row: Dict[str, Any]):
     inherited ClickHouse SQL — SELECT arithmetic over distance aliases,
     round() et al., ORDER BY expressions)."""
     tag = node[0]
-    if tag in ("num", "str"):
+    if tag in ("num", "str", "const"):
         return node[1]
     if tag == "col":
         name = node[1]
         if name not in row:
             raise SQLError(f"unknown column {name!r} in scalar expression")
         return row[name]
+    if tag == "cmp":
+        return _CMPF[node[1]](
+            _eval_scalar(node[2], row), _eval_scalar(node[3], row)
+        )
     if tag == "neg":
         return -_eval_scalar(node[1], row)
     if tag == "bin":
@@ -1404,6 +1664,9 @@ def _eval_scalar(node, row: Dict[str, Any]):
             return a / b
         return a % b
     if tag == "call":
+        if node[1] == "if":
+            c, a, b = (_eval_scalar(x, row) for x in node[2])
+            return a if c else b
         fn = _MATHF.get(node[1])
         if fn is None:  # pragma: no cover
             raise SQLError(f"unknown function {node[1]}()")
@@ -1437,8 +1700,16 @@ def _render_scalar(node) -> str:
         return node[1]
     if tag == "neg":
         return f"-{_render_scalar(node[1])}"
-    if tag == "bin":
+    if tag == "const":
+        return repr(node[1])
+    if tag in ("bin", "cmp"):
         return f"{_render_scalar(node[2])} {node[1]} {_render_scalar(node[3])}"
+    if tag == "array":
+        return f"[{', '.join(_render_scalar(e) for e in node[1])}]"
+    if tag == "lambda":
+        return f"{', '.join(node[1])} -> {_render_scalar(node[2])}"
+    if tag == "subq":
+        return "(SELECT ...)"
     return f"{node[1]}({', '.join(_render_scalar(a) for a in node[2])})"
 
 
@@ -1475,6 +1746,37 @@ def _select_output_names(sel: "P.Select", rows) -> List[str]:
                 )
             )
     return names
+
+
+def _split_alias_pred(expr, aliases: set):
+    """Split a WHERE tree into (pre, post): subtrees referencing only a
+    search alias move to post (applied after the search computes the
+    alias), pure-column subtrees stay pre, and AND nodes split
+    recursively. A subtree that mixes the two under OR/NOT cannot be
+    ordered against the search and is rejected, like the reference's
+    analyzer."""
+    cols: set = set()
+    _pred_columns(expr, cols)
+    hit = cols & aliases
+    if not hit:
+        return expr, None
+    if cols <= aliases:
+        return None, expr
+    if isinstance(expr, P.BoolOp) and expr.op == "and":
+        pres, posts = [], []
+        for a in expr.args:
+            p, q = _split_alias_pred(a, aliases)
+            if p is not None:
+                pres.append(p)
+            if q is not None:
+                posts.append(q)
+        pre = pres[0] if len(pres) == 1 else (P.BoolOp("and", pres) if pres else None)
+        post = posts[0] if len(posts) == 1 else (P.BoolOp("and", posts) if posts else None)
+        return pre, post
+    raise SQLError(
+        f"predicate mixes search alias {sorted(hit)} with columns inside "
+        f"OR/NOT; split it into AND-ed terms"
+    )
 
 
 def _pred_columns(expr, out: set) -> None:

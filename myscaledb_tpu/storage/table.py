@@ -280,6 +280,11 @@ class Table:
                     )
         vtype = self.schema.require_vector(column)
         is_binary = isinstance(vtype, BinaryVector)
+        if type.lower() == "default":
+            # TYPE DEFAULT / omitted TYPE: the reference resolves per the
+            # column's search type (VIDescriptions.cpp:133,
+            # 00041_mqvs_support_create_default_index.sql)
+            type = "BinaryMSTG" if is_binary else "MSTG"
         default_metric = (
             self.settings.table.binary_vector_search_metric_type
             if is_binary
