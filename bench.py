@@ -423,64 +423,77 @@ def main():
     db.drop_table("bench_gist")
     db.drop_table("bench")
     del table, seg, t2, gt2_res, res_ef  # drop device-array refs too
-    NB, DB_ = 1_000_000, 960
-    corpus3 = make_corpus(NB, DB_, seed=8)
-    t5b = db.create_table(
-        "bench_gist1m",
-        ms.Schema({"id": ms.UInt64(), "vec": ms.FloatVector(DB_)}),
-        settings=st,
-    )
-    t5b.insert({"id": np.arange(NB, dtype=np.uint64), "vec": corpus3})
-    NQ3 = 256
-    q3 = (corpus3[rng.choice(NB, NQ3, replace=False)]
-          + 0.1 * rng.standard_normal((NQ3, DB_))).astype(np.float32)
-    b3 = [jnp.asarray(q3)]
-    gt3_res = [t5b.search("vec", qb, k=K, settings=st_bf, metric="Cosine")
-               for qb in b3]
-    gt3 = np.concatenate([r.distances for r in gt3_res])
-    gt3_rows = np.concatenate([np.asarray(r.rows) for r in gt3_res])
-    _progress("1M x 960 ground truth done")
-    t6b = time.time()
-    t5b.add_vector_index(
-        "h", "vec", type="HNSWFLAT", m=32, ef_c=100, metric_type="Cosine"
-    )
-    t5b.wait_index_built(timeout=3600)
-    hnsw1m_build_s = time.time() - t6b
-    _progress(f"1M x 960 hnsw built ({hnsw1m_build_s:.1f}s)")
+    hnsw1m_build_s = None
     hnsw1m_curve = []
-    # grid = the reference ef_s points, plus one wide-rerank operating
-    # point: the default exact re-rank pool is 2*ef; 4*ef buys the last
-    # strict-id tail on near-tie blob corpora (~0.98 ids at ef 400)
-    for ef, rr in ((50, None), (100, None), (400, None), (400, 1600)):
-        p = {"ef_s": ef} if rr is None else {"ef_s": ef, "rerank": rr}
-        res_ef = [t5b.search("vec", qb, k=K, params=p,
-                             settings=st_graph) for qb in b3]
-        d3s = np.concatenate([r.distances for r in res_ef])
-        rows3 = np.concatenate([np.asarray(r.rows) for r in res_ef])
-        r = float((d3s <= gt3[:, K - 1 : K] * (1 + 1e-4) + 1e-3).mean())
-        rid = float(np.mean([
-            len(set(rows3[i][rows3[i] >= 0].tolist())
-                & set(gt3_rows[i].tolist())) / K
-            for i in range(len(rows3))
-        ]))
-        q_best, q_med = measure_qps(
-            lambda qb: t5b.search("vec", qb, k=K, params=p,
-                                  settings=st_graph),
-            b3, NQ3, repeats=2,
+    try:
+        NB, DB_ = 1_000_000, 960
+        corpus3 = make_corpus(NB, DB_, seed=8)
+        t5b = db.create_table(
+            "bench_gist1m",
+            ms.Schema({"id": ms.UInt64(), "vec": ms.FloatVector(DB_)}),
+            settings=st,
         )
-        point = {"ef_s": ef, "recall": round(r, 4),
-                 "recall_ids": round(rid, 4),
-                 "qps": round(q_best),
-                 "qps_median": round(q_med)}
-        if rr is not None:
-            point["rerank"] = rr
-        hnsw1m_curve.append(point)
-        _progress(
-            f"1M hnsw ef_s={ef}{f' rerank={rr}' if rr else ''} "
-            f"recall={r:.4f} (ids {rid:.4f}) "
-            f"qps={q_best:.0f} (med {q_med:.0f})"
+        t5b.insert({"id": np.arange(NB, dtype=np.uint64), "vec": corpus3})
+        NQ3 = 256
+        q3 = (corpus3[rng.choice(NB, NQ3, replace=False)]
+              + 0.1 * rng.standard_normal((NQ3, DB_))).astype(np.float32)
+        del corpus3
+        b3 = [jnp.asarray(q3)]
+        gt3_res = [t5b.search("vec", qb, k=K, settings=st_bf, metric="Cosine")
+                   for qb in b3]
+        gt3 = np.concatenate([r.distances for r in gt3_res])
+        gt3_rows = np.concatenate([np.asarray(r.rows) for r in gt3_res])
+        del gt3_res
+        _progress("1M x 960 ground truth done")
+        t6b = time.time()
+        t5b.add_vector_index(
+            "h", "vec", type="HNSWFLAT", m=32, ef_c=100, metric_type="Cosine"
         )
-    db.drop_table("bench_gist1m")
+        t5b.wait_index_built(timeout=3600)
+        hnsw1m_build_s = time.time() - t6b
+        _progress(f"1M x 960 hnsw built ({hnsw1m_build_s:.1f}s)")
+        # grid = the reference ef_s points, plus one wide-rerank operating
+        # point: the default exact re-rank pool is 2*ef; 4*ef buys the last
+        # strict-id tail on near-tie blob corpora (~0.98 ids at ef 400)
+        for ef, rr in ((50, None), (100, None), (400, None), (400, 1600)):
+            p = {"ef_s": ef} if rr is None else {"ef_s": ef, "rerank": rr}
+            res_ef = [t5b.search("vec", qb, k=K, params=p,
+                                 settings=st_graph) for qb in b3]
+            d3s = np.concatenate([r.distances for r in res_ef])
+            rows3 = np.concatenate([np.asarray(r.rows) for r in res_ef])
+            r = float((d3s <= gt3[:, K - 1 : K] * (1 + 1e-4) + 1e-3).mean())
+            rid = float(np.mean([
+                len(set(rows3[i][rows3[i] >= 0].tolist())
+                    & set(gt3_rows[i].tolist())) / K
+                for i in range(len(rows3))
+            ]))
+            q_best, q_med = measure_qps(
+                lambda qb: t5b.search("vec", qb, k=K, params=p,
+                                      settings=st_graph),
+                b3, NQ3, repeats=2,
+            )
+            point = {"ef_s": ef, "recall": round(r, 4),
+                     "recall_ids": round(rid, 4),
+                     "qps": round(q_best),
+                     "qps_median": round(q_med)}
+            if rr is not None:
+                point["rerank"] = rr
+            hnsw1m_curve.append(point)
+            _progress(
+                f"1M hnsw ef_s={ef}{f' rerank={rr}' if rr else ''} "
+                f"recall={r:.4f} (ids {rid:.4f}) "
+                f"qps={q_best:.0f} (med {q_med:.0f})"
+            )
+    except Exception as e:
+        # the 1M x 960 resident set (~10 GB: bf16 payload + m32 node
+        # blocks + int8 traversal space) is tight on a SHARED 16 GB chip —
+        # a co-tenant can push a search over RESOURCE_EXHAUSTED. Keep the
+        # partial curve and the rest of the bench instead of dying.
+        _progress(f"1M x 960 section aborted: {type(e).__name__}: {e}")
+    try:
+        db.drop_table("bench_gist1m")
+    except Exception:
+        pass
 
     # --- config 5: hybrid BM25+RRF + text QPS on 100k docs ---
     N3 = 100_000
@@ -654,6 +667,12 @@ def main():
         "hnsw_ef_s": hnsw_ef,
         "hnsw_recall_qps_curve": hnsw_curve,
         "hnsw_build_s_100k_960d": round(hnsw_build_s, 1),
+        # 1M x 960 graph regime (verdict missing #1): build time + curve;
+        # None/[] if the shared chip ran out of HBM mid-section
+        "hnsw_build_s_1m_960d": (
+            round(hnsw1m_build_s, 1) if hnsw1m_build_s is not None else None
+        ),
+        "hnsw_recall_qps_curve_1m": hnsw1m_curve,
         "text_bm25_qps": round(text_qps),
         "text_bm25_qps_median": round(text_qps_med),
         "hybrid_bm25_rrf_qps": round(hybrid_qps),

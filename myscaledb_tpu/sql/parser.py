@@ -1134,6 +1134,17 @@ class Parser:
             alias = self.expect_name() if self.accept_kw("as") else None
             return ("sub", inner, alias)
         name = self.table_name()
+        if name.lower() == "numbers" and (
+            self.peek().kind == "op" and self.peek().value == "("
+        ):
+            # numbers(N) / numbers(start, N): the ClickHouse row generator
+            # every reference test feeds INSERT ... SELECT from
+            self.expect_op("(")
+            nargs: List[Any] = []
+            while not self.accept_op(")"):
+                nargs.append(self.literal())
+                self.accept_op(",")
+            return ("func", TableFunc("numbers", nargs), None)
         if name.lower() in ("full_text_search", "ftsindex") and (
             self.peek().kind == "op" and self.peek().value == "("
         ):

@@ -16,6 +16,7 @@ contract (SURVEY.md §2.7):
 from __future__ import annotations
 
 import json
+import time as _time
 from typing import Any, Dict, List, Optional
 
 import numpy as np
@@ -111,8 +112,6 @@ class SQLRunner:
 
     # ------------------------------------------------------------ execute
     def execute(self, sql: str):
-        import time as _time
-
         from ..service.event_log import GLOBAL_QUERY_LOG
 
         stmt = P.parse(sql)
@@ -515,6 +514,17 @@ class SQLRunner:
                 str(tf.args[0]), str(tf.args[1]), str(tf.args[2])
             )
             return self._project_rows([stats], st)
+        if tf.name == "numbers":
+            # numbers(N) / numbers(start, N) — the ClickHouse generator
+            # (INSERT INTO t SELECT number, [number,...] FROM numbers(100))
+            if len(tf.args) == 1:
+                start, count = 0, int(tf.args[0])
+            elif len(tf.args) == 2:
+                start, count = int(tf.args[0]), int(tf.args[1])
+            else:
+                raise SQLError("numbers(N) or numbers(start, N)")
+            rows = [{"number": i} for i in range(start, start + count)]
+            return self._project_plain(rows, st)
         raise SQLError(f"unknown table function {tf.name}")  # pragma: no cover
 
     def _project_rows(self, rows, st: P.Select):
@@ -1472,24 +1482,42 @@ class SQLRunner:
         filt = st.where
         if filt is not None:
             rows = [r for r in rows if _eval_plain(filt, r)]
-        if st.order_by:
-            _sort_rows(rows, st.order_by)
+        agg_items = [
+            it for it in st.items
+            if isinstance(it.expr, tuple) and not isinstance(it.expr, P.ScalarExpr)
+        ]
+        if agg_items:
+            # aggregates / GROUP BY over table-function or system rows
+            # (SELECT sum(number) FROM numbers(10))
+            return self._aggregate_rows(st, rows, agg_items)
         keep = []
         exprs = []
+        star = False
         for it in st.items:
             if it.expr == "*":
-                return rows[: st.limit]
-            if isinstance(it.expr, str):
+                star = True
+            elif isinstance(it.expr, str):
                 keep.append((it.expr, it.alias or it.expr))
             elif isinstance(it.expr, P.ScalarExpr):
                 exprs.append(it)
+        if exprs:
+            # materialize expression aliases BEFORE the sort so
+            # `SELECT number * 2 AS n2 ... ORDER BY n2` works
+            rows = [dict(r) for r in rows]
+            for r in rows:
+                for it in exprs:
+                    name = it.alias or _render_scalar(it.expr.node)
+                    r[name] = _eval_scalar(it.expr.node, r)
+        if st.order_by:
+            _sort_rows(rows, st.order_by)
+        if star:
+            return rows[: st.limit]
         out = []
         for r in rows:
             nr = {alias: r.get(c) for c, alias in keep}
             for it in exprs:
-                nr[it.alias or _render_scalar(it.expr.node)] = _eval_scalar(
-                    it.expr.node, r
-                )
+                name = it.alias or _render_scalar(it.expr.node)
+                nr[name] = r[name]
             out.append(nr)
         if st.distinct:
             out = _distinct_rows(out)
@@ -1601,6 +1629,13 @@ def _eval_const(node, env: Dict[str, Any], runner) -> Any:
             return out
         if fname == "length":
             return len(_eval_const(args[0], env, runner))
+        if fname == "sleep":
+            # reference test scripts poll build status with sleep();
+            # capped like ClickHouse's 3-second sleep limit
+            _time.sleep(min(float(_eval_const(args[0], env, runner)), 3.0))
+            return 0
+        if fname == "currentdatabase":
+            return "default"
         fn = _MATHF.get(fname)
         if fn is None:
             raise SQLError(f"unknown const function {fname}()")
@@ -1648,6 +1683,8 @@ def _eval_scalar(node, row: Dict[str, Any]):
         return _CMPF[node[1]](
             _eval_scalar(node[2], row), _eval_scalar(node[3], row)
         )
+    if tag == "array":
+        return [_eval_scalar(e, row) for e in node[1]]
     if tag == "neg":
         return -_eval_scalar(node[1], row)
     if tag == "bin":
@@ -1680,12 +1717,15 @@ def _scalar_cols(node, out: List[str]):
         out.append(node[1])
     elif tag == "neg":
         _scalar_cols(node[1], out)
-    elif tag == "bin":
+    elif tag in ("bin", "cmp"):
         _scalar_cols(node[2], out)
         _scalar_cols(node[3], out)
     elif tag == "call":
         for a in node[2]:
             _scalar_cols(a, out)
+    elif tag == "array":
+        for e in node[1]:
+            _scalar_cols(e, out)
 
 
 def _render_scalar(node) -> str:

@@ -258,3 +258,31 @@ def test_modify_setting_rejects_unknown(db):
     db.sql("CREATE TABLE ms1 (id UInt64) ENGINE = MergeTree ORDER BY id")
     with pytest.raises(Exception, match="not_a_real_setting"):
         db.sql("ALTER TABLE ms1 MODIFY SETTING not_a_real_setting = 1")
+
+
+def test_numbers_table_function(db):
+    # numbers(N) / numbers(start, N): the generator every reference test
+    # feeds INSERT ... SELECT from
+    assert db.sql("SELECT number FROM numbers(3)") == [
+        {"number": 0}, {"number": 1}, {"number": 2}
+    ]
+    assert db.sql("SELECT number FROM numbers(5, 2)") == [
+        {"number": 5}, {"number": 6}
+    ]
+    rows = db.sql("SELECT number * 2 AS n2 FROM numbers(3) ORDER BY n2 DESC")
+    assert [r["n2"] for r in rows] == [4, 2, 0]
+    assert db.sql("SELECT sum(number) AS s FROM numbers(10)") == [{"s": 45.0}]
+
+
+def test_insert_select_from_numbers(db):
+    db.sql(
+        "CREATE TABLE nt (id UInt32, vector Array(Float32), "
+        "CONSTRAINT c CHECK length(vector) = 3) ENGINE = MergeTree ORDER BY id"
+    )
+    db.sql("INSERT INTO nt SELECT number, [number, number, number] FROM numbers(100)")
+    assert db.sql("SELECT count() FROM nt") == [{"count()": 100}]
+    rows = db.sql(
+        "SELECT id, distance(vector, [1.0,1.0,1.0]) AS d FROM nt "
+        "ORDER BY d, id LIMIT 3"
+    )
+    assert [r["id"] for r in rows] == [1, 0, 2]
