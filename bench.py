@@ -494,6 +494,13 @@ def main():
         db.drop_table("bench_gist1m")
     except Exception:
         pass
+    # drop every local ref to the 1M payload/index/query arrays — the
+    # registry drop alone leaves them HBM-resident and the next section's
+    # uploads OOM on an already-pressured chip
+    t5b = b3 = q3 = gt3 = gt3_rows = res_ef = d3s = rows3 = None  # noqa: F841
+    import gc
+
+    gc.collect()
 
     # --- config 5: hybrid BM25+RRF + text QPS on 100k docs ---
     N3 = 100_000

@@ -1061,6 +1061,10 @@ class Parser:
                     args.append(("col", self.expect_name()))
             elif t.kind == "op" and t.value == "(":
                 args.append(("expr", self._call_arg()))
+            elif t.kind == "op" and t.value == "[":
+                # array argument: elements may be const expressions
+                # (batch_distance(vec, [unhex('FF'), char(0, 255)]))
+                args.append(("expr", self._call_arg()))
             else:
                 args.append(("lit", self.literal()))
             self.accept_op(",")

@@ -1629,6 +1629,17 @@ def _eval_const(node, env: Dict[str, Any], runner) -> Any:
             return out
         if fname == "length":
             return len(_eval_const(args[0], env, runner))
+        if fname == "char":
+            # binary query-vector constructor: char(100, 101, 102, 103)
+            # (00038_mqvs_binary_vector_feature.sql) -> byte-value list,
+            # the form the binary distance path accepts
+            return [int(_eval_const(a, env, runner)) % 256 for a in args]
+        if fname == "unhex":
+            return list(bytes.fromhex(str(_eval_const(args[0], env, runner))))
+        if fname == "unbin":
+            s = str(_eval_const(args[0], env, runner))
+            s = s.zfill((len(s) + 7) // 8 * 8)
+            return [int(s[i:i + 8], 2) for i in range(0, len(s), 8)]
         if fname == "sleep":
             # reference test scripts poll build status with sleep();
             # capped like ClickHouse's 3-second sleep limit
@@ -1704,6 +1715,16 @@ def _eval_scalar(node, row: Dict[str, Any]):
         if node[1] == "if":
             c, a, b = (_eval_scalar(x, row) for x in node[2])
             return a if c else b
+        if node[1] == "char":
+            # per-row binary constructor (INSERT ... SELECT number,
+            # char(number, ...) FROM numbers(...))
+            return [int(_eval_scalar(x, row)) % 256 for x in node[2]]
+        if node[1] == "unhex":
+            return list(bytes.fromhex(str(_eval_scalar(node[2][0], row))))
+        if node[1] == "unbin":
+            s = str(_eval_scalar(node[2][0], row))
+            s = s.zfill((len(s) + 7) // 8 * 8)
+            return [int(s[i:i + 8], 2) for i in range(0, len(s), 8)]
         fn = _MATHF.get(node[1])
         if fn is None:  # pragma: no cover
             raise SQLError(f"unknown function {node[1]}()")

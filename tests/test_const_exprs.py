@@ -286,3 +286,30 @@ def test_insert_select_from_numbers(db):
         "ORDER BY d, id LIMIT 3"
     )
     assert [r["id"] for r in rows] == [1, 0, 2]
+
+
+def test_binary_query_constructors(db):
+    # char()/unhex()/unbin() binary query vectors
+    # (00038_mqvs_binary_vector_feature.sql)
+    db.sql("CREATE TABLE tbin (id UInt32, vector FixedString(4)) ENGINE = MergeTree ORDER BY id")
+    db.sql("INSERT INTO tbin SELECT number, char(number, number, number, number) FROM numbers(256)")
+    rows = db.sql(
+        "SELECT id, distance(vector, char(100, 101, 102, 103)) AS dist "
+        "FROM tbin ORDER BY dist, id LIMIT 3"
+    )
+    assert [r["id"] for r in rows] == [100, 101, 102]
+    top = db.sql(
+        "SELECT id, distance(vector, unhex('64646464')) AS dist "
+        "FROM tbin ORDER BY dist LIMIT 1"
+    )
+    assert top[0]["id"] == 100 and top[0]["dist"] == 0.0
+    top = db.sql(
+        "SELECT id, distance(vector, unbin('01100100011001000110010001100100')) "
+        "AS dist FROM tbin ORDER BY dist LIMIT 1"
+    )
+    assert top[0]["id"] == 100 and top[0]["dist"] == 0.0
+    rows = db.sql(
+        "SELECT id, batch_distance(vector, [unhex('FFFFFFFF'), char(0, 255, 1, 254)]) "
+        "AS dist FROM tbin ORDER BY dist LIMIT 1 BY dist.1"
+    )
+    assert rows[0]["id"] == 255 and rows[0]["dist"] == (0, 0.0)
