@@ -456,10 +456,15 @@ class Database:
     def sql(self, statement: str):
         """Execute one SQL statement (the reference's dialect subset —
         SURVEY.md §2.7). Returns a list of row dicts for SELECT, [] for
-        DDL/INSERT."""
+        DDL/INSERT. The runner persists across calls so `SET k = v`
+        session settings stick."""
         from ..sql.runner import SQLRunner
 
-        return SQLRunner(self).execute(statement)
+        with self._lock:
+            if not hasattr(self, "_sql_runner"):
+                self._sql_runner = SQLRunner(self)
+            runner = self._sql_runner
+        return runner.execute(statement)
 
     def close(self):
         if self.system_logs is not None:

@@ -142,6 +142,15 @@ class ModifySetting:
 
 
 @dataclasses.dataclass
+class SetStatement:
+    """`SET k = v [, ...]` — session-level settings, applied under every
+    later statement's own SETTINGS clause (reference scripts open with
+    e.g. `set enable_brute_force_vector_search = 1;`)."""
+
+    assigns: Dict[str, Any]
+
+
+@dataclasses.dataclass
 class AddVectorIndex:
     table: str
     index: VectorIndexDef
@@ -545,6 +554,9 @@ class Parser:
             table = self.table_name()
             final = self.accept_kw("final")
             return OptimizeTable(table, final)
+        if kw == "set":
+            self.next()
+            return SetStatement(self._settings_assigns())
         self.error(f"unsupported statement {kw.upper()}")
 
     # ------------------------------------------------------------- DDL

@@ -109,6 +109,9 @@ def _index_params(params: Dict[str, Any]) -> Dict[str, Any]:
 class SQLRunner:
     def __init__(self, db):
         self.db = db
+        # session-level SET overrides (ClickHouse `SET k = v`): applied
+        # under every statement's own SETTINGS clause
+        self.session_settings: Dict[str, Any] = {}
 
     # ------------------------------------------------------------ execute
     def execute(self, sql: str):
@@ -132,6 +135,7 @@ class SQLRunner:
             P.DetachTable: self._detach_table,
             P.AttachTable: self._attach_table,
             P.ModifySetting: self._modify_setting,
+            P.SetStatement: self._set_statement,
             P.RenameTable: self._rename_table,
             P.AddColumn: self._add_column,
             P.DropColumn: self._drop_column,
@@ -316,6 +320,16 @@ class SQLRunner:
 
     def _rename_table(self, st: P.RenameTable):
         self.db.rename_table(st.table, st.new_name)
+        return []
+
+    def _set_statement(self, st: P.SetStatement):
+        """SET k = v: validate against the settings schema (unknown names
+        rejected), then remember for the rest of the session."""
+        try:
+            self.db.settings.override(st.assigns)  # validation only
+        except ValueError as e:
+            raise SQLError(str(e)) from None
+        self.session_settings.update(st.assigns)
         return []
 
     def _modify_setting(self, st: P.ModifySetting):
@@ -797,11 +811,14 @@ class SQLRunner:
 
     # ------------------------------------------------------------ helpers
     def _eff_settings(self, st: P.Select, t):
-        """Per-statement settings: table settings + the SETTINGS clause."""
-        if not st.settings:
+        """Per-statement settings: table settings + session SET overrides
+        + the SETTINGS clause (clause wins, like the reference)."""
+        kv = dict(self.session_settings)
+        kv.update(st.settings or {})
+        if not kv:
             return t.settings
         try:
-            return t.settings.override(st.settings)
+            return t.settings.override(kv)
         except ValueError as e:
             raise SQLError(str(e)) from None
 

@@ -313,3 +313,22 @@ def test_binary_query_constructors(db):
         "AS dist FROM tbin ORDER BY dist LIMIT 1 BY dist.1"
     )
     assert rows[0]["id"] == 255 and rows[0]["dist"] == (0, 0.0)
+
+
+def test_set_session_settings(db):
+    # `SET k = v` session settings, applied under per-query SETTINGS
+    db.sql(
+        "CREATE TABLE sset (id UInt32, vector Array(Float32), "
+        "CONSTRAINT c CHECK length(vector) = 3) ENGINE = MergeTree "
+        "ORDER BY id SETTINGS min_rows_to_build_vector_index = 0"
+    )
+    db.sql("INSERT INTO sset SELECT number, [number, number, number] FROM numbers(10)")
+    q = "SELECT id, distance(vector, [1.0,1.0,1.0]) AS d FROM sset ORDER BY d LIMIT 2"
+    db.sql("SET enable_brute_force_vector_search = 0")
+    assert db.sql(q) == []  # session default: skip index-less large part
+    # the per-query clause wins over the session SET
+    assert len(db.sql(q + " SETTINGS enable_brute_force_vector_search = 1")) == 2
+    db.sql("SET enable_brute_force_vector_search = 1")
+    assert len(db.sql(q)) == 2
+    with pytest.raises(Exception, match="nonsense"):
+        db.sql("SET nonsense_setting = 1")
