@@ -185,6 +185,16 @@ class ServerSettings:
     enable_primary_key_cache: bool = True
     primary_key_cache_size: int = 256 * 1024 * 1024
 
+    # HBM payload admission (storage/hbm.py; reference analogue: startup
+    # memory sizing, Server.cpp:1312-1335 — the server never dies on
+    # memory pressure). A segment payload upload is admitted only while
+    # projected HBM use stays under ratio x device capacity; denied — or
+    # RESOURCE_EXHAUSTED after one retry — it degrades to the host tier.
+    # The explicit byte budget overrides the ratio and also works on
+    # backends without memory stats (the CPU test mesh).
+    vector_storage_budget_ratio: float = 0.92
+    device_payload_budget_bytes: Optional[int] = None
+
     # SystemLog flush cadence (SystemLog.cpp flush_interval_milliseconds,
     # default 7500): with a database storage path, query_log /
     # vector_index_event_log rings flush into backing engine tables this

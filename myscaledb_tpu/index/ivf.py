@@ -825,6 +825,22 @@ class IVFIndex(VectorIndex):
 class IVFFlatIndex(IVFIndex):
     @classmethod
     def build(cls, payload, n_rows, *, metric, dim, params=None, settings=None, progress_cb=None, cancel_cb=None):
+        if getattr(payload, "is_host", False):
+            # Host-tier payload (requested, or HBM-spilled under memory
+            # pressure): raw IVFFLAT would mirror the whole payload into
+            # HBM — degrade to the disk-mode shape instead (SQ8 windows on
+            # device + exact re-rank against host rows), the same
+            # degradation the reference's disk-mode MSTG embodies
+            # (Search::DiskIOManager; MergeTreeVSManager.cpp:510-630
+            # two-stage). Reported distances stay exact via the re-rank.
+            from ..service.event_log import GLOBAL_COUNTERS
+
+            GLOBAL_COUNTERS.bump("IvfFlatDegradedToDiskMode")
+            return cls._build_common(
+                payload, n_rows, metric=metric, dim=dim,
+                params=dict(params or {}), settings=settings, codec="sq8",
+                two_stage=True, progress_cb=progress_cb, cancel_cb=cancel_cb,
+            )
         return cls._build_common(
             payload, n_rows, metric=metric, dim=dim, params=dict(params or {}),
             settings=settings, codec="raw", two_stage=False,

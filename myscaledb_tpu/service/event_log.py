@@ -32,6 +32,7 @@ class EventType(enum.Enum):
     LOAD_ERROR = "LoadError"
     CACHE_EXPIRE = "CacheExpire"
     WILL_NOT_BUILD = "WillNotBuild"  # small part
+    TIER_SPILL = "TierSpill"  # payload degraded HBM->host (memory pressure)
 
 
 @dataclasses.dataclass

@@ -39,22 +39,7 @@ from .schema import BinaryVector, Schema
 MAX_BUILD_RETRIES = 3  # maxBuildRetryCount (VIBuilderUpdater.cpp:639-657)
 
 
-def _device_memory_stats():
-    """(bytes_in_use, bytes_limit) of the default device, or None when the
-    backend exposes no stats (CPU, some tunnels)."""
-    try:
-        import jax
-
-        stats = jax.local_devices()[0].memory_stats()
-        if not stats:
-            return None
-        in_use = stats.get("bytes_in_use")
-        cap = stats.get("bytes_limit") or stats.get("bytes_reservable_limit")
-        if in_use is None or not cap:
-            return None
-        return int(in_use), int(cap)
-    except Exception:  # noqa: BLE001
-        return None
+from .hbm import device_memory_stats as _device_memory_stats  # noqa: E402
 
 
 @dataclasses.dataclass
@@ -189,7 +174,15 @@ class Table:
             alignment=self.settings.table.segment_row_alignment,
             storage_dtype=dtype,
             storage_tier=self.settings.table.vector_storage_tier,
+            server_settings=self.settings.server,
         )
+        for cname in seg.spilled_columns:
+            # memory pressure degraded this payload HBM -> host; record it
+            # the way the reference logs CACHE events instead of dying
+            self.event_log.record(
+                self.name, "", cname, EventType.TIER_SPILL,
+                segment_id=seg_id,
+            )
         with self._lock:
             self._segments[seg_id] = seg
             descs = list(self._index_descs.values()) if _schedule_builds else []
@@ -492,7 +485,15 @@ class Table:
         except IndexBuildMemoryError as e:
             self._build_failed(key, seg, desc, str(e), retryable=True)
         except Exception as e:  # noqa: BLE001 — status machine captures it
-            self._build_failed(key, seg, desc, f"{type(e).__name__}: {e}")
+            from .hbm import is_device_oom
+
+            # a live RESOURCE_EXHAUSTED mid-build (co-tenant pressure the
+            # estimate could not see) is as retryable as a budget miss —
+            # the retry path evicts cache entries first
+            self._build_failed(
+                key, seg, desc, f"{type(e).__name__}: {e}",
+                retryable=is_device_oom(e),
+            )
 
     def _check_build_memory(self, estimate_bytes: int) -> None:
         """Raise IndexBuildMemoryError when the build would not fit the
@@ -1446,6 +1447,7 @@ class Table:
             alignment=self.settings.table.segment_row_alignment,
             storage_dtype=dtype,
             storage_tier=self.settings.table.vector_storage_tier,
+            server_settings=self.settings.server,
         )
 
         # Decoupled serving: if every source has a live index for a

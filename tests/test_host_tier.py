@@ -7,7 +7,6 @@ import pytest
 
 import myscaledb_tpu as ms
 from myscaledb_tpu import F
-from myscaledb_tpu.errors import IndexParameterError
 
 
 def _host_table(db, n=6000, dim=32, seed=0):
@@ -92,17 +91,20 @@ def _bf_settings():
     return st
 
 
-def test_host_tier_rejects_raw_ivf(db):
-    t, _ = _host_table(db, n=3000)
-    from myscaledb_tpu.index.ivf import IVFFlatIndex
-    from myscaledb_tpu.metrics import Metric
-
-    seg = t.live_segments()[0]
-    with pytest.raises(IndexParameterError, match="host-tier"):
-        IVFFlatIndex.build(
-            seg.vector("vec"), seg.n_rows, metric=Metric.L2, dim=32,
-            params={"ncentroids": 16},
-        )
+def test_host_tier_ivfflat_degrades_to_disk_mode(db):
+    """Raw IVFFLAT would mirror the whole host payload into HBM; on a
+    host-tier (or HBM-spilled) segment the build degrades to the disk-mode
+    shape — SQ8 windows on device + exact host re-rank — instead of
+    failing (round-5: the engine absorbs memory pressure, it never dies)."""
+    t, vecs = _host_table(db, n=3000)
+    t.add_vector_index("i", "vec", type="IVFFLAT", ncentroids=16)
+    assert t.wait_index_built(120)
+    idx = t._slots[(0, "i")].instance
+    assert idx.codec == "sq8"
+    assert idx.requires_two_stage()
+    assert idx.raw_host is not None and idx.raw_data is None
+    r = t.search("vec", vecs[42], k=3)
+    assert t.gather(r, ["id"])["id"][0, 0] == 42
 
 
 def test_hbm_disk_mode_param(db):
