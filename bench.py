@@ -6,16 +6,31 @@ a 1M x 128 corpus (SIFT-like clustered synthetic — the repo ships no
 dataset files), exact ground truth computed on device, then
 
   1. exact brute-force scan QPS (k=10, batch=100) + effective HBM GB/s
-  2. IVFFLAT: nprobe sweep -> smallest nprobe with recall@10 >= 0.95,
-     QPS at that operating point  <- the headline metric
-  3. HNSW cosine on a GIST-like 960-d corpus
+  2. IVFFLAT: nprobe sweep -> smallest nprobe with STRICT id-recall@10
+     >= 0.95, QPS at that operating point  <- the headline metric
+  3. HNSW cosine on GIST-like 960-d corpora (100k and 1M), strict
+     id-recall primary, with same-corpus exact-scan QPS alongside
   4. filtered ANN (1% selectivity, device-lowered predicate)
   5. hybrid BM25+RRF (batched) + text-search QPS
   6. QPS-vs-connections grid through the coalescing server
-     (the reference's connections protocol, benchmark.py:50-80)
+  7. beyond-HBM: a host-tier corpus larger than the 16 GB chip, served
+     by disk-mode MSTG (SQ8 windows in HBM + exact host re-rank) vs the
+     exact streaming scan  (the reference's billion-scale axis)
 
 Prints ONE JSON line. vs_baseline is null: the reference repo publishes no
 absolute numbers (BASELINE.md) — its protocol is reproduced instead.
+
+UN-KILLABLE BY CONSTRUCTION (round-4 verdict #1): every section runs in
+its own try/except and records failures into extra["errors"]; the final
+JSON is emitted from a finally block (and from a SIGTERM handler), so a
+RESOURCE_EXHAUSTED from a co-tenant on the shared chip costs one section,
+never the round's evidence. Device refs are dropped and gc'd between
+sections.
+
+Recall protocol (round-4 verdict #3): STRICT id-recall (set overlap with
+the exact scan's top-k row ids — the reference's protocol,
+tests/vector_search/benchmark.py) is the primary number everywhere;
+tie-tolerant distance recall is reported alongside as recall_dist.
 
 Tunnel-aware methodology (memory: axon-tpu-tunnel-behavior): ~30ms host
 syncs, ramp-up of ~60 calls after idle, +-2x run-to-run drift. So: every
@@ -25,25 +40,98 @@ over every result (keeps all results live; block_until_ready alone is
 unreliable over this tunnel).
 """
 
+import gc
 import json
+import os
+import signal
 import sys
 import time
+import traceback
 
 import numpy as np
 
 _T0 = time.time()
+
+# BENCH_SMOKE=1 shrinks every corpus ~20x and trims repeats: a ~3-minute
+# end-to-end plumbing validation (all 13 sections execute) before the
+# real ~35-minute run. Numbers from a smoke run are NOT benchmarks.
+SMOKE = bool(os.environ.get("BENCH_SMOKE"))
+
+EXTRA = {"errors": {}}  # every section writes results here; errors too
+CTX = {}  # cross-section state (tables, batches, ground truth, ...)
+_EMITTED = False
 
 
 def _progress(msg):
     print(f"[bench {time.time()-_T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
-def make_corpus(n, d, seed=0):
+def emit():
+    """Print the ONE final JSON line (idempotent). Headline = IVF QPS at
+    the strict-recall operating point; falls back down the chain so a
+    partial run still produces a parseable record."""
+    global _EMITTED
+    if _EMITTED:
+        return
+    _EMITTED = True
+    for key, label in (
+        ("ivf_qps", "SIFT1M-like IVFFLAT QPS @ id-recall@10>=0.95 (k=10, batch=100, 1 chip)"),
+        ("bruteforce_exact_qps", "SIFT1M-like exact-scan QPS (k=10, batch=100, 1 chip)"),
+        ("platform_stream_gbs", "platform stream GB/s (no search sections completed)"),
+    ):
+        if EXTRA.get(key) is not None:
+            value = EXTRA[key]
+            metric = label
+            break
+    else:
+        value, metric = 0, "bench produced no measurements (see errors)"
+    unit = "qps" if "QPS" in metric else ("GB/s" if "GB/s" in metric else "n/a")
+    if not EXTRA["errors"]:
+        del EXTRA["errors"]
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": value,
+                "unit": unit,
+                "vs_baseline": None,
+                "extra": EXTRA,
+            }
+        ),
+        flush=True,
+    )
+
+
+def _sigterm(signum, frame):  # driver timeout / shutdown: keep the evidence
+    EXTRA["errors"]["signal"] = f"terminated by signal {signum}"
+    emit()
+    sys.exit(1)
+
+
+def run_section(name, fn):
+    t = time.time()
+    _progress(f"=== {name}")
+    try:
+        fn()
+        ok = True
+    except Exception as e:  # noqa: BLE001 — a dead section must not kill the run
+        EXTRA["errors"][name] = f"{type(e).__name__}: {e}"[:500]
+        _progress(f"=== {name} FAILED: {EXTRA['errors'][name]}")
+        traceback.print_exc(file=sys.stderr)
+        ok = False
+    gc.collect()
+    _progress(f"=== {name} done ({time.time()-t:.1f}s)")
+    return ok
+
+
+def make_corpus(n, d, seed=0, centers=None):
     """Clustered synthetic (mixture of Gaussians) — the structure ANN
-    benchmarks (SIFT/GIST) actually have."""
+    benchmarks (SIFT/GIST) actually have. Pass `centers` to draw several
+    chunks from ONE coherent corpus (the beyond-HBM chunked generator)."""
     rng = np.random.default_rng(seed)
-    n_blobs = 1000
-    centers = 6.0 * rng.standard_normal((n_blobs, d)).astype(np.float32)
+    if centers is None:
+        centers = 6.0 * rng.standard_normal((1000, d)).astype(np.float32)
+    n_blobs = centers.shape[0]
     out = np.empty((n, d), np.float32)
     bs = 100_000
     for i in range(0, n, bs):
@@ -51,6 +139,21 @@ def make_corpus(n, d, seed=0):
         which = rng.integers(0, n_blobs, m)
         out[i : i + m] = centers[which] + rng.standard_normal((m, d)).astype(np.float32)
     return out
+
+
+def id_recall(rows, gt_rows, k):
+    """Strict id-recall@k: mean set-overlap with the exact top-k row ids
+    (the reference's protocol, tests/vector_search/benchmark.py)."""
+    rows = np.asarray(rows)
+    gt_rows = np.asarray(gt_rows)
+    return float(
+        np.mean(
+            [
+                len(set(rows[i][rows[i] >= 0].tolist()) & set(gt_rows[i][:k].tolist())) / k
+                for i in range(rows.shape[0])
+            ]
+        )
+    )
 
 
 def measure_qps(search_fn, query_batches, nq_per_batch, *, repeats=5, min_calls=50):
@@ -186,9 +289,10 @@ def measure_ondevice_ratio(base, *, reps=20, rounds=3):
     return nbytes / kdt / 1e9, nbytes / edt / 1e9
 
 
-def main():
-    import os
+# --------------------------------------------------------------- sections
 
+
+def sec_setup():
     import jax
 
     from myscaledb_tpu.config import enable_compile_cache
@@ -198,137 +302,206 @@ def main():
 
     import myscaledb_tpu as ms
 
+    CTX["jax"], CTX["jnp"], CTX["ms"] = jax, jnp, ms
     N, D, K, NQ, BATCH = 1_000_000, 128, 10, 1_000, 100
-    t0 = time.time()
+    if SMOKE:
+        N, NQ = 50_000, 200
+    CTX.update(N=N, D=D, K=K, NQ=NQ, BATCH=BATCH)
     corpus = make_corpus(N, D)
     rng = np.random.default_rng(1)
+    CTX["rng"] = rng
     qidx = rng.choice(N, NQ, replace=False)
     queries = (corpus[qidx] + 0.3 * rng.standard_normal((NQ, D))).astype(np.float32)
+    CTX["corpus"], CTX["queries"] = corpus, queries
 
     db = ms.connect()
+    CTX["db"] = db
     st = ms.Settings()
     st.table.min_rows_to_build_vector_index = 1  # force index builds
+    CTX["st"] = st
+    st_bf = ms.Settings()
+    st_bf.query.use_approx_topk = False
+    CTX["st_bf"] = st_bf
+
+    t0 = time.time()
     table = db.create_table(
         "bench", ms.Schema({"id": ms.UInt64(), "vec": ms.FloatVector(D)}), settings=st
     )
     table.insert({"id": np.arange(N, dtype=np.uint64), "vec": corpus})
-    ingest_s = time.time() - t0
-    _progress(f"ingest done ({ingest_s:.1f}s)")
+    CTX["table"] = table
+    EXTRA["ingest_s"] = round(time.time() - t0, 1)
+    EXTRA.update(n=N, dim=D, k=K, batch=BATCH, backend=jax.default_backend())
+    _progress(f"ingest done ({EXTRA['ingest_s']}s)")
 
-    # Pre-upload query batches (device-resident serving path).
-    batches = [
-        jnp.asarray(queries[i : i + BATCH]) for i in range(0, NQ, BATCH)
-    ]
+    # pre-upload query batches (device-resident serving path)
+    batches = [jnp.asarray(queries[i : i + BATCH]) for i in range(0, NQ, BATCH)]
     jax.block_until_ready(batches)
-    _progress("queries uploaded")
+    CTX["batches"] = batches
 
-    # --- exact ground truth + brute-force QPS (settings without index) ---
-    st_bf = ms.Settings()
-    st_bf.query.use_approx_topk = False
-    gt_dist = np.concatenate(
-        [
-            table.search("vec", qb, k=K, settings=st_bf, metric="L2").distances
-            for qb in batches
-        ]
+
+def sec_ground_truth():
+    table, batches, st_bf, K, NQ, BATCH = (
+        CTX["table"], CTX["batches"], CTX["st_bf"], CTX["K"], CTX["NQ"], CTX["BATCH"],
     )
-    # k-th exact distance per query; a result counts as a hit when its true
-    # distance is within epsilon of it (tie-tolerant recall — blob corpora
-    # and bf16 payloads produce exact ties that id-matching miscounts)
-    gt_kth = gt_dist[:, K - 1]
+    res = [table.search("vec", qb, k=K, settings=st_bf, metric="L2") for qb in batches]
+    gt_dist = np.concatenate([r.distances for r in res])
+    gt_rows = np.concatenate([np.asarray(r.rows) for r in res])
+    # k-th exact distance per query: tie-tolerant distance recall counts a
+    # result when its true distance is within epsilon of the k-th (blob
+    # corpora and bf16 payloads produce exact ties); id-recall is primary
+    CTX["gt_kth"] = gt_dist[:, K - 1]
+    CTX["gt_rows"] = gt_rows
     _progress("ground truth done")
-    seg = table.live_segments()[0]
+
+
+def sec_stream_probes():
+    seg = CTX["table"].live_segments()[0]
+    CTX["seg_capacity"] = seg.capacity
     stream_gbs, stream_gbs_med = measure_stream_gbs(seg.vector("vec").data)
+    EXTRA["platform_stream_gbs"] = round(stream_gbs)
+    EXTRA["platform_stream_gbs_median"] = round(stream_gbs_med)
     _progress(f"platform stream {stream_gbs:.0f} GB/s (median {stream_gbs_med:.0f})")
-    kernel_gbs, envelope_gbs = measure_ondevice_ratio(seg.vector("vec").data)
-    _progress(
-        f"on-device scan kernel {kernel_gbs:.0f} GB/s vs bf16 envelope "
-        f"{envelope_gbs:.0f} GB/s ({100*kernel_gbs/envelope_gbs:.0f}%)"
+    try:
+        # the direct-kernel probe needs the segment capacity to land on a
+        # tile-block boundary (always true at the 1M benchmark shape; not
+        # at smoke sizes) — losing it must not cost the stream number
+        kernel_gbs, envelope_gbs = measure_ondevice_ratio(seg.vector("vec").data)
+        EXTRA["scan_kernel_ondevice_gbs"] = round(kernel_gbs)
+        EXTRA["bf16_envelope_ondevice_gbs"] = round(envelope_gbs)
+        EXTRA["scan_kernel_pct_of_envelope"] = round(100 * kernel_gbs / envelope_gbs)
+        _progress(
+            f"on-device scan kernel {kernel_gbs:.0f} GB/s vs bf16 envelope "
+            f"{envelope_gbs:.0f} GB/s ({100*kernel_gbs/envelope_gbs:.0f}%)"
+        )
+    except Exception as e:  # noqa: BLE001
+        EXTRA["errors"]["ondevice_ratio"] = f"{type(e).__name__}: {e}"[:200]
+
+
+def sec_bruteforce():
+    table, batches, st_bf, K, BATCH, D = (
+        CTX["table"], CTX["batches"], CTX["st_bf"], CTX["K"], CTX["BATCH"], CTX["D"],
     )
     bf_qps, bf_qps_med = measure_qps(
         lambda qb: table.search("vec", qb, k=K, settings=st_bf, metric="L2"),
-        batches,
-        BATCH,
+        batches, BATCH,
     )
-    bf_gbs = bf_qps / BATCH * seg.capacity * D * 2 / 1e9
-    _progress(
-        f"bruteforce qps={bf_qps:.0f} (median {bf_qps_med:.0f}; "
-        f"{bf_gbs:.0f} GB/s effective, {100*bf_gbs/max(stream_gbs,1e-9):.0f}% of stream)"
-    )
+    EXTRA["bruteforce_exact_qps"] = round(bf_qps)
+    EXTRA["bruteforce_exact_qps_median"] = round(bf_qps_med)
+    bf_gbs = bf_qps / BATCH * CTX["seg_capacity"] * D * 2 / 1e9
+    EXTRA["bruteforce_effective_gbs"] = round(bf_gbs)
+    stream = EXTRA.get("platform_stream_gbs") or 0
+    if stream:
+        EXTRA["bruteforce_pct_of_stream"] = round(100 * bf_gbs / stream)
+    _progress(f"bruteforce qps={bf_qps:.0f} (median {bf_qps_med:.0f}; {bf_gbs:.0f} GB/s)")
 
-    # --- config 4: filtered ANN (1% selectivity pre-filter, exact scan) ---
-    # measured BEFORE the index build so the scan is the exact one (the
-    # index path is measured separately below as ivf_filtered_qps)
+
+def sec_filtered_exact():
     from myscaledb_tpu import F
 
+    table, batches, st_bf, K, N, BATCH = (
+        CTX["table"], CTX["batches"], CTX["st_bf"], CTX["K"], CTX["N"], CTX["BATCH"],
+    )
     flt = F("id") < N // 100  # 1% of rows survive the pre-filter
+    CTX["flt"] = flt
     fres = table.search("vec", batches[0], k=K, settings=st_bf, filter=flt)
     assert int(fres.rows.max()) < N // 100  # pre-filter semantics hold
     filtered_qps, filtered_qps_med = measure_qps(
         lambda qb: table.search("vec", qb, k=K, settings=st_bf, filter=flt),
-        batches,
-        BATCH,
+        batches, BATCH,
     )
+    EXTRA["filtered_exact_qps_1pct"] = round(filtered_qps)
+    EXTRA["filtered_exact_qps_1pct_median"] = round(filtered_qps_med)
     _progress(f"filtered exact qps={filtered_qps:.0f} (median {filtered_qps_med:.0f})")
 
-    # --- IVFFLAT ---
+
+def sec_ivf():
+    jnp = CTX["jnp"]
+    table, batches, K, NQ, BATCH = (
+        CTX["table"], CTX["batches"], CTX["K"], CTX["NQ"], CTX["BATCH"],
+    )
+    gt_kth, gt_rows = CTX["gt_kth"], CTX["gt_rows"]
     t1 = time.time()
     table.add_vector_index("ivf", "vec", type="IVFFLAT", ncentroids=1024, metric_type="L2")
     table.wait_index_built(timeout=1800)
-    build_s = time.time() - t1
-    _progress(f"ivf built ({build_s:.1f}s)")
+    EXTRA["ivf_build_s"] = round(time.time() - t1, 1)
+    _progress(f"ivf built ({EXTRA['ivf_build_s']}s)")
     status = table.system_vector_indices()[0]["status"]
     assert status == "Built", f"index status {status}"
 
     def recall_at(nprobe):
         hits = 0
+        rows_all = []
         for bi, qb in enumerate(batches):
-            d = table.search("vec", qb, k=K, params={"nprobe": nprobe}).distances
+            r = table.search("vec", qb, k=K, params={"nprobe": nprobe})
+            d = r.distances
             kth = gt_kth[bi * BATCH : bi * BATCH + d.shape[0], None]
             hits += int((d <= kth * (1 + 1e-4) + 1e-3).sum())
-        return hits / (NQ * K)
+            rows_all.append(np.asarray(r.rows))
+        rid = id_recall(np.concatenate(rows_all), gt_rows, K)
+        return hits / (NQ * K), rid
 
-    op_nprobe, op_recall = None, 0.0
+    # operating point: smallest nprobe with STRICT id-recall >= 0.95
+    # (verdict r4 #3: id-recall is the primary number); fall back to the
+    # distance-recall point, then to the widest probe
+    op_nprobe = op_rdist = op_rid = None
+    fallback = None
     for nprobe in (1, 2, 4, 8, 16, 32, 64, 128, 256):
-        r = recall_at(nprobe)
-        _progress(f"nprobe={nprobe} recall={r:.4f}")
-        if r >= 0.95:
-            op_nprobe, op_recall = nprobe, r
+        rdist, rid = recall_at(nprobe)
+        _progress(f"nprobe={nprobe} recall_ids={rid:.4f} recall_dist={rdist:.4f}")
+        if fallback is None and rdist >= 0.95:
+            fallback = (nprobe, rdist, rid)
+        if rid >= 0.95:
+            op_nprobe, op_rdist, op_rid = nprobe, rdist, rid
             break
     if op_nprobe is None:
-        op_nprobe, op_recall = 256, recall_at(256)
-
+        op_nprobe, op_rdist, op_rid = fallback if fallback else (256, *recall_at(256))
+    EXTRA["ivf_nprobe"] = op_nprobe
+    EXTRA["ivf_recall_ids_at_10"] = round(op_rid, 4)
+    EXTRA["ivf_recall_at_10"] = round(op_rdist, 4)
     _progress(f"operating point nprobe={op_nprobe}")
+
     ivf_qps, ivf_qps_med = measure_qps(
         lambda qb: table.search("vec", qb, k=K, params={"nprobe": op_nprobe}),
-        batches,
-        BATCH,
+        batches, BATCH,
     )
+    EXTRA["ivf_qps"] = round(ivf_qps)
+    EXTRA["ivf_qps_median"] = round(ivf_qps_med)
     _progress(f"ivf qps={ivf_qps:.0f} (median {ivf_qps_med:.0f})")
+    if EXTRA.get("bruteforce_exact_qps"):
+        EXTRA["ivf_speedup_vs_bruteforce"] = round(
+            ivf_qps / EXTRA["bruteforce_exact_qps"], 2
+        )
 
     # batch-scaling point: at batch=100 the per-launch overhead
-    # (~0.4-1.1 ms) is most of an IVF call (nprobe=2 scans ~0.4% of the
-    # corpus); the coalescing server serves at 256-512 per program, so
-    # report the large-batch number the serving path actually sees
-    batches500 = [jnp.asarray(queries[:500]), jnp.asarray(queries[500:])]
-    ivf_qps_b500, ivf_qps_b500_med = measure_qps(
-        lambda qb: table.search("vec", qb, k=K, params={"nprobe": op_nprobe}),
-        batches500, 500, repeats=3,
-    )
-    _progress(f"ivf qps batch=500: {ivf_qps_b500:.0f} (median {ivf_qps_b500_med:.0f})")
+    # (~0.4-1.1 ms) is most of an IVF call; the coalescing server serves
+    # at 256-512 per program, so report the large-batch number too
+    queries = CTX["queries"]
+    if len(queries) >= 1000:
+        batches500 = [jnp.asarray(queries[:500]), jnp.asarray(queries[500:1000])]
+        b500, b500_med = measure_qps(
+            lambda qb: table.search("vec", qb, k=K, params={"nprobe": op_nprobe}),
+            batches500, 500, repeats=3,
+        )
+        EXTRA["ivf_qps_batch500"] = round(b500)
+        EXTRA["ivf_qps_batch500_median"] = round(b500_med)
+        _progress(f"ivf qps batch=500: {b500:.0f} (median {b500_med:.0f})")
 
-    # filtered search THROUGH the index (the production path: mask into
-    # the IVF scan kernel at the operating-point nprobe)
-    ivf_filtered_qps, ivf_filtered_qps_med = measure_qps(
-        lambda qb: table.search(
-            "vec", qb, k=K, params={"nprobe": op_nprobe}, filter=flt
-        ),
-        batches,
-        BATCH,
-    )
-    _progress(f"ivf filtered qps={ivf_filtered_qps:.0f} (median {ivf_filtered_qps_med:.0f})")
+    # filtered search THROUGH the index (mask INTO the IVF scan kernel)
+    flt = CTX.get("flt")
+    if flt is not None:
+        fq, fq_med = measure_qps(
+            lambda qb: table.search("vec", qb, k=K, params={"nprobe": op_nprobe}, filter=flt),
+            batches, BATCH,
+        )
+        EXTRA["ivf_filtered_qps_1pct"] = round(fq)
+        EXTRA["ivf_filtered_qps_1pct_median"] = round(fq_med)
+        _progress(f"ivf filtered qps={fq:.0f} (median {fq_med:.0f})")
 
-    # --- config 3: HNSW cosine on a GIST-like 960-d corpus (100k) ---
-    N2, D2 = 100_000, 960  # keep total bench under ~25 min
+
+def sec_hnsw_100k():
+    jnp, ms = CTX["jnp"], CTX["ms"]
+    db, st, st_bf, K, rng = CTX["db"], CTX["st"], CTX["st_bf"], CTX["K"], CTX["rng"]
+    N2, D2 = (100_000, 960) if not SMOKE else (8_000, 960)
     corpus2 = make_corpus(N2, D2, seed=7)
     t2 = db.create_table(
         "bench_gist", ms.Schema({"id": ms.UInt64(), "vec": ms.FloatVector(D2)}),
@@ -336,231 +509,133 @@ def main():
     )
     t2.insert({"id": np.arange(N2, dtype=np.uint64), "vec": corpus2})
     # 256-query batches: the graph traversal's sequential frontier loop is
-    # latency-bound below ~256 queries/launch (probe: 10k QPS at nq=100 vs
-    # 17.6k at nq=256, flat beyond) — serving batches this way too (the
-    # coalescing server's pow2 buckets)
+    # latency-bound below ~256 queries/launch
     NQ2 = 512
     q2 = (corpus2[rng.choice(N2, NQ2, replace=False)]
           + 0.1 * rng.standard_normal((NQ2, D2))).astype(np.float32)
     b2 = [jnp.asarray(q2[:256]), jnp.asarray(q2[256:])]
-    gt2_res = [
-        t2.search("vec", qb, k=K, settings=st_bf, metric="Cosine") for qb in b2
-    ]
+    gt2_res = [t2.search("vec", qb, k=K, settings=st_bf, metric="Cosine") for qb in b2]
     gt2 = np.concatenate([r.distances for r in gt2_res])
     gt2_rows = np.concatenate([np.asarray(r.rows) for r in gt2_res])
+    del gt2_res
     t3 = time.time()
     t2.add_vector_index("h", "vec", type="HNSWFLAT", m=32, ef_c=100, metric_type="Cosine")
     t2.wait_index_built(timeout=3600)
-    hnsw_build_s = time.time() - t3
-    # full recall-vs-QPS curve (the reference benchmark's ef_s grid,
-    # benchmark.py:24); operating point = first ef with recall >= 0.95
+    EXTRA["hnsw_build_s_100k_960d"] = round(time.time() - t3, 1)
+    # full recall-vs-QPS curve (the reference benchmark's ef_s grid);
     # pure-graph curve: routing OFF so the frontier traversal itself is
     # measured (the production default routes this corpus/batch shape to
     # the exact MXU scan — see cost_based_index_routing)
     st_graph = ms.Settings()
     st_graph.query.cost_based_index_routing = False
-    hnsw_curve = []
-    hnsw_recall = hnsw_qps = hnsw_qps_med = 0.0
-    hnsw_ef = None
+    CTX["st_graph"] = st_graph
+    curve = []
+    op = None
     for ef in (32, 50, 100, 200, 400):
-        res_ef = [t2.search("vec", qb, k=K, params={"ef_s": ef},
-                            settings=st_graph) for qb in b2]
+        res_ef = [t2.search("vec", qb, k=K, params={"ef_s": ef}, settings=st_graph)
+                  for qb in b2]
         d2s = np.concatenate([r.distances for r in res_ef])
         rows_ef = np.concatenate([np.asarray(r.rows) for r in res_ef])
-        r = float((d2s <= gt2[:, K - 1 : K] * (1 + 1e-4) + 1e-4).mean())
-        # id-recall: set overlap with exact top-10 row ids (stricter than
-        # the distance-tolerant measure — near-ties count as misses)
-        rid = float(np.mean([
-            len(set(rows_ef[i][rows_ef[i] >= 0].tolist())
-                & set(gt2_rows[i].tolist())) / K
-            for i in range(len(rows_ef))
-        ]))
+        rdist = float((d2s <= gt2[:, K - 1 : K] * (1 + 1e-4) + 1e-4).mean())
+        rid = id_recall(rows_ef, gt2_rows, K)
         q_best, q_med = measure_qps(
-            lambda qb: t2.search("vec", qb, k=K, params={"ef_s": ef},
-                                 settings=st_graph),
+            lambda qb: t2.search("vec", qb, k=K, params={"ef_s": ef}, settings=st_graph),
             b2, 256, repeats=3,
         )
-        hnsw_curve.append({"ef_s": ef, "recall": round(r, 4),
-                           "recall_ids": round(rid, 4),
-                           "qps": round(q_best), "qps_median": round(q_med)})
-        _progress(
-            f"hnsw ef_s={ef} recall={r:.4f} (ids {rid:.4f}) "
-            f"qps={q_best:.0f} (med {q_med:.0f})"
-        )
-        if hnsw_ef is None and r >= 0.95:
-            hnsw_ef, hnsw_recall = ef, r
-            hnsw_qps, hnsw_qps_med = q_best, q_med
-    if hnsw_ef is None:
-        hnsw_ef, hnsw_recall = 400, hnsw_curve[-1]["recall"]
-        hnsw_qps, hnsw_qps_med = hnsw_curve[-1]["qps"], hnsw_curve[-1]["qps_median"]
-    _progress(f"hnsw graph operating point ef_s={hnsw_ef} qps={hnsw_qps:.0f}")
+        curve.append({"ef_s": ef, "recall_ids": round(rid, 4),
+                      "recall_dist": round(rdist, 4),
+                      "qps": round(q_best), "qps_median": round(q_med)})
+        _progress(f"hnsw ef_s={ef} recall_ids={rid:.4f} (dist {rdist:.4f}) "
+                  f"qps={q_best:.0f} (med {q_med:.0f})")
+        if op is None and rid >= 0.95:
+            op = curve[-1]
+    if op is None:
+        op = curve[-1]
+    EXTRA["hnsw_recall_qps_curve"] = curve
+    EXTRA["hnsw_ef_s"] = op["ef_s"]
+    EXTRA["hnsw_graph_qps"] = op["qps"]
+    EXTRA["hnsw_graph_qps_median"] = op["qps_median"]
+    EXTRA["hnsw_graph_recall_ids_at_10"] = op["recall_ids"]
+    _progress(f"hnsw graph operating point ef_s={op['ef_s']} qps={op['qps']}")
 
     # production path: cost-based routing ON (default settings) — the
-    # executor routes this (batch, ef, corpus) shape to the exact MXU
-    # tile scan, which is both faster and recall-1.0 on this hardware
-    d2r = np.concatenate(
-        [t2.search("vec", qb, k=K, params={"ef_s": hnsw_ef}).distances
-         for qb in b2]
+    # executor routes this shape to the exact MXU tile scan
+    res_r = [t2.search("vec", qb, k=K, params={"ef_s": op["ef_s"]}) for qb in b2]
+    d2r = np.concatenate([r.distances for r in res_r])
+    rows_r = np.concatenate([np.asarray(r.rows) for r in res_r])
+    EXTRA["hnsw_recall_at_10"] = round(
+        float((d2r <= gt2[:, K - 1 : K] * (1 + 1e-4) + 1e-4).mean()), 4
     )
-    hnsw_routed_recall = float(
-        (d2r <= gt2[:, K - 1 : K] * (1 + 1e-4) + 1e-4).mean()
-    )
-    hnsw_routed_qps, hnsw_routed_med = measure_qps(
-        lambda qb: t2.search("vec", qb, k=K, params={"ef_s": hnsw_ef}),
+    EXTRA["hnsw_recall_ids_at_10"] = round(id_recall(rows_r, gt2_rows, K), 4)
+    rq, rq_med = measure_qps(
+        lambda qb: t2.search("vec", qb, k=K, params={"ef_s": op["ef_s"]}),
         b2, 256, repeats=3,
     )
-    _progress(
-        f"hnsw routed (production) recall={hnsw_routed_recall:.4f} "
-        f"qps={hnsw_routed_qps:.0f} (med {hnsw_routed_med:.0f})"
+    EXTRA["hnsw_cosine_960d_qps"] = round(rq)
+    EXTRA["hnsw_cosine_960d_qps_median"] = round(rq_med)
+    _progress(f"hnsw routed (production) qps={rq:.0f} (med {rq_med:.0f})")
+    CTX["db"].drop_table("bench_gist")
+
+
+def sec_hybrid_text():
+    jax, jnp, ms = CTX["jax"], CTX["jnp"], CTX["ms"]
+    db, st, K, NQ, BATCH, D = (
+        CTX["db"], CTX["st"], CTX["K"], CTX["NQ"], CTX["BATCH"], CTX["D"],
     )
-
-    # --- 1M x 960 graph build + curve (the regime the graph exists for:
-    # multi-GB corpora where the cost model prefers traversal at small
-    # batches; round-3 verdict missing #1 demanded this point) ---
-    # free HBM before the 1M x 960 graph: its node-block payload alone is
-    # ~8 GB (1M x m32 x 256 int8); with the config-1/2 tables still
-    # resident the first 1M search OOMs on a 16 GB chip
-    db.drop_table("bench_gist")
-    db.drop_table("bench")
-    del table, seg, t2, gt2_res, res_ef  # drop device-array refs too
-    hnsw1m_build_s = None
-    hnsw1m_curve = []
-    try:
-        NB, DB_ = 1_000_000, 960
-        corpus3 = make_corpus(NB, DB_, seed=8)
-        t5b = db.create_table(
-            "bench_gist1m",
-            ms.Schema({"id": ms.UInt64(), "vec": ms.FloatVector(DB_)}),
-            settings=st,
-        )
-        t5b.insert({"id": np.arange(NB, dtype=np.uint64), "vec": corpus3})
-        NQ3 = 256
-        q3 = (corpus3[rng.choice(NB, NQ3, replace=False)]
-              + 0.1 * rng.standard_normal((NQ3, DB_))).astype(np.float32)
-        del corpus3
-        b3 = [jnp.asarray(q3)]
-        gt3_res = [t5b.search("vec", qb, k=K, settings=st_bf, metric="Cosine")
-                   for qb in b3]
-        gt3 = np.concatenate([r.distances for r in gt3_res])
-        gt3_rows = np.concatenate([np.asarray(r.rows) for r in gt3_res])
-        del gt3_res
-        _progress("1M x 960 ground truth done")
-        t6b = time.time()
-        t5b.add_vector_index(
-            "h", "vec", type="HNSWFLAT", m=32, ef_c=100, metric_type="Cosine"
-        )
-        t5b.wait_index_built(timeout=3600)
-        hnsw1m_build_s = time.time() - t6b
-        _progress(f"1M x 960 hnsw built ({hnsw1m_build_s:.1f}s)")
-        # grid = the reference ef_s points, plus one wide-rerank operating
-        # point: the default exact re-rank pool is 2*ef; 4*ef buys the last
-        # strict-id tail on near-tie blob corpora (~0.98 ids at ef 400)
-        for ef, rr in ((50, None), (100, None), (400, None), (400, 1600)):
-            p = {"ef_s": ef} if rr is None else {"ef_s": ef, "rerank": rr}
-            res_ef = [t5b.search("vec", qb, k=K, params=p,
-                                 settings=st_graph) for qb in b3]
-            d3s = np.concatenate([r.distances for r in res_ef])
-            rows3 = np.concatenate([np.asarray(r.rows) for r in res_ef])
-            r = float((d3s <= gt3[:, K - 1 : K] * (1 + 1e-4) + 1e-3).mean())
-            rid = float(np.mean([
-                len(set(rows3[i][rows3[i] >= 0].tolist())
-                    & set(gt3_rows[i].tolist())) / K
-                for i in range(len(rows3))
-            ]))
-            q_best, q_med = measure_qps(
-                lambda qb: t5b.search("vec", qb, k=K, params=p,
-                                      settings=st_graph),
-                b3, NQ3, repeats=2,
-            )
-            point = {"ef_s": ef, "recall": round(r, 4),
-                     "recall_ids": round(rid, 4),
-                     "qps": round(q_best),
-                     "qps_median": round(q_med)}
-            if rr is not None:
-                point["rerank"] = rr
-            hnsw1m_curve.append(point)
-            _progress(
-                f"1M hnsw ef_s={ef}{f' rerank={rr}' if rr else ''} "
-                f"recall={r:.4f} (ids {rid:.4f}) "
-                f"qps={q_best:.0f} (med {q_med:.0f})"
-            )
-    except Exception as e:
-        # the 1M x 960 resident set (~10 GB: bf16 payload + m32 node
-        # blocks + int8 traversal space) is tight on a SHARED 16 GB chip —
-        # a co-tenant can push a search over RESOURCE_EXHAUSTED. Keep the
-        # partial curve and the rest of the bench instead of dying.
-        _progress(f"1M x 960 section aborted: {type(e).__name__}: {e}")
-    try:
-        db.drop_table("bench_gist1m")
-    except Exception:
-        pass
-    # drop every local ref to the 1M payload/index/query arrays — the
-    # registry drop alone leaves them HBM-resident and the next section's
-    # uploads OOM on an already-pressured chip
-    t5b = b3 = q3 = gt3 = gt3_rows = res_ef = d3s = rows3 = None  # noqa: F841
-    import gc
-
-    gc.collect()
-
-    # --- config 5: hybrid BM25+RRF + text QPS on 100k docs ---
-    N3 = 100_000
+    corpus = CTX["corpus"]
+    N3 = 100_000 if not SMOKE else 10_000
+    N3 = min(N3, corpus.shape[0])
     words = [f"term{i}" for i in range(5000)]
     rng3 = np.random.default_rng(3)
-    docs = np.array(
-        [" ".join(rng3.choice(words, 12)) for _ in range(N3)], dtype=object
-    )
+    docs = np.array([" ".join(rng3.choice(words, 12)) for _ in range(N3)], dtype=object)
     t4 = db.create_table(
         "bench_hybrid",
         ms.Schema({"id": ms.UInt64(), "body": ms.String(), "vec": ms.FloatVector(D)}),
         settings=st,
     )
     t4.add_fts_index("ft", "body")
-    t4.insert(
-        {"id": np.arange(N3, dtype=np.uint64), "body": docs, "vec": corpus[:N3]}
-    )
-    hq = (corpus[rng3.choice(N3, NQ)] + 0.3
-          * rng3.standard_normal((NQ, D))).astype(np.float32)
+    t4.insert({"id": np.arange(N3, dtype=np.uint64), "body": docs, "vec": corpus[:N3]})
+    hq = (corpus[rng3.choice(N3, NQ)] + 0.3 * rng3.standard_normal((NQ, D))).astype(np.float32)
     texts = [" ".join(rng3.choice(words, 3)) for _ in range(NQ)]
     hbatches = [
         (jnp.asarray(hq[i : i + BATCH]), texts[i : i + BATCH])
         for i in range(0, NQ, BATCH)
     ]
     jax.block_until_ready([b[0] for b in hbatches])
+    CTX["hq"] = hq
 
     text_qps, text_qps_med = measure_qps(
-        lambda hb: t4.text_search("body", hb[1], k=K),
-        hbatches,
-        BATCH,
-        repeats=3,
+        lambda hb: t4.text_search("body", hb[1], k=K), hbatches, BATCH, repeats=3,
     )
+    EXTRA["text_bm25_qps"] = round(text_qps)
+    EXTRA["text_bm25_qps_median"] = round(text_qps_med)
     _progress(f"text qps={text_qps:.0f} (median {text_qps_med:.0f})")
     hybrid_qps, hybrid_qps_med = measure_qps(
         lambda hb: t4.hybrid_search("vec", "body", hb[0], hb[1], k=K, fusion_type="rrf"),
-        hbatches,
-        BATCH,
-        repeats=3,
+        hbatches, BATCH, repeats=3,
     )
+    EXTRA["hybrid_bm25_rrf_qps"] = round(hybrid_qps)
+    EXTRA["hybrid_bm25_rrf_qps_median"] = round(hybrid_qps_med)
     _progress(f"hybrid qps={hybrid_qps:.0f} (median {hybrid_qps_med:.0f})")
 
-    # --- config 6: QPS vs connections through the coalescing server ---
-    # (the reference's protocol: N concurrent connections, 1 query each —
-    # tests/vector_search/benchmark.py:50-80)
+
+def sec_serving():
+    # QPS vs connections through the coalescing server (the reference's
+    # protocol: N concurrent connections — benchmark.py:50-80)
     import threading
+    from collections import deque
 
     from myscaledb_tpu.service.server import SearchServer
 
-    conn_grid = {}
+    db, K, NQ = CTX["db"], CTX["K"], CTX["NQ"]
+    hq = CTX["hq"]
+    conn_grid, async_grid = {}, {}
     srv = SearchServer(db, max_batch=256, max_delay_ms=2.0)
     try:
         # pre-warm every coalescer bucket shape once so compiles stay out
-        # of the 4 s timing windows (a cold compile cache otherwise spends
-        # the whole 32/64-conn window compiling the batch-32..256 programs
-        # and the grid reads ~0)
+        # of the 4 s timing windows
         for b in (1, 2, 4, 8, 16, 32, 64, 128, 256):
-            futs = [
-                srv.submit_search("bench_hybrid", "vec", hq[i % NQ], K)
-                for i in range(b)
-            ]
+            futs = [srv.submit_search("bench_hybrid", "vec", hq[i % NQ], K) for i in range(b)]
             for f in futs:
                 f.result()
         _progress("server buckets warmed")
@@ -581,20 +656,11 @@ def main():
                 th.start()
             for th in threads:
                 th.join()
-            dt = time.time() - t5
-            conn_grid[conns] = round(sum(done) / dt)
+            conn_grid[conns] = round(sum(done) / (time.time() - t5))
             _progress(f"server {conns} connections -> {conn_grid[conns]} qps")
 
-        # async-client grid: same connection counts, but each connection
-        # keeps WINDOW submits outstanding via the futures API instead of
-        # blocking per call. This is the intended serving mode: groups
-        # overlap across the dispatcher's in-flight window and the host
-        # syncs amortize across resolver threads, so throughput is no
-        # longer a multiple of the per-call sync RTT (34 ms on this
-        # tunnel; sub-ms co-located).
-        from collections import deque
-
-        async_grid = {}
+        # async-client grid: each connection keeps WINDOW submits
+        # outstanding via the futures API (the intended serving mode)
         WINDOW = 4
         for conns in (1, 8, 32, 64):
             stop_at = time.time() + 4.0
@@ -604,9 +670,7 @@ def main():
                 i = w
                 pend = deque()
                 while time.time() < stop_at:
-                    pend.append(
-                        srv.submit_search("bench_hybrid", "vec", hq[i % NQ], K)
-                    )
+                    pend.append(srv.submit_search("bench_hybrid", "vec", hq[i % NQ], K))
                     if len(pend) >= WINDOW:
                         pend.popleft().result()
                         done[w] += 1
@@ -615,96 +679,297 @@ def main():
                     pend.popleft().result()
                     done[w] += 1
 
-            threads = [
-                threading.Thread(target=aclient, args=(w,)) for w in range(conns)
-            ]
+            threads = [threading.Thread(target=aclient, args=(w,)) for w in range(conns)]
             t5 = time.time()
             for th in threads:
                 th.start()
             for th in threads:
                 th.join()
-            dt = time.time() - t5
-            async_grid[conns] = round(sum(done) / dt)
+            async_grid[conns] = round(sum(done) / (time.time() - t5))
             _progress(f"server async {conns} connections -> {async_grid[conns]} qps")
     finally:
         srv.close()
+    EXTRA["server_qps_vs_connections"] = conn_grid
+    EXTRA["server_async_qps_vs_connections"] = async_grid
 
-    # tunnel sync round-trip: the floor under every blocking client call
-    # (the platform number that pins server-vs-engine gaps on transport)
+
+def sec_free_hbm():
+    """Drop the config-1/2 tables before the multi-GB sections: the
+    1M x 960 node-block payload alone is ~8 GB and the first search OOMs
+    on a 16 GB chip with the earlier tables still resident."""
+    db = CTX["db"]
+    for name in ("bench", "bench_hybrid"):
+        try:
+            db.drop_table(name)
+        except Exception:  # noqa: BLE001
+            pass
+    for key in ("table", "batches", "corpus", "queries", "gt_kth", "gt_rows", "flt", "hq"):
+        CTX.pop(key, None)
+    gc.collect()
+
+
+def sec_hnsw_1m():
+    jnp, ms = CTX["jnp"], CTX["ms"]
+    db, st, st_bf, K, rng = CTX["db"], CTX["st"], CTX["st_bf"], CTX["K"], CTX["rng"]
+    st_graph = CTX.get("st_graph")
+    if st_graph is None:
+        st_graph = ms.Settings()
+        st_graph.query.cost_based_index_routing = False
+    NB, DB_ = (1_000_000, 960) if not SMOKE else (20_000, 960)
+    corpus3 = make_corpus(NB, DB_, seed=8)
+    t5b = db.create_table(
+        "bench_gist1m", ms.Schema({"id": ms.UInt64(), "vec": ms.FloatVector(DB_)}),
+        settings=st,
+    )
+    try:
+        t5b.insert({"id": np.arange(NB, dtype=np.uint64), "vec": corpus3})
+        NQ3 = 256
+        q3 = (corpus3[rng.choice(NB, NQ3, replace=False)]
+              + 0.1 * rng.standard_normal((NQ3, DB_))).astype(np.float32)
+        del corpus3
+        b3 = [jnp.asarray(q3)]
+        b3_32 = [jnp.asarray(q3[i : i + 32]) for i in range(0, NQ3, 32)]
+        gt3_res = [t5b.search("vec", qb, k=K, settings=st_bf, metric="Cosine") for qb in b3]
+        gt3 = np.concatenate([r.distances for r in gt3_res])
+        gt3_rows = np.concatenate([np.asarray(r.rows) for r in gt3_res])
+        del gt3_res
+        _progress("1M x 960 ground truth done")
+
+        # same-corpus exact-scan QPS at both batch shapes: the comparator
+        # for every graph point (verdict r4 #4) — the graph only earns its
+        # keep where it beats this number
+        ex256, ex256_med = measure_qps(
+            lambda qb: t5b.search("vec", qb, k=K, settings=st_bf, metric="Cosine"),
+            b3, NQ3, repeats=3, min_calls=12,
+        )
+        EXTRA["hnsw1m_exact_qps_b256"] = round(ex256)
+        EXTRA["hnsw1m_exact_qps_b256_median"] = round(ex256_med)
+        ex32, ex32_med = measure_qps(
+            lambda qb: t5b.search("vec", qb, k=K, settings=st_bf, metric="Cosine"),
+            b3_32, 32, repeats=3, min_calls=16,
+        )
+        EXTRA["hnsw1m_exact_qps_b32"] = round(ex32)
+        EXTRA["hnsw1m_exact_qps_b32_median"] = round(ex32_med)
+        _progress(f"1M exact scan qps b256={ex256:.0f} b32={ex32:.0f}")
+
+        t6b = time.time()
+        t5b.add_vector_index("h", "vec", type="HNSWFLAT", m=32, ef_c=100, metric_type="Cosine")
+        t5b.wait_index_built(timeout=3600)
+        EXTRA["hnsw_build_s_1m_960d"] = round(time.time() - t6b, 1)
+        _progress(f"1M x 960 hnsw built ({EXTRA['hnsw_build_s_1m_960d']}s)")
+
+        # ef_s grid at DEFAULT search params (the default exact re-rank
+        # pool must carry strict id-recall on its own — verdict r4 #4),
+        # plus one explicit wide-rerank point showing the knob
+        curve = []
+        op = None
+        for ef, rr in ((50, None), (100, None), (200, None), (400, None), (400, 1600)):
+            p = {"ef_s": ef} if rr is None else {"ef_s": ef, "rerank": rr}
+            res_ef = [t5b.search("vec", qb, k=K, params=p, settings=st_graph) for qb in b3]
+            d3s = np.concatenate([r.distances for r in res_ef])
+            rows3 = np.concatenate([np.asarray(r.rows) for r in res_ef])
+            rdist = float((d3s <= gt3[:, K - 1 : K] * (1 + 1e-4) + 1e-3).mean())
+            rid = id_recall(rows3, gt3_rows, K)
+            q_best, q_med = measure_qps(
+                lambda qb: t5b.search("vec", qb, k=K, params=p, settings=st_graph),
+                b3, NQ3, repeats=2,
+            )
+            point = {"ef_s": ef, "recall_ids": round(rid, 4),
+                     "recall_dist": round(rdist, 4),
+                     "qps": round(q_best), "qps_median": round(q_med)}
+            if rr is not None:
+                point["rerank"] = rr
+            curve.append(point)
+            EXTRA["hnsw_recall_qps_curve_1m"] = curve
+            _progress(f"1M hnsw ef_s={ef}{f' rerank={rr}' if rr else ''} "
+                      f"recall_ids={rid:.4f} (dist {rdist:.4f}) "
+                      f"qps={q_best:.0f} (med {q_med:.0f})")
+            if op is None and rr is None and rid >= 0.95:
+                op = point
+        if op is None:
+            op = curve[-1]
+        EXTRA["hnsw1m_ef_s"] = op["ef_s"]
+        EXTRA["hnsw1m_recall_ids_at_10"] = op["recall_ids"]
+        EXTRA["hnsw1m_graph_qps_b256"] = op["qps"]
+        # graph at batch 32 (its latency domain) at the operating ef
+        g32, g32_med = measure_qps(
+            lambda qb: t5b.search("vec", qb, k=K, params={"ef_s": op["ef_s"]},
+                                  settings=st_graph),
+            b3_32, 32, repeats=2, min_calls=16,
+        )
+        EXTRA["hnsw1m_graph_qps_b32"] = round(g32)
+        EXTRA["hnsw1m_graph_qps_b32_median"] = round(g32_med)
+        _progress(f"1M graph b32 qps={g32:.0f} at ef={op['ef_s']}")
+
+        # production path: cost-based routing ON — on this chip the MXU
+        # exact scan dominates HBM-resident corpora (205 GB/s effective),
+        # so the router serves this shape exactly; record what users get
+        res_r = [t5b.search("vec", qb, k=K) for qb in b3]
+        rows_r = np.concatenate([np.asarray(r.rows) for r in res_r])
+        EXTRA["hnsw1m_routed_recall_ids"] = round(id_recall(rows_r, gt3_rows, K), 4)
+        rq, rq_med = measure_qps(
+            lambda qb: t5b.search("vec", qb, k=K), b3, NQ3, repeats=2,
+        )
+        EXTRA["hnsw1m_routed_qps"] = round(rq)
+        EXTRA["hnsw1m_routed_qps_median"] = round(rq_med)
+        _progress(f"1M routed (production) qps={rq:.0f} recall_ids="
+                  f"{EXTRA['hnsw1m_routed_recall_ids']}")
+    finally:
+        try:
+            db.drop_table("bench_gist1m")
+        except Exception:  # noqa: BLE001
+            pass
+
+
+def sec_beyond_hbm():
+    """A corpus larger than the chip's HBM, served by disk-mode MSTG:
+    SQ8 windows in HBM + exact re-rank against host-RAM rows — the
+    reference's billion-scale disk-MSTG axis (Search::DiskIOManager,
+    MergeTreeVSManager.cpp:510-630 two-stage; verdict r4 missing #1).
+    Comparator: the exact streaming scan over the same host-tier table."""
+    jnp, ms = CTX["jnp"], CTX["ms"]
+    db, st_bf, K = CTX["db"], CTX["st_bf"], CTX["K"]
+    elapsed = time.time() - _T0
+    # time-budgeted sizing: 10M x 960 f32 = 38.4 GB (2.4x the 16 GB HBM)
+    NH = 10_000_000 if elapsed < 1800 else (6_000_000 if elapsed < 2400 else 4_000_000)
+    DH, NQH = 960, 100
+    CHUNK = 1_000_000
+    if SMOKE:
+        NH, CHUNK = 300_000, 100_000
+    st_h = ms.Settings()
+    st_h.table.vector_storage_tier = "host"
+    st_h.table.min_rows_to_build_vector_index = 1
+    th = db.create_table(
+        "bench_bhbm", ms.Schema({"id": ms.UInt64(), "vec": ms.FloatVector(DH)}),
+        settings=st_h,
+    )
+    try:
+        rng = np.random.default_rng(11)
+        centers = 6.0 * rng.standard_normal((1000, DH)).astype(np.float32)
+        qsrc = None
+        t0 = time.time()
+        for i in range(0, NH, CHUNK):
+            chunk = make_corpus(CHUNK, DH, seed=100 + i // CHUNK, centers=centers)
+            if qsrc is None:
+                qsrc = chunk[:NQH].copy()
+            th.insert({"id": np.arange(i, i + CHUNK, dtype=np.uint64), "vec": chunk})
+            _progress(f"beyond-HBM ingest {i + CHUNK}/{NH}")
+        del chunk
+        gc.collect()
+        ingest_s = time.time() - t0
+        queries = (qsrc + 0.1 * rng.standard_normal((NQH, DH))).astype(np.float32)
+        qb = jnp.asarray(queries)
+
+        # exact streaming ground truth: ONE pass streams the whole corpus
+        # host->device through the window pipeline; time it (that time IS
+        # the exact-scan comparator at this scale)
+        t1 = time.time()
+        gt = th.search("vec", qb, k=K, settings=st_bf, metric="L2")
+        gt_rows = np.asarray(gt.rows)
+        gt_kth = gt.distances[:, K - 1]
+        exact_s = time.time() - t1
+        # second timed pass (first may include compilation)
+        t1 = time.time()
+        gt2 = th.search("vec", qb, k=K, settings=st_bf, metric="L2")
+        np.asarray(gt2.rows)
+        exact_s = min(exact_s, time.time() - t1)
+        exact_qps = NQH / exact_s
+        _progress(f"beyond-HBM exact stream scan: {exact_s:.1f}s for {NQH} queries")
+
+        t2 = time.time()
+        th.add_vector_index("m", "vec", type="MSTG", metric_type="L2")
+        th.wait_index_built(timeout=3600)
+        build_s = time.time() - t2
+        _progress(f"beyond-HBM MSTG built ({build_s:.1f}s)")
+
+        def recall_at(nprobe):
+            r = th.search("vec", qb, k=K, params={"nprobe": nprobe})
+            rid = id_recall(np.asarray(r.rows), gt_rows, K)
+            rdist = float((r.distances <= gt_kth[:, None] * (1 + 1e-4) + 1e-3).mean())
+            return rdist, rid
+
+        op_nprobe, op_rid, op_rdist = None, 0.0, 0.0
+        for nprobe in (8, 16, 32, 64, 128, 256):
+            rdist, rid = recall_at(nprobe)
+            _progress(f"beyond-HBM nprobe={nprobe} recall_ids={rid:.4f} dist={rdist:.4f}")
+            if rid >= 0.95:
+                op_nprobe, op_rid, op_rdist = nprobe, rid, rdist
+                break
+        if op_nprobe is None:
+            op_nprobe, op_rid, op_rdist = 256, rid, rdist
+
+        mq, mq_med = measure_qps(
+            lambda q: th.search("vec", q, k=K, params={"nprobe": op_nprobe}),
+            [qb], NQH, repeats=3, min_calls=10,
+        )
+        # HBM actually used by the index (SQ8 windows + centroids)
+        dev_bytes = sum(
+            s.instance.memory_bytes
+            for s in th._slots.values()
+            if s.instance is not None
+        )
+        EXTRA["beyond_hbm"] = {
+            "n": NH, "dim": DH,
+            "corpus_gb": round(NH * DH * 4 / 1e9, 1),
+            "hbm_capacity_gb": 16,
+            "tier": "host", "index": "MSTG(disk)",
+            "ingest_s": round(ingest_s, 1),
+            "build_s": round(build_s, 1),
+            "nprobe": op_nprobe,
+            "recall_ids_at_10": round(op_rid, 4),
+            "recall_dist_at_10": round(op_rdist, 4),
+            "qps": round(mq), "qps_median": round(mq_med),
+            "exact_stream_qps": round(exact_qps, 2),
+            "exact_stream_s_per_100q": round(exact_s, 1),
+            "speedup_vs_exact": round(mq / exact_qps, 1),
+            "index_hbm_gb": round(dev_bytes / 1e9, 2),
+        }
+        _progress(f"beyond-HBM MSTG qps={mq:.0f} (recall_ids {op_rid:.4f}) "
+                  f"vs exact stream {exact_qps:.2f} qps")
+    finally:
+        try:
+            db.drop_table("bench_bhbm")
+        except Exception:  # noqa: BLE001
+            pass
+
+
+def sec_sync_rtt():
+    jax, jnp = CTX["jax"], CTX["jnp"]
     tiny = jnp.zeros((), jnp.float32)
     float(jax.device_get(tiny + 1))  # warm
     t6 = time.time()
     for i in range(20):
         float(jax.device_get(tiny + i))
-    sync_rtt_ms = (time.time() - t6) / 20 * 1e3
-    _progress(f"sync rtt {sync_rtt_ms:.1f} ms")
-    db.close()
+    EXTRA["sync_rtt_ms"] = round((time.time() - t6) / 20 * 1e3, 1)
+    _progress(f"sync rtt {EXTRA['sync_rtt_ms']} ms")
 
-    extra = {
-        "platform_stream_gbs": round(stream_gbs),
-        "platform_stream_gbs_median": round(stream_gbs_med),
-        # same-process, same-jit pair: dispatch cancels, drift-immune
-        "scan_kernel_ondevice_gbs": round(kernel_gbs),
-        "bf16_envelope_ondevice_gbs": round(envelope_gbs),
-        "scan_kernel_pct_of_envelope": round(100 * kernel_gbs / envelope_gbs),
-        "bruteforce_exact_qps": round(bf_qps),
-        "bruteforce_exact_qps_median": round(bf_qps_med),
-        "bruteforce_effective_gbs": round(bf_gbs),
-        "bruteforce_pct_of_stream": round(100 * bf_gbs / max(stream_gbs, 1e-9)),
-        "ivf_nprobe": op_nprobe,
-        "ivf_recall_at_10": round(op_recall, 4),
-        "ivf_build_s": round(build_s, 1),
-        "ivf_qps_median": round(ivf_qps_med),
-        "ivf_qps_batch500": round(ivf_qps_b500),
-        "ivf_qps_batch500_median": round(ivf_qps_b500_med),
-        "filtered_exact_qps_1pct": round(filtered_qps),
-        "filtered_exact_qps_1pct_median": round(filtered_qps_med),
-        "ivf_filtered_qps_1pct": round(ivf_filtered_qps),
-        "ivf_filtered_qps_1pct_median": round(ivf_filtered_qps_med),
-        # production path (cost-based routing, default settings): the
-        # executor routes this shape to the exact MXU scan — exact
-        # results, and faster than any graph operating point here
-        "hnsw_cosine_960d_qps": round(hnsw_routed_qps),
-        "hnsw_cosine_960d_qps_median": round(hnsw_routed_med),
-        "hnsw_recall_at_10": round(hnsw_routed_recall, 4),
-        # pure graph-traversal path (cost_based_index_routing=0)
-        "hnsw_graph_qps": round(hnsw_qps),
-        "hnsw_graph_qps_median": round(hnsw_qps_med),
-        "hnsw_graph_recall_at_10": round(hnsw_recall, 4),
-        "hnsw_ef_s": hnsw_ef,
-        "hnsw_recall_qps_curve": hnsw_curve,
-        "hnsw_build_s_100k_960d": round(hnsw_build_s, 1),
-        # 1M x 960 graph regime (verdict missing #1): build time + curve;
-        # None/[] if the shared chip ran out of HBM mid-section
-        "hnsw_build_s_1m_960d": (
-            round(hnsw1m_build_s, 1) if hnsw1m_build_s is not None else None
-        ),
-        "hnsw_recall_qps_curve_1m": hnsw1m_curve,
-        "text_bm25_qps": round(text_qps),
-        "text_bm25_qps_median": round(text_qps_med),
-        "hybrid_bm25_rrf_qps": round(hybrid_qps),
-        "hybrid_bm25_rrf_qps_median": round(hybrid_qps_med),
-        "server_qps_vs_connections": conn_grid,
-        "server_async_qps_vs_connections": async_grid,
-        "sync_rtt_ms": round(sync_rtt_ms, 1),
-        "ingest_s": round(ingest_s, 1),
-        "n": N,
-        "dim": D,
-        "k": K,
-        "batch": BATCH,
-        "backend": jax.default_backend(),
-    }
-    print(
-        json.dumps(
-            {
-                "metric": "SIFT1M-like IVFFLAT QPS @ recall@10>=0.95 (k=10, batch=100, 1 chip)",
-                "value": round(ivf_qps),
-                "unit": "qps",
-                "vs_baseline": None,
-                "extra": extra,
-            }
-        )
-    )
+
+def main():
+    signal.signal(signal.SIGTERM, _sigterm)
+    sections = [
+        ("setup", sec_setup),
+        ("ground_truth", sec_ground_truth),
+        ("stream_probes", sec_stream_probes),
+        ("bruteforce", sec_bruteforce),
+        ("filtered_exact", sec_filtered_exact),
+        ("ivf", sec_ivf),
+        ("hnsw_100k", sec_hnsw_100k),
+        ("hybrid_text", sec_hybrid_text),
+        ("serving", sec_serving),
+        ("free_hbm", sec_free_hbm),
+        ("hnsw_1m", sec_hnsw_1m),
+        ("beyond_hbm", sec_beyond_hbm),
+        ("sync_rtt", sec_sync_rtt),
+    ]
+    try:
+        for name, fn in sections:
+            run_section(name, fn)
+        try:
+            CTX["db"].close()
+        except Exception:  # noqa: BLE001
+            pass
+    finally:
+        emit()
 
 
 if __name__ == "__main__":
