@@ -402,6 +402,24 @@ class Database:
             return [
                 {"event": k, "value": v} for k, v in sorted(self.counters.snapshot().items())
             ]
+        if which == "parts":
+            # system.parts analogue: one row per live segment
+            # (StorageSystemParts; reference tests count parts to check
+            # merge behavior, e.g. 00002_mqvs_batch_distance.sh)
+            rows = []
+            for t in list(self._tables.values()):
+                for s in t.live_segments():
+                    rows.append({
+                        "database": "default",
+                        "table": t.name,
+                        "name": f"seg_{s.segment_id}",
+                        "partition": "tuple()",
+                        "rows": int(s.num_live),
+                        "active": 1,
+                        "marks": 1,
+                        "bytes_on_disk": int(getattr(s, "device_bytes", 0) or 0),
+                    })
+            return rows
         raise SchemaError(f"unknown system table: {which}")
 
     # ------------------------------------------------------ table functions

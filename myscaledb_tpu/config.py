@@ -103,6 +103,15 @@ class TableSettings:
     # Segments smaller than this never get an ANN index; they are scanned
     # exactly (MergeTreeSettings.h:181, IMergeTreeDataPart.cpp:1454-1458).
     min_rows_to_build_vector_index: int = 65_536
+    # Byte-denominated twin of the row gate (MergeTreeSettings.h:182):
+    # segments whose vector payload is smaller than this are scanned
+    # exactly. 0 = rows gate only.
+    min_bytes_to_build_vector_index: int = 0
+
+    # Default disk_mode for MSTG indexes created without an explicit
+    # disk_mode param (MergeTreeSettings default_mstg_disk_mode;
+    # 00044_mqvs_mstg_disk_mode).
+    default_mstg_disk_mode: int = 0
 
     # Default metrics when DDL omits metric_type
     # (MergeTreeSettings.h:183-184).
@@ -202,6 +211,25 @@ class ServerSettings:
     system_log_flush_interval_s: float = 7.5
 
 
+# ClickHouse-inherited setting names accepted-and-ignored for script
+# compatibility (no analogue in this engine: row granules, async
+# mutations, wide/compact part thresholds, PREWHERE movement are all
+# N/A by design — reference tests set them constantly).
+_COMPAT_IGNORED = frozenset({
+    "index_granularity",
+    "mutations_sync",            # mutations are synchronous here
+    "enable_rebuild_for_decouple",
+    "min_bytes_for_wide_part", "min_rows_for_wide_part",
+    "min_bytes_for_compact_part", "min_rows_for_compact_part",
+    "optimize_move_to_prewhere_for_vector_search",
+    "optimize_move_to_prewhere",
+    "max_threads", "max_memory_usage", "log_queries",
+    "index_granularity_bytes",
+})
+_COMPAT_PREFIXES = ("allow_experimental_", "allow_suspicious_")
+_COMPAT_ALIASES = {}
+
+
 @dataclasses.dataclass
 class Settings:
     """Bundle of all three layers, as passed around the engine."""
@@ -213,13 +241,23 @@ class Settings:
     def override(self, kv) -> "Settings":
         """Copy with flat name=value overrides resolved across the three
         layers — the per-query `SETTINGS k=v` clause. Unknown names raise
-        (the reference rejects unknown settings)."""
+        (the reference rejects unknown settings), EXCEPT ClickHouse-
+        inherited names with no analogue in this engine, which are
+        accepted and ignored so reference SQL scripts run unmodified
+        (index_granularity appears in 51 reference vector-search tests;
+        mutations here are synchronous so mutations_sync is a no-op)."""
         out = Settings(
             query=dataclasses.replace(self.query),
             table=dataclasses.replace(self.table),
             server=dataclasses.replace(self.server),
         )
         for name, value in dict(kv).items():
+            if name == "two_stage_search_option":
+                # reference values 0/1/2 (off/on/auto) -> our boolean gate
+                name, value = "two_stage_search", 0 if str(value) in ("0", "false") else 1
+            name = _COMPAT_ALIASES.get(name, name)
+            if name in _COMPAT_IGNORED or name.startswith(_COMPAT_PREFIXES):
+                continue
             for layer in (out.query, out.table, out.server):
                 if hasattr(layer, name):
                     cur = getattr(layer, name)

@@ -150,6 +150,10 @@ class IndexDescription:
     metric: Metric
     dim: int
     params: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    # verbatim DDL tail ("v1 vector TYPE IVFFLAT('ncentroids = 1')") —
+    # surfaced as system.vector_indices.expr like the reference's
+    # formatted VIDescription expression
+    definition: str = ""
 
     def is_binary(self) -> bool:
         return self.kind in BINARY_KINDS

@@ -74,10 +74,13 @@ def direction(metric: Metric) -> str:
     """Required ORDER BY direction of the reported distance column.
 
     'asc' for true distances (smaller better), 'desc' for similarities.
+    Only IP reports a similarity; Cosine reports 1 - cos (a DISTANCE,
+    smaller better — see the score table above and the reference's
+    cosine tests, 00014_mqvs_distance_cosine_*.sql order ASC).
     Reference: VSDescription.direction (VSDescription.h:54),
     ExpressionAnalyzer.cpp:960-961.
     """
-    if metric in (Metric.IP, Metric.COSINE):
+    if metric == Metric.IP:
         return "desc"
     return "asc"
 
@@ -88,8 +91,11 @@ def score_ascending_better(metric: Metric) -> bool:
     user-visible distance with direction(metric)). Since score→distance is
     affine per metric, that is equivalent to normalizing internal scores
     with: ascending_better = (direction == 'asc') XOR (the affine map is
-    decreasing) — which is False for every metric except Cosine."""
-    return metric == Metric.COSINE
+    decreasing) — which is False for EVERY metric: internal scores are
+    max-better by construction (the score table above), so e.g. Cosine is
+    (asc) XOR (1-score decreasing) = False, L2 is (asc) XOR (-score
+    decreasing) = False, IP is (desc) XOR (identity increasing) = False."""
+    return False
 
 
 def score_to_distance(metric: Metric, score):

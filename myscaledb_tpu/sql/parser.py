@@ -108,6 +108,8 @@ class VectorIndexDef:
     column: str
     type_name: str
     params: Dict[str, Any]
+    # verbatim source of "name col TYPE T(...)" for system.vector_indices.expr
+    raw: str = ""
 
 
 @dataclasses.dataclass
@@ -139,6 +141,13 @@ class ModifySetting:
 
     table: str
     assigns: Dict[str, Any]
+
+
+@dataclasses.dataclass
+class SystemCommand:
+    """SYSTEM STOP/START MERGES / FLUSH LOGS (ParserSystemQuery)."""
+
+    command: str
 
 
 @dataclasses.dataclass
@@ -416,6 +425,7 @@ class Select:
 
 class Parser:
     def __init__(self, sql: str):
+        self.src = sql
         self.toks = tokenize(sql)
         self.i = 0
 
@@ -557,6 +567,20 @@ class Parser:
         if kw == "set":
             self.next()
             return SetStatement(self._settings_assigns())
+        if kw == "system":
+            # SYSTEM STOP/START MERGES [t] — accepted for script parity
+            # (merges here run only on explicit OPTIMIZE / replication
+            # leader action, so stop/start is the default state);
+            # SYSTEM FLUSH LOGS — flush the system-log buffers
+            self.next()
+            verb = self.expect_name().lower()
+            if verb in ("stop", "start") and self.accept_kw("merges"):
+                if self.peek().kind == "name":
+                    self.table_name()
+                return SystemCommand(f"{verb}_merges")
+            if verb == "flush" and self.accept_kw("logs"):
+                return SystemCommand("flush_logs")
+            self.error(f"unsupported SYSTEM command {verb.upper()}")
         self.error(f"unsupported statement {kw.upper()}")
 
     # ------------------------------------------------------------- DDL
@@ -606,10 +630,12 @@ class Parser:
                     self.error("CHECK length() = <int> expected")
                 constraints[col] = dim.value
             elif self.accept_kw("vector", "index"):
+                start = self.peek().pos
                 name = self.expect_name()
                 col = self.expect_name()
                 tname, tp = self._index_type()
-                vidx.append(VectorIndexDef(name, col, tname, tp))
+                raw = self.src[start : self.peek().pos].strip().rstrip(",").strip()
+                vidx.append(VectorIndexDef(name, col, tname, tp, raw))
             elif self.accept_kw("index"):
                 name = self.expect_name()
                 cols_l: List[str] = []
@@ -649,10 +675,21 @@ class Parser:
             if self.accept_op("("):
                 while not self.accept_op(")"):
                     t = self.next()
-                    if t.kind in ("name", "str", "int", "float"):
+                    if t.kind in ("name", "str", "string", "int", "float"):
                         eargs.append(str(t.value))
-        if self.accept_kw("order", "by"):
-            order_by = self.expect_name()
+        # ORDER BY k / PRIMARY KEY k in either order (reference tests use
+        # `engine=MergeTree primary key id SETTINGS ...` —
+        # 00014_mqvs_distance_cosine_bruteforce.sql); PRIMARY KEY doubles
+        # as the sort key when ORDER BY is absent
+        while True:
+            if self.accept_kw("order", "by"):
+                order_by = self.expect_name()
+            elif self.accept_kw("primary", "key"):
+                pk = self.expect_name()
+                if order_by is None:
+                    order_by = pk
+            else:
+                break
         tsettings: Dict[str, Any] = {}
         if self.accept_kw("settings"):
             tsettings = self._settings_assigns()
@@ -676,18 +713,22 @@ class Parser:
         name = self.expect_name()
         self.expect_kw("on")
         table = self.table_name()
+        start = self.peek().pos
         col = self.expect_name()
         tname, tp = self._index_type()
-        return AddVectorIndex(table, VectorIndexDef(name, col, tname, tp))
+        raw = name + " " + self.src[start : self.peek().pos].strip().rstrip(";").strip()
+        return AddVectorIndex(table, VectorIndexDef(name, col, tname, tp, raw))
 
     def alter(self):
         self.expect_kw("alter", "table")
         table = self.table_name()
         if self.accept_kw("add", "vector", "index"):
+            start = self.peek().pos
             name = self.expect_name()
             col = self.expect_name()
             tname, tp = self._index_type()
-            return AddVectorIndex(table, VectorIndexDef(name, col, tname, tp))
+            raw = self.src[start : self.peek().pos].strip().rstrip(";").strip()
+            return AddVectorIndex(table, VectorIndexDef(name, col, tname, tp, raw))
         if self.accept_kw("drop", "vector", "index"):
             return DropVectorIndex(table, self.expect_name())
         if self.accept_kw("add", "column"):
@@ -1527,7 +1568,7 @@ class Parser:
             self.expect_op("=")
             neg = self.accept_op("-")
             t = self.next()
-            if t.kind not in ("int", "float", "str", "name"):
+            if t.kind not in ("int", "float", "str", "string", "name"):
                 self.error("SETTINGS expects name = literal")
             v = -t.value if neg and t.kind in ("int", "float") else t.value
             if neg and t.kind not in ("int", "float"):

