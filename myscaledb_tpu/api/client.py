@@ -402,6 +402,14 @@ class Database:
             return [
                 {"event": k, "value": v} for k, v in sorted(self.counters.snapshot().items())
             ]
+        if which == "tables":
+            # system.tables analogue (StorageSystemTables)
+            return [
+                {"database": "default", "name": t.name,
+                 "engine": getattr(t, "engine", "MergeTree") or "MergeTree",
+                 "total_rows": t.n_rows}
+                for t in list(self._tables.values())
+            ]
         if which == "parts":
             # system.parts analogue: one row per live segment
             # (StorageSystemParts; reference tests count parts to check

@@ -855,7 +855,13 @@ class IVFSQIndex(IVFIndex):
     def build(cls, payload, n_rows, *, metric, dim, params=None, settings=None, progress_cb=None, cancel_cb=None):
         return cls._build_common(
             payload, n_rows, metric=metric, dim=dim, params=dict(params or {}),
-            settings=settings, codec="sq8", two_stage=False,
+            # two_stage: the SQ8 scan ranks candidates, then the top
+            # k*rerank_multiple re-score exactly against the raw payload
+            # (zero extra HBM: raw_data references the segment payload).
+            # The reference reports SQ-reconstructed distances here; we
+            # report exact ones — same ids at far better tie behavior on
+            # coarse value ranges (PARITY.md).
+            settings=settings, codec="sq8", two_stage=True,
             progress_cb=progress_cb, cancel_cb=cancel_cb,
         )
 
@@ -867,7 +873,7 @@ class IVFPQIndex(IVFIndex):
     def build(cls, payload, n_rows, *, metric, dim, params=None, settings=None, progress_cb=None, cancel_cb=None):
         return cls._build_common(
             payload, n_rows, metric=metric, dim=dim, params=dict(params or {}),
-            settings=settings, codec="pq", two_stage=False,
+            settings=settings, codec="pq", two_stage=True,
             progress_cb=progress_cb, cancel_cb=cancel_cb,
         )
 

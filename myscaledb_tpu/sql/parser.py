@@ -44,6 +44,7 @@ _TOKEN_RE = re.compile(
   | (?P<float>\d+\.\d*(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+)
   | (?P<int>\d+)
   | (?P<string>'(?:[^'\\]|\\.|'')*')
+  | (?P<bq>`[A-Za-z_][A-Za-z0-9_]*`)
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<op>->|<=|>=|!=|<>|==|=|<|>|\(|\)|\[|\]|,|\.|\*|\+|-|/|%)
 """,
@@ -88,6 +89,9 @@ def tokenize(sql: str) -> List[Token]:
         elif kind == "string":
             body = text[1:-1].replace("''", "'").replace("\\'", "'")
             out.append(Token("string", body, m.start()))
+        elif kind == "bq":
+            # `quoted` identifier -> plain name token
+            out.append(Token("name", text[1:-1], m.start()))
         else:
             out.append(Token(kind, text, m.start()))
     out.append(Token("eof", None, len(sql)))
@@ -659,9 +663,23 @@ class Parser:
                 tname = self.expect_name()
                 arg = None
                 if self.accept_op("("):
-                    inner = self.next()
-                    arg = inner.value
-                    self.expect_op(")")
+                    if tname.lower() in ("enum8", "enum16", "enum"):
+                        # Enum8('person' = 1, ...): values are stored as
+                        # their string names (host scalar), so the value
+                        # list itself only needs consuming
+                        depth = 1
+                        while depth:
+                            tk = self.next()
+                            if tk.kind == "op" and tk.value == "(":
+                                depth += 1
+                            elif tk.kind == "op" and tk.value == ")":
+                                depth -= 1
+                            elif tk.kind == "eof":
+                                self.error("unterminated Enum value list")
+                    else:
+                        inner = self.next()
+                        arg = inner.value
+                        self.expect_op(")")
                 cols.append(ColumnDef(cname, tname, arg))
             if self.accept_op(","):
                 continue
@@ -710,6 +728,7 @@ class Parser:
 
     def create_vector_index(self) -> AddVectorIndex:
         self.expect_kw("create", "vector", "index")
+        self.accept_kw("if", "not", "exists")
         name = self.expect_name()
         self.expect_kw("on")
         table = self.table_name()
@@ -782,6 +801,13 @@ class Parser:
             if self.accept_kw("granularity"):
                 self.next()
             return AddFtsIndex(table, FtsIndexDef(name, cols_l, p.get("__json__")))
+        if self.accept_kw("materialize", "index") or self.accept_kw(
+            "materialize", "vector", "index"
+        ):
+            # builds here are scheduled automatically at insert/merge time,
+            # so MATERIALIZE is a no-op (accepted for script parity)
+            self.expect_name()
+            return SystemCommand("materialize_index")
         self.error("unsupported ALTER")
 
     # ------------------------------------------------------------- DML
@@ -805,6 +831,48 @@ class Parser:
         if t.kind == "name" and t.lower() == "null":
             self.next()
             return None
+        if (
+            t.kind == "name"
+            and t.lower() in ("todate", "todatetime", "tofloat32", "tofloat64",
+                              "touint32", "touint64", "toint32")
+            and self.peek(1).kind == "op"
+            and self.peek(1).value == "("
+        ):
+            # conversion functions in literal position: toDate('..','UTC')
+            # evaluates to its first argument (dates are host strings)
+            fname = t.lower()
+            self.next()
+            self.expect_op("(")
+            args = []
+            while not self.accept_op(")"):
+                args.append(self.literal())
+                self.accept_op(",")
+            if fname in ("todate", "todatetime"):
+                return str(args[0])
+            if fname in ("tofloat32", "tofloat64"):
+                return float(args[0])
+            return int(args[0])
+        if (
+            t.kind == "name"
+            and t.lower() in ("currentdatabase", "today", "now")
+            and self.peek(1).kind == "op"
+            and self.peek(1).value == "("
+        ):
+            # niladic const functions usable as literals (reference tests:
+            # `where database = currentDatabase()`)
+            fname = t.lower()
+            self.next()
+            self.expect_op("(")
+            self.expect_op(")")
+            if fname == "currentdatabase":
+                return "default"
+            import time as _t
+
+            return (
+                _t.strftime("%Y-%m-%d")
+                if fname == "today"
+                else _t.strftime("%Y-%m-%d %H:%M:%S")
+            )
         self.error("expected literal")
 
     def insert(self) -> Insert:
@@ -932,6 +1000,11 @@ class Parser:
             return InList(col, vals)
         if self.accept_kw("like"):
             return LikeExpr(col, str(self.literal()))
+        if self.accept_kw("between"):
+            lo = self.literal()
+            self.expect_kw("and")
+            hi = self.literal()
+            return BoolOp("and", [Cmp(col, ">=", lo), Cmp(col, "<=", hi)])
         t = self.next()
         if t.kind != "op" or t.value not in ("<", "<=", ">", ">=", "=", "==", "!=", "<>"):
             self.error("expected comparison operator")

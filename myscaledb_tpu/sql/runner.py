@@ -83,16 +83,21 @@ def _column_type(cdef: P.ColumnDef, dims: Dict[str, int]):
         return sch.Float32()
     if t in ("float64", "double"):
         return sch.Float64()
-    if t == "string":
+    if t in ("string", "date", "date32", "datetime", "enum8", "enum16", "enum"):
+        # Date/DateTime/Enum store as host strings: ISO dates compare
+        # lexicographically, Enum values are their names (the reference
+        # tests only filter/order on them)
         return sch.String()
     if t == "array":
         inner = str(cdef.type_arg).lower()
         if inner != "float32":
             raise SQLError(f"only Array(Float32) vector columns supported, got Array({cdef.type_arg})")
         if cdef.name not in dims:
-            raise SQLError(
-                f"vector column {cdef.name!r} needs CONSTRAINT CHECK length({cdef.name}) = D"
-            )
+            # no CHECK length() constraint: dim is inferred from the first
+            # INSERT (the reference stores variable Arrays and validates at
+            # index build; our fixed-shape payloads pin the dim at first
+            # data — runner defers the CREATE until then)
+            return None
         return sch.FloatVector(dims[cdef.name])
     if t == "fixedstring":
         return sch.BinaryVector(int(cdef.type_arg) * 8)
@@ -112,6 +117,9 @@ class SQLRunner:
         # session-level SET overrides (ClickHouse `SET k = v`): applied
         # under every statement's own SETTINGS clause
         self.session_settings: Dict[str, Any] = {}
+        # CREATE TABLE statements with a constraint-less vector column,
+        # deferred until the first INSERT pins the dim
+        self._pending_creates: Dict[str, P.CreateTable] = {}
 
     # ------------------------------------------------------------ execute
     def execute(self, sql: str):
@@ -169,9 +177,16 @@ class SQLRunner:
 
     # --------------------------------------------------------------- DDL
     def _create_table(self, st: P.CreateTable):
-        if st.if_not_exists and st.table in self.db.tables():
+        if st.if_not_exists and (
+            st.table in self.db.tables() or st.table in self._pending_creates
+        ):
             return []
         cols = {c.name: _column_type(c, st.constraints) for c in st.columns}
+        if any(v is None for v in cols.values()):
+            # a vector column without a CHECK length() constraint: defer
+            # until the first INSERT pins its dim
+            self._pending_creates[st.table] = st
+            return []
         # engine args: ReplacingMergeTree([ver]) / CollapsingMergeTree(sign)
         # / VersionedCollapsingMergeTree(sign, ver)
         eng = st.engine.lower()
@@ -240,6 +255,9 @@ class SQLRunner:
 
     # --------------------------------------------------------------- DML
     def _insert(self, st: P.Insert):
+        pend = self._pending_creates.get(st.table)
+        if pend is not None:
+            st = self._materialize_pending(pend, st)
         t = self.db.table(st.table)
         cols = st.columns or list(t.schema.columns)
         if st.select is not None:
@@ -286,18 +304,52 @@ class SQLRunner:
         n = t.update(_to_filter(st.where, t), st.assignments)
         return [{"updated": n}]
 
+    def _materialize_pending(self, pend: P.CreateTable, st: P.Insert) -> P.Insert:
+        """First INSERT into a deferred CREATE: materialize the rows,
+        infer each constraint-less vector column's dim from the data,
+        then actually create the table."""
+        import dataclasses as _dc
+
+        cols_order = st.columns or [c.name for c in pend.columns]
+        rows = st.rows
+        if st.select is not None:
+            srows = self._select(st.select)
+            src = _select_output_names(st.select, srows)
+            rows = [[r[src[i]] for i in range(len(cols_order))] for r in srows]
+        dims = dict(pend.constraints)
+        for c in pend.columns:
+            if c.type_name.lower() == "array" and c.name not in dims:
+                if c.name not in cols_order:
+                    raise SQLError(
+                        f"cannot infer dim of {c.name!r}: first INSERT "
+                        "does not provide it"
+                    )
+                ci = cols_order.index(c.name)
+                first = next((r[ci] for r in rows if r[ci] is not None), None)
+                if first is None or not len(first):
+                    raise SQLError(
+                        f"cannot infer dim of {c.name!r} from empty data"
+                    )
+                dims[c.name] = len(first)
+        del self._pending_creates[pend.table]
+        self._create_table(_dc.replace(pend, constraints=dims))
+        return P.Insert(st.table, st.columns, rows)
+
     def _delete(self, st: P.Delete):
         t = self.db.table(st.table)
-        n = t.delete(_to_filter(st.where, t))
-        return [{"deleted": n}]
+        t.delete(_to_filter(st.where, t))
+        # ClickHouse DELETE produces no result rows
+        return []
 
     def _optimize(self, st: P.OptimizeTable):
         """OPTIMIZE TABLE: merge all segments into one (background-merge
         trigger; FINAL is implied — deleted rows are dropped)."""
-        new_id = self.db.table(st.table).merge()
-        return [{"merged_segment": new_id}]
+        self.db.table(st.table).merge()
+        return []
 
     def _drop_table(self, st: P.DropTable):
+        if self._pending_creates.pop(st.table, None) is not None:
+            return []
         if st.if_exists and st.table not in self.db.tables():
             return []
         self.db.drop_table(st.table)
@@ -1753,6 +1805,42 @@ def _eval_scalar(node, row: Dict[str, Any]):
         if node[1] == "if":
             c, a, b = (_eval_scalar(x, row) for x in node[2])
             return a if c else b
+        if node[1] == "arraymap":
+            # per-row arrayMap(x -> ..., arr) — the reference's synthetic
+            # corpus recipe (INSERT ... SELECT number, arrayMap(x ->
+            # rand()..., range(768)) FROM numbers(N))
+            lam = node[2][0]
+            if lam[0] != "lambda":
+                raise SQLError("arrayMap expects a lambda first argument")
+            arrays = [list(_eval_scalar(x, row)) for x in node[2][1:]]
+            out = []
+            r2 = dict(row)  # one env reused across elements (hot path:
+            # 768-dim arrayMap x thousands of rows in the reference's
+            # synthetic-corpus INSERTs)
+            params, body = lam[1], lam[2]
+            for vals in zip(*arrays):
+                for p, v in zip(params, vals):
+                    r2[p] = v
+                out.append(_eval_scalar(body, r2))
+            return out
+        if node[1] == "range":
+            return list(range(*[int(_eval_scalar(x, row)) for x in node[2]]))
+        if node[1] == "rand":
+            import random as _rnd
+
+            return _rnd.getrandbits(32)
+        if node[1] == "randomprintableascii":
+            import random as _rnd
+            import string as _str
+
+            n = int(_eval_scalar(node[2][0], row)) if node[2] else 8
+            return "".join(_rnd.choice(_str.ascii_letters) for _ in range(n))
+        if node[1] in ("todate", "todatetime", "tostring"):
+            return str(_eval_scalar(node[2][0], row))
+        if node[1] in ("tofloat32", "tofloat64"):
+            return float(_eval_scalar(node[2][0], row))
+        if node[1] in ("touint32", "touint64", "toint32", "toint64"):
+            return int(_eval_scalar(node[2][0], row))
         if node[1] == "char":
             # per-row binary constructor (INSERT ... SELECT number,
             # char(number, ...) FROM numbers(...))

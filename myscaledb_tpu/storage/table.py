@@ -1650,6 +1650,7 @@ class Table:
                     status = "NotBuilt"
                 out.append(
                     {
+                        "database": "default",
                         "table": self.name,
                         "name": desc.name,
                         "type": desc.kind.value,
@@ -1677,6 +1678,7 @@ class Table:
                     continue
                 out.append(
                     {
+                        "database": "default",
                         "table": self.name,
                         "name": iname,
                         "part": sid,

@@ -140,7 +140,7 @@ def test_alter_and_system_tables(sdb):
 
 def test_delete_and_drop(sdb):
     out = sdb.sql("DELETE FROM docs WHERE id IN (0, 1)")
-    assert out[0]["deleted"] == 2
+    assert out == []  # ClickHouse DELETE produces no rows
     assert sdb.sql("SELECT count() FROM docs")[0]["count()"] == 6
     sdb.sql("DROP TABLE docs")
     assert "docs" not in sdb.tables()
@@ -179,7 +179,7 @@ def test_optimize_table(sdb):
             "(100, 'extra doc', 1.0, [9.0,9,9,9,9,9,9,9])")
     assert len(sdb.table("docs").live_segments()) == 2
     out = sdb.sql("OPTIMIZE TABLE docs FINAL")
-    assert out[0]["merged_segment"] is not None
+    assert out == []  # ClickHouse OPTIMIZE produces no rows
     assert len(sdb.table("docs").live_segments()) == 1
     assert sdb.sql("SELECT count() FROM docs")[0]["count()"] == 8  # 9 - 1 deleted
     rows = sdb.sql("SELECT id, distance(vec, [9.0,9,9,9,9,9,9,9]) AS d "
