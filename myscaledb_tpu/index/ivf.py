@@ -458,6 +458,19 @@ class IVFIndex(VectorIndex):
             out.raw_host = rep_h if host_tier else np.asarray(rep, np.float32)
         return out
 
+    def reattach_payload(self, payload) -> None:
+        """Re-attach segment payload references after a state-dict load
+        (raw_data/raw_aux are never serialized — they belong to the
+        segment). Host-tier payloads re-attach as the host re-rank
+        tier; device payloads as device references."""
+        if not self.two_stage:
+            return
+        if getattr(payload, "is_host", False):
+            self.raw_host = np.asarray(payload.data, np.float32)
+        else:
+            self.raw_data = payload.data
+            self.raw_aux = payload.aux_for(self.metric)
+
     def cluster_heads(self) -> jax.Array:
         """Representative row of each cluster (entry points for graph
         indexes): the first row in its window range, -1 for empty."""
@@ -521,7 +534,11 @@ class IVFIndex(VectorIndex):
         params: ParamsKey = (),
         dyn_nprobe=None,
     ) -> Tuple[jax.Array, jax.Array]:
-        if self.two_stage and getattr(self, "raw_host", None) is None:
+        if (
+            self.two_stage
+            and getattr(self, "raw_host", None) is None
+            and self.raw_data is not None
+        ):
             ncand = min(max(k * self.rerank_multiple, k), self.n_rows)
             v, r = self._scan_stage(
                 queries, ncand, mask=mask, params=params, dyn_nprobe=dyn_nprobe
@@ -789,9 +806,10 @@ class IVFIndex(VectorIndex):
     def from_state_dict(cls, state: Dict[str, Any]) -> "IVFIndex":
         m = state["meta"]
         a = dict(state["arrays"])
-        if m["two_stage"]:
-            # raw payload references are re-attached by the table on load
-            raise NotImplementedError("two-stage indexes rebuild from payload")
+        # two-stage indexes load WITHOUT their raw payload references
+        # (raw_data/raw_aux are segment-owned, never serialized); the
+        # table re-attaches them via reattach_payload() right after
+        # load. Until then search_t degrades to the quantized scan.
         dt = jnp.bfloat16 if "bfloat16" in m["storage_dtype"] else None
         kw = {}
         for f in cls._array_fields:

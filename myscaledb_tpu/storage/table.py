@@ -615,6 +615,8 @@ class Table:
             if inst is None:  # payload-backed kind: rebuild is the load
                 self._build_one(seg, desc)
                 return
+            if hasattr(inst, "reattach_payload"):
+                inst.reattach_payload(seg.vector(desc.column))
             with self._lock:
                 slot = self._slots.get(key)
                 if slot is None:
@@ -716,6 +718,12 @@ class Table:
                     params=desc.params,
                     settings=self.settings,
                 )
+            elif hasattr(inst, "reattach_payload"):
+                # two-stage kinds: re-attach the segment payload the
+                # serialized state deliberately omits (exact re-rank tier)
+                seg = self._segments.get(segment_id)
+                if seg is not None:
+                    inst.reattach_payload(seg.vector(desc.column))
             slot.instance = inst
             slot.status = IndexStatus.LOADED
             if self._index_cache is not None:

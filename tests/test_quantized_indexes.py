@@ -180,6 +180,10 @@ def test_state_roundtrip_quantized(rng):
     ]:
         idx = cls.build(seg.vector("vec"), n, metric=Metric.L2, dim=d, params=params)
         idx2 = cls.from_state_dict(idx.state_dict())
+        # the serialized state deliberately omits the segment-owned raw
+        # payload refs (exact re-rank tier); the table re-attaches them on
+        # load — mirror that here
+        idx2.reattach_payload(seg.vector("vec"))
         dpad = seg.vector("vec").data.shape[1]
         qdev = jnp.asarray(np.pad(vecs[:3], ((0, 0), (0, dpad - d))))
         v1, r1 = idx.search(qdev, 5, params={"nprobe": 16})
