@@ -247,6 +247,8 @@ class Database:
                     params=dict(d["params"], metric_type=d["metric"]),
                     strict=False,
                 )
+                desc.declared_type = d.get("declared_type", "") or desc.declared_type
+                desc.definition = d.get("definition", "")
                 with t._lock:
                     t._index_descs[iname] = desc
                     for seg in t.live_segments():

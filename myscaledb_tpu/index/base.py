@@ -154,6 +154,9 @@ class IndexDescription:
     # surfaced as system.vector_indices.expr like the reference's
     # formatted VIDescription expression
     definition: str = ""
+    # the user's TYPE spelling ("IVFFlat") — system.vector_indices.type
+    # echoes it verbatim like the reference (00018_mqvs_drop_index)
+    declared_type: str = ""
 
     def is_binary(self) -> bool:
         return self.kind in BINARY_KINDS

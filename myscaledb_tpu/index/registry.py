@@ -190,5 +190,6 @@ def make_description(
     metric = Metric.parse(metric_str, binary=kind in BINARY_KINDS)
     checked = validate_build_params(kind, dim, params, strict=strict)
     return IndexDescription(
-        name=name, column=column, kind=kind, metric=metric, dim=dim, params=checked
+        name=name, column=column, kind=kind, metric=metric, dim=dim,
+        params=checked, declared_type=type_str,
     )

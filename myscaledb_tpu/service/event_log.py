@@ -90,6 +90,14 @@ class EventLog:
                 except OSError:
                     pass
 
+    def clear(self) -> None:
+        """TRUNCATE TABLE system.* analogue for the in-memory ring."""
+        with self._lock:
+            target = getattr(self, "_events", None)
+            if target is None:
+                target = self._rows
+            target.clear()
+
     def rows(self) -> List[Dict[str, Any]]:
         with self._lock:
             return [e.as_row() for e in self._events]
@@ -177,6 +185,10 @@ class QueryLog:
         with self._lock:
             self._rows.append(row)
             self._n += 1
+
+    def clear(self) -> None:
+        with self._lock:
+            self._rows.clear()
 
     def rows(self) -> List[Dict[str, Any]]:
         with self._lock:

@@ -160,6 +160,15 @@ class SystemLogs:
 
                 GLOBAL_COUNTERS.bump("SystemLogFlushErrors")
 
+    def truncate(self, which: str) -> None:
+        """TRUNCATE TABLE system.<log>: drop the persisted rows and reset
+        the flush cursor so cleared ring entries are not re-flushed."""
+        with self._lock:
+            t = self._tables.get(which)
+            if t is not None:
+                t.truncate()
+            self._cursors[which] = 0
+
     def flush(self) -> int:
         """Drain ring tails into the backing tables (one segment per
         non-empty flush) and persist the new segment incrementally."""

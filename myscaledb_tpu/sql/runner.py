@@ -90,8 +90,8 @@ def _column_type(cdef: P.ColumnDef, dims: Dict[str, int]):
         return sch.String()
     if t == "array":
         inner = str(cdef.type_arg).lower()
-        if inner != "float32":
-            raise SQLError(f"only Array(Float32) vector columns supported, got Array({cdef.type_arg})")
+        if inner not in ("float32", "float64"):
+            raise SQLError(f"only Array(Float32/64) vector columns supported, got Array({cdef.type_arg})")
         if cdef.name not in dims:
             # no CHECK length() constraint: dim is inferred from the first
             # INSERT (the reference stores variable Arrays and validates at
@@ -371,6 +371,21 @@ class SQLRunner:
         return [{"restored": st.table}]
 
     def _truncate_table(self, st: P.TruncateTable):
+        if st.table.startswith("system."):
+            # TRUNCATE TABLE system.vector_index_event_log / query_log:
+            # clear the in-memory ring and the persistent backing table
+            which = st.table.split(".", 1)[1]
+            if which == "vector_index_event_log":
+                self.db.event_log.clear()
+            elif which == "query_log":
+                from ..service.event_log import GLOBAL_QUERY_LOG
+
+                GLOBAL_QUERY_LOG.clear()
+            else:
+                raise SchemaError(f"cannot TRUNCATE system table {which!r}")
+            if self.db.system_logs is not None:
+                self.db.system_logs.truncate(which)
+            return []
         self.db.table(st.table).truncate()
         return []
 
@@ -1835,6 +1850,9 @@ def _eval_scalar(node, row: Dict[str, Any]):
 
             n = int(_eval_scalar(node[2][0], row)) if node[2] else 8
             return "".join(_rnd.choice(_str.ascii_letters) for _ in range(n))
+        if node[1] == "sleep":
+            _time.sleep(min(float(_eval_scalar(node[2][0], row)), 3.0))
+            return 0
         if node[1] in ("todate", "todatetime", "tostring"):
             return str(_eval_scalar(node[2][0], row))
         if node[1] in ("tofloat32", "tofloat64"):

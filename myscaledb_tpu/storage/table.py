@@ -93,6 +93,10 @@ class Table:
         #   Collapsing(sign):            +1/-1 state/cancel pairs collapse per key
         #   VersionedCollapsing(sign,v): pairs collapse per (key, version)
         eng = engine.strip().lower().replace("mergetree", "") or "merge"
+        # Replicated* collapses onto the base engine: replication here is
+        # the ReplicatedNode service, not an engine variant (the reference
+        # tests' single-node ReplicatedMergeTree degenerates to MergeTree)
+        eng = eng.replace("replicated", "") or "merge"
         engines = {
             "merge": "MergeTree",
             "replacing": "Replacing",
@@ -849,6 +853,8 @@ class Table:
                         "type": d.kind.value,
                         "metric": d.metric.value,
                         "params": d.params,
+                        "declared_type": d.declared_type,
+                        "definition": d.definition,
                     }
                     for name, d in descs.items()
                 },
@@ -1661,7 +1667,12 @@ class Table:
                         "database": "default",
                         "table": self.name,
                         "name": desc.name,
-                        "type": desc.kind.value,
+                        "type": (
+                            desc.declared_type
+                            if desc.declared_type
+                            and desc.declared_type.lower() != "default"
+                            else desc.kind.value
+                        ),
                         "expr": desc.definition or desc.column,
                         "metric": desc.metric.value,
                         "dim": desc.dim,
@@ -1669,7 +1680,7 @@ class Table:
                         "parts_with_vector_index": built,
                         "small_parts": small,
                         "status": status,
-                        "latest_failed_part": errors[-1][0] if errors else None,
+                        "latest_failed_part": errors[-1][0] if errors else "",
                         "latest_fail_reason": errors[-1][1] if errors else "",
                     }
                 )

@@ -165,8 +165,12 @@ def test_create_vector_index_statement(db, rng):
 def test_parse_errors(db):
     with pytest.raises(ms.SQLError):
         db.sql("SELEC 1")
-    with pytest.raises(ms.SQLError):
-        db.sql("CREATE TABLE t (v Array(Float32))")  # missing constraint
+    # constraint-less vector column: CREATE defers until the first INSERT
+    # pins the dim (reference behavior for unconstrained Array columns)
+    db.sql("CREATE TABLE t_defer (id UInt64, v Array(Float32))")
+    assert "t_defer" not in db.tables()
+    db.sql("INSERT INTO t_defer VALUES (1, [0.5, 0.25])")
+    assert db.table("t_defer").schema.require_vector("v").dim == 2
     with pytest.raises(ms.SQLError):
         db.sql("SELECT id FROM")
 
