@@ -433,9 +433,19 @@ EXPECTED_GREEN = {
     "00014_mqvs_distance_cosine_ivfsq",
     "00016_mqvs_index_build_after_lightweight_delete",
     "00016_mqvs_lightweight_delete_with_vector",
+    "00018_mqvs_drop_index_mergetree",
+    "00018_mqvs_multi_distance_funcs",
     "00021_mqvs_support_primary_key_cache",
     "00027_mqvs_check_order_by_for_metric_type",
+    "00028_mqvs_index_mstg_build_search",
+    "00029_mqvs_fallback_to_flat",
+    "00031_mqvs_support_replacing_merge_tree",
+    "00032_mqvs_lightweight_delete_small_ranges",
     "00036_mqvs_with_clause_process_function",
+    "00037_mqvs_multiple_lwd",
+    "00037_mqvs_replacing_support_multiple_vector_indices",
+    "00037_mqvs_select_multiple_vector_indices",
+    "00037_mqvs_two_stage_support_multiple_vector_indices",
     "00038_mqvs_brute_force_setting",
     "00040_mqvs_hybrid_search_with_subquery",
 }
