@@ -962,7 +962,12 @@ def main():
         ("sync_rtt", sec_sync_rtt),
     ]
     try:
+        only = {
+            s.strip() for s in os.environ.get("BENCH_SECTIONS", "").split(",") if s.strip()
+        }
         for name, fn in sections:
+            if only and name not in only and name != "setup":
+                continue  # BENCH_SECTIONS=a,b targeted reruns (setup always)
             run_section(name, fn)
         try:
             CTX["db"].close()

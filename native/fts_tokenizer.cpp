@@ -5,7 +5,7 @@
 // writer (ffi_index_multi_column_docs — SURVEY.md §2.4): ingest-time text
 // indexing is CPU-bound native code, while scoring runs on the TPU.
 // Tokenization rules mirror myscaledb_tpu/text/analyzer.py exactly:
-// tokens are [0-9A-Za-z_]+ optionally followed by '[A-Za-z]+; non-ASCII
+// tokens are [0-9A-Za-z_]+ (tantivy SimpleTokenizer split); non-ASCII
 // bytes are separators; optional lowercasing, length bounds, stopwords.
 //
 // Exposed as a plain C ABI for ctypes (no pybind11 in this image).
@@ -86,12 +86,8 @@ void* msql_fts_build(const char* buf, const int64_t* doc_offsets,
       }
       const char* start = p;
       while (p < end && is_token_char(static_cast<unsigned char>(*p))) ++p;
-      // optional '[A-Za-z]+ suffix (analyzer.py apostrophe rule)
-      if (p < end && *p == '\'' && p + 1 < end &&
-          is_alpha(static_cast<unsigned char>(p[1]))) {
-        ++p;
-        while (p < end && is_alpha(static_cast<unsigned char>(*p))) ++p;
-      }
+      // no apostrophe suffix: tantivy's SimpleTokenizer splits on any
+      // non-alphanumeric, so "history's" -> history, s (analyzer.py)
       size_t len = static_cast<size_t>(p - start);
       if (static_cast<int>(len) < min_len || static_cast<int>(len) > max_len)
         continue;
