@@ -52,6 +52,15 @@ from .registry import register
 DEFAULT_NPROBE = 16
 WINDOW = 512  # rows per scan window
 
+
+def _default_pq_m(dim: int) -> int:
+    """Largest power-of-2 subquantizer count <= 32 that divides dim
+    (DDL may omit M; the reference accepts that and the build adapts)."""
+    m = 32
+    while m > 1 and dim % m:
+        m //= 2
+    return m
+
 # one jitted mask builder for ALL filters: constants are traced leaves,
 # so a new comparison value reuses the compiled program (a per-miss
 # jax.jit(lambda ...) would retrace+recompile per constant)
@@ -361,7 +370,7 @@ class IVFIndex(VectorIndex):
                 )
                 pdata = np.zeros((npad, dpad), np.uint8)
             elif codec == "pq":
-                m = int(params.get("M", 32))
+                m = int(params.get("M", 0)) or _default_pq_m(dim)
                 if dim % m:
                     raise IndexParameterError(f"dim {dim} not divisible by M={m}")
                 bits = int(params.get("bit_size", 8))
@@ -405,7 +414,7 @@ class IVFIndex(VectorIndex):
                 dec_sq = jnp.sum(dec * dec, axis=1)
                 perm_data = jnp.zeros((npad, dpad), jnp.uint8).at[:n_rows].set(enc)
             elif codec == "pq":
-                m = int(params.get("M", 32))
+                m = int(params.get("M", 0)) or _default_pq_m(dim)
                 if dim % m:
                     raise IndexParameterError(f"dim {dim} not divisible by M={m}")
                 bits = int(params.get("bit_size", 8))

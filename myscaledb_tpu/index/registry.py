@@ -128,9 +128,13 @@ def validate_build_params(
                 )
             continue
         out[name] = _coerce(name, value, valid[name])
-    # IVFPQ/HNSWPQ: dim % M == 0 (VIDescriptions.cpp:317-328)
-    if kind in (IndexKind.IVFPQ, IndexKind.HNSWPQ):
-        m = out.get("M", 32)
+    # IVFPQ/HNSWPQ: dim % M == 0 (VIDescriptions.cpp:317-328). With
+    # vector_index_parameter_check=0 the reference defers this to the
+    # BUILD, which then lands in status Error — so only strict DDL checks
+    # (only when M is explicit: an omitted M picks a dividing default at
+    # build time, like the reference accepting IVFPQ DDL without M)
+    if kind in (IndexKind.IVFPQ, IndexKind.HNSWPQ) and strict and "M" in out:
+        m = out["M"]
         if dim % m != 0:
             raise IndexParameterError(
                 f"PQ subquantizer count M={m} must divide dim={dim}"

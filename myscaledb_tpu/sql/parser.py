@@ -1071,6 +1071,16 @@ class Parser:
             if self.peek(1).kind == "op" and self.peek(1).value == "(":
                 fname = self.next().lower()
                 self.expect_op("(")
+                if fname == "cast":
+                    # CAST(expr AS Type) — 00025_mqvs_distance_with_subquery
+                    inner = self._scalar_expr()
+                    self.expect_kw("as")
+                    tname = self.expect_name()
+                    if self.accept_op("("):  # e.g. Decimal(10, 2)
+                        while not self.accept_op(")"):
+                            self.next()
+                    self.expect_op(")")
+                    return ("call", "cast", [inner, ("str", tname)])
                 args = []
                 if not self.accept_op(")"):
                     while True:

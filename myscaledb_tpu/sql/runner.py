@@ -1306,7 +1306,13 @@ class SQLRunner:
                 for c in agg_vals:
                     agg_vals[c].append(seg.scalar(c)[idxs])
             else:
-                lists = [seg.scalar(c)[idxs].tolist() for c in cols]
+                vec_cols = t.schema.vector_columns()
+                lists = [
+                    [list(v) for v in seg.vector_rows(c, idxs)]
+                    if c in vec_cols
+                    else seg.scalar(c)[idxs].tolist()
+                    for c in cols
+                ]
                 rows.extend(dict(zip(cols, vals)) for vals in zip(*lists))
         if agg_items:
             return self._aggregate(st, agg_items, agg_vals, total)
@@ -1662,6 +1668,17 @@ _BINF = {
 }
 
 
+def _apply_cast(v, tname):
+    t = str(tname).lower()
+    if t.startswith(("float", "decimal")):
+        return [float(x) for x in v] if isinstance(v, (list, tuple)) else float(v)
+    if t.startswith(("uint", "int")):
+        return [int(x) for x in v] if isinstance(v, (list, tuple)) else int(v)
+    if t.startswith(("string", "date")):
+        return str(v)
+    return v
+
+
 def _eval_const(node, env: Dict[str, Any], runner) -> Any:
     """Evaluate an expression with NO row context: literals, scalar WITH
     aliases (env), pure functions (range/arrayMap/if + math), and scalar
@@ -1752,6 +1769,10 @@ def _eval_const(node, env: Dict[str, Any], runner) -> Any:
             return 0
         if fname == "currentdatabase":
             return "default"
+        if fname == "cast":
+            return _apply_cast(
+                _eval_const(args[0], env, runner), args[1][1]
+            )
         fn = _MATHF.get(fname)
         if fn is None:
             raise SQLError(f"unknown const function {fname}()")
@@ -1853,6 +1874,8 @@ def _eval_scalar(node, row: Dict[str, Any]):
         if node[1] == "sleep":
             _time.sleep(min(float(_eval_scalar(node[2][0], row)), 3.0))
             return 0
+        if node[1] == "cast":
+            return _apply_cast(_eval_scalar(node[2][0], row), node[2][1][1])
         if node[1] in ("todate", "todatetime", "tostring"):
             return str(_eval_scalar(node[2][0], row))
         if node[1] in ("tofloat32", "tofloat64"):
@@ -2217,14 +2240,23 @@ def _distinct_rows(rows: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
 def _sort_rows(rows: List[Dict[str, Any]], order_by) -> None:
     """Stable multi-key sort; elements may be names, (name, tuple_idx)
     pairs, or ScalarExpr trees evaluated per row."""
+    def _null_last(v):
+        # NULLs sort last under ASC like the reference default; the
+        # (is_null, value) pair keeps None-vs-None comparable (the 0
+        # sentinel only ever compares against other sentinels)
+        return (v is None, 0 if v is None else v)
+
     for expr, d in reversed(order_by):
         if isinstance(expr, P.ScalarExpr):
             rows.sort(
-                key=lambda r: _eval_scalar(expr.node, r), reverse=(d == "desc")
+                key=lambda r: _null_last(_eval_scalar(expr.node, r)),
+                reverse=(d == "desc"),
             )
         else:
             name = expr[0] if isinstance(expr, tuple) else expr
-            rows.sort(key=lambda r: r.get(name), reverse=(d == "desc"))
+            rows.sort(
+                key=lambda r: _null_last(r.get(name)), reverse=(d == "desc")
+            )
 
 
 def _eval_plain(expr, row: Dict[str, Any]) -> bool:
