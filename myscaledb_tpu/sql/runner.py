@@ -1095,37 +1095,88 @@ class SQLRunner:
             if len(ccols) != 1 or len(clits) != 1:
                 raise SQLError("distance() takes (vector_column, [query...])")
             specs.append((c, ccols[0], np.asarray(clits[0], np.float32)))
-        results = [
-            t.search(col, q, k, filter=filt, params=c.params or None,
-                     final=st.final, settings=eff)
-            for c, col, q in specs
-        ]
         out_cols = [
             c
             for c in self._out_columns(st, t, "")
             if c not in aliases and c in t.schema.columns
         ]
-        rows_by_label: Dict[tuple, Dict[str, Any]] = {}
-        for res in results:
-            gathered = t.gather(res, out_cols) if out_cols else {}
-            dvals = {
-                c.alias: t.compute_distances(col, q, res) for c, col, q in specs
-            }
-            for j in range(res.k):
-                if not res.valid[0, j]:
-                    continue
-                label = (int(res.segments[0, j]), int(res.rows[0, j]))
-                if label in rows_by_label:
-                    continue
-                row = {c: _pyval(gathered[c][0, j]) for c in out_cols}
-                for alias, dv in dvals.items():
-                    row[alias] = float(dv[0, j])
-                rows_by_label[label] = row
-        rows = list(rows_by_label.values())
-        rows.sort(
-            key=lambda r: _eval_scalar(order_expr.node, r),
-            reverse=(direction == "desc"),
-        )
+        # Iterative deepening with Fagin's TA stop rule (round-4 verdict
+        # next-step #7): per-leg depth doubles until the expression top-k
+        # is PROVABLY final. Any row not retrieved by leg i has a reported
+        # distance no better than tau_i (that leg's worst retrieved value
+        # in its own ranking), so when the expression is monotone in every
+        # alias, f(tau_1..tau_m) bounds every unseen row; once the k-th
+        # candidate beats the bound, deeper scans cannot change the answer
+        # (MergeTreeVSManager.cpp:312-330 evaluates all columns exactly;
+        # this reaches the same answer lazily). Non-monotone expressions
+        # (e.g. d1 - d2) have no finite bound: they deepen to the full
+        # window, i.e. exact evaluation over every row.
+        n_rows = sum(s.n_rows for s in t.live_segments())
+        cap = max(1, min(n_rows, eff.query.max_search_result_window))
+        mono = _expr_monotone_dirs(order_expr.node, aliases)
+        depth = min(max(k, 1), cap)
+        while True:
+            results = [
+                t.search(col, q, depth, filter=filt, params=c.params or None,
+                         final=st.final, settings=eff)
+                for c, col, q in specs
+            ]
+            rows_by_label: Dict[tuple, Dict[str, Any]] = {}
+            taus: Dict[str, float] = {}
+            for (c, col, q), res in zip(specs, results):
+                nvalid = int(res.valid[0].sum())
+                if nvalid:
+                    taus[c.alias] = float(res.distances[0, nvalid - 1])
+            for res in results:
+                gathered = t.gather(res, out_cols) if out_cols else {}
+                dvals = {
+                    c.alias: t.compute_distances(col, q, res)
+                    for c, col, q in specs
+                }
+                for j in range(res.k):
+                    if not res.valid[0, j]:
+                        continue
+                    label = (int(res.segments[0, j]), int(res.rows[0, j]))
+                    if label in rows_by_label:
+                        continue
+                    row = {c: _pyval(gathered[c][0, j]) for c in out_cols}
+                    for alias, dv in dvals.items():
+                        row[alias] = float(dv[0, j])
+                    rows_by_label[label] = row
+            rows = list(rows_by_label.values())
+            rows.sort(
+                key=lambda r: _eval_scalar(order_expr.node, r),
+                reverse=(direction == "desc"),
+            )
+            want = (st.offset or 0) + (st.limit or k)
+            exhausted = depth >= cap or len(rows_by_label) >= n_rows
+            if exhausted:
+                break
+            if mono is not None and len(rows) >= want and len(taus) == len(specs):
+                # unseen-row bound: legs whose metric reports ascending
+                # distances contribute tau as a floor; IP (descending)
+                # legs contribute tau as a ceiling — monotonicity maps
+                # both to a single bound value per leg
+                ok = True
+                bound_env = {}
+                for c, col, q in specs:
+                    asc = metric_direction(t.index_metric_for(col)) == "asc"
+                    m = mono[c.alias]
+                    # f must worsen (for the sort direction) as the leg
+                    # worsens, else tau is not a usable bound
+                    if (direction == "asc") == (m == (1 if asc else -1)):
+                        bound_env[c.alias] = taus[c.alias]
+                    else:
+                        ok = False
+                        break
+                if ok:
+                    bound = _eval_scalar(order_expr.node, bound_env)
+                    kth = _eval_scalar(order_expr.node, rows[want - 1])
+                    if (direction == "asc" and kth <= bound) or (
+                        direction == "desc" and kth >= bound
+                    ):
+                        break
+            depth = min(depth * 2, cap)
         rows = rows[st.offset : st.offset + st.limit if st.limit else None]
         return self._finalize_items(st, rows)
 
@@ -1677,6 +1728,71 @@ def _apply_cast(v, tname):
     if t.startswith(("string", "date")):
         return str(v)
     return v
+
+
+def _expr_monotone_dirs(node, aliases):
+    """Per-alias monotonicity direction of a scalar expression:
+    {alias: +1 (non-decreasing) | -1 (non-increasing)}, or None when the
+    expression is not provably monotone in every alias (the TA bound is
+    then unusable and deepening must exhaust the window). Handles the
+    affine family the reference supports: +, -, and multiplication by
+    constants."""
+
+    def walk(n, sign):
+        tag = n[0]
+        if tag in ("num", "const", "str"):
+            return {}
+        if tag == "col":
+            return {n[1]: sign} if n[1] in aliases else {}
+        if tag == "neg":
+            return walk(n[1], -sign)
+        if tag == "bin":
+            op, a, b = n[1], n[2], n[3]
+            if op == "+":
+                out = walk(a, sign)
+                for k2, v in walk(b, sign).items():
+                    if out.setdefault(k2, v) != v:
+                        raise ValueError
+                return out
+            if op == "-":
+                out = walk(a, sign)
+                for k2, v in walk(b, -sign).items():
+                    if out.setdefault(k2, v) != v:
+                        raise ValueError
+                return out
+            if op == "*":
+                ca = _const_value(a)
+                cb = _const_value(b)
+                if ca is not None:
+                    return walk(b, sign if ca >= 0 else -sign)
+                if cb is not None:
+                    return walk(a, sign if cb >= 0 else -sign)
+                raise ValueError
+            if op == "/":
+                cb = _const_value(b)
+                if cb is not None and cb != 0:
+                    return walk(a, sign if cb > 0 else -sign)
+                raise ValueError
+            raise ValueError
+        raise ValueError
+
+    try:
+        dirs = walk(node, 1)
+    except ValueError:
+        return None
+    return {a: dirs.get(a, 1) for a in aliases}
+
+
+def _const_value(n):
+    if n[0] in ("num", "const"):
+        try:
+            return float(n[1])
+        except (TypeError, ValueError):
+            return None
+    if n[0] == "neg":
+        v = _const_value(n[1])
+        return None if v is None else -v
+    return None
 
 
 def _eval_const(node, env: Dict[str, Any], runner) -> Any:
