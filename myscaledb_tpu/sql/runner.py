@@ -1951,7 +1951,12 @@ def _eval_scalar(node, row: Dict[str, Any]):
         if op == "*":
             return a * b
         if op == "/":
+            if b == 0:
+                # ClickHouse float division: x/0 = ±inf, 0/0 = nan
+                return float("nan") if a == 0 else float("inf") * (1 if a > 0 else -1)
             return a / b
+        if b == 0:
+            raise SQLError("modulo by zero")  # ClickHouse throws here too
         return a % b
     if tag == "call":
         if node[1] == "if":
