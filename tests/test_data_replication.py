@@ -341,3 +341,69 @@ def test_transient_fetch_failure_retries(tmp_path, rng, monkeypatch):
         assert valid.sum() == 56 and (ids[valid] >= 8).all()
     finally:
         a.close(); b.close(); db_a.close(); db_b.close()
+
+
+def test_fenced_mutation_survives_partition(tmp_path, rng):
+    """Fencing epochs (round-4 verdict next-step #6): an UPDATE committed
+    on the minority side of a partition is FENCED — applied locally,
+    queued for rebase — and re-emits at a fresh epoch when quorum
+    returns, so it is NOT silently lost (the old LWW hole)."""
+    from myscaledb_tpu.service.event_log import GLOBAL_COUNTERS
+
+    (db_a, t_a, a), (db_b, t_b, b) = _pair(tmp_path)
+    try:
+        t_a.insert(_rows(rng, 60))
+        b.sync(), a.sync()
+        # partition from A's point of view: every peer ages out instantly
+        a.peer_down_after_s = 0.0
+        assert not a._has_majority()
+        before = GLOBAL_COUNTERS.snapshot().get("ReplicatedFencedMutations", 0)
+        t_a.update(F("id") < 10, {"score": 7.25})  # minority-side UPDATE
+        assert (
+            GLOBAL_COUNTERS.snapshot()["ReplicatedFencedMutations"] == before + 1
+        )
+        assert a._fenced_pending, "minority mutation must queue for rebase"
+        # heal: liveness window back, a pull refreshes last_ok -> quorum
+        a.peer_down_after_s = 60.0
+        a.sync()  # regains majority -> rebase re-emits at a fresh epoch
+        assert not a._fenced_pending
+        assert b.sync() >= 1  # B pulls the rebased mutation
+        res = t_b.search("vec", np.zeros(DIM, np.float32), k=60)
+        g = t_b.gather(res, ["id", "score"])
+        sel = g["id"][res.valid] < 10
+        assert np.allclose(g["score"][res.valid][sel], 7.25), (
+            "minority-side UPDATE was lost across the partition"
+        )
+    finally:
+        a.close(), b.close(), db_a.close(), db_b.close()
+
+
+def test_fenced_mutation_superseded_is_loud(tmp_path, rng):
+    """Write-write conflict across the partition: the majority-side
+    UPDATE wins and the fenced one is dropped LOUDLY (counter), never
+    applied over the newer epoch."""
+    from myscaledb_tpu.service.event_log import GLOBAL_COUNTERS
+
+    (db_a, t_a, a), (db_b, t_b, b) = _pair(tmp_path)
+    try:
+        t_a.insert(_rows(rng, 40))
+        b.sync(), a.sync()
+        a.peer_down_after_s = 0.0
+        t_a.update(F("id") < 5, {"score": 1.0})  # fenced (epoch stays)
+        # B still has quorum (it reaches A's server): majority write
+        assert b._has_majority()
+        t_b.update(F("id") < 5, {"score": 2.0})  # epoch bumps
+        a.peer_down_after_s = 60.0
+        a.sync()  # pulls B's majority write (newer epoch) + rebases
+        sup = GLOBAL_COUNTERS.snapshot().get(
+            "ReplicatedFencedMutationsSuperseded", 0
+        )
+        assert sup >= 1, "conflict must be surfaced, not silent"
+        res = t_a.search("vec", np.zeros(DIM, np.float32), k=40)
+        g = t_a.gather(res, ["id", "score"])
+        sel = g["id"][res.valid] < 5
+        assert np.allclose(g["score"][res.valid][sel], 2.0), (
+            "majority-side UPDATE must win the conflict"
+        )
+    finally:
+        a.close(), b.close(), db_a.close(), db_b.close()
