@@ -303,16 +303,16 @@ class Database:
         00004_mqvs_filter_by_distance.sh. Pathless databases park the
         live object in a detached registry instead."""
         with self._lock:
+            # pop + park under ONE hold (ADVICE r4: a concurrent
+            # create_table/attach could interleave into the gap and
+            # clobber or lose the table)
             if name not in self._tables:
                 raise SchemaError(f"no such table: {name}")
             t = self._tables.pop(name)
+            # None = reload from disk on ATTACH; live object otherwise
+            self._detached[name] = None if t.storage_dir else t
         if t.storage_dir:
             t.persist()
-            with self._lock:
-                self._detached[name] = None  # reload from disk on ATTACH
-        else:
-            with self._lock:
-                self._detached[name] = t
         self.index_cache.expire_prefix((name,))
 
     def attach_table(self, name: str) -> Table:
@@ -320,13 +320,14 @@ class Database:
         its checkpoint when one exists (deserializes segments; built ANN
         indexes stay BUILT on disk and reload lazily on first search)."""
         with self._lock:
+            # collision check + pop + reinsert under ONE hold (ADVICE r4)
             if name in self._tables:
                 raise SchemaError(f"table {name!r} already exists")
             missing = name not in self._detached
             t = self._detached.pop(name, None)
-        if t is not None:
-            with self._lock:
+            if t is not None:
                 self._tables[name] = t
+        if t is not None:
             return t
         if missing and not self.path:
             raise SchemaError(f"no detached table: {name}")

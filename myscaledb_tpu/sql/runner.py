@@ -1189,8 +1189,19 @@ class SQLRunner:
         alias predicates on the ranked rows, then apply the original
         LIMIT/OFFSET (00004_mqvs_filter_by_distance.sh)."""
         eff = self._eff_settings(st, t)
+        if st.limit is None and any(c.func == "distance" for c in searches):
+            # same contract as the unfiltered path: distance() requires
+            # LIMIT (ADVICE r4: the two paths must agree)
+            raise QueryShapeError("distance() requires LIMIT")
         nrows = sum(s.n_rows for s in t.live_segments())
         cap = min(nrows, eff.query.max_search_result_window)
+        if nrows > cap:
+            from ..service.event_log import GLOBAL_COUNTERS
+
+            # rows past the window are not evaluated against the alias
+            # predicate — same cap the reference puts on any search
+            # (VSUtils.cpp:205); surfaced instead of silent
+            GLOBAL_COUNTERS.bump("SearchPostFilterWindowTruncations")
         orig_limit, orig_offset = st.limit, st.offset
         st.limit, st.offset = max(cap, 1), 0
         try:
