@@ -272,9 +272,18 @@ class Segment:
         # exact (pre-quantization) float rows for column READS: SELECTing
         # a vector column must return what was inserted, like the
         # reference's on-disk f32 column, independent of the bf16 scoring
-        # payload. Host RAM only; scoring never touches this copy.
+        # payload. Only QUANTIZED (bf16 HBM) columns need the copy —
+        # host-tier payloads already hold raw f32 and retaining a second
+        # copy doubled host RAM exactly where it is scarcest (a 10M x 960
+        # beyond-HBM ingest OOM'd the 125 GB host). Spilled-from-HBM
+        # columns keep their bf16-rounded values (score-parity contract).
         for cname, ctype in schema.columns.items():
-            if isinstance(ctype, FloatVector):
+            if (
+                isinstance(ctype, FloatVector)
+                and cname in vectors
+                and not vectors[cname].is_host
+                and storage_dtype == jnp.bfloat16
+            ):
                 seg._exact_f32[cname] = np.asarray(
                     validated[cname], dtype=np.float32
                 )
