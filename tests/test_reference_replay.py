@@ -384,6 +384,7 @@ UNSUPPORTED = {
     "00019_mqvs_add_fail_status_in_vector_indices": "asserts reference-internal error strings and part names",
     "00024_mqvs_no_threshold_move_to_prewhere": "EXPLAIN SYNTAX rewrite text oracle",
     "00030_mqvs_skip_check_order_direction_for_distributed": "Distributed engine DDL (DCN sharding is the native ShardedTable API)",
+    "00032_mqvs_vector_index_autoload": "reads system.zookeeper vidx_info directly (autoload state here is replica_state.json, tests/test_data_replication.py)",
 }
 
 
