@@ -832,6 +832,8 @@ def sec_beyond_hbm():
     elapsed = time.time() - _T0
     # time-budgeted sizing: 10M x 960 f32 = 38.4 GB (2.4x the 16 GB HBM)
     NH = 10_000_000 if elapsed < 1800 else (6_000_000 if elapsed < 2400 else 4_000_000)
+    if os.environ.get("BENCH_BHBM_N"):
+        NH = int(os.environ["BENCH_BHBM_N"])  # targeted-rerun override
     DH, NQH = 960, 100
     CHUNK = 1_000_000
     if SMOKE:

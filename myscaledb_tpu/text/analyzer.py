@@ -18,6 +18,8 @@ from typing import Any, Dict, List, Optional
 # 00041_mqvs_text_search_multiple_parts pins score 2.1646233, which
 # back-solves to avgdl 7.3 (possessives split) not 7.1 (kept whole).
 _TOKEN_RE = re.compile(r"[0-9A-Za-z_]+", re.UNICODE)
+# query-side: consume a possessive suffix with the word (tokenize_query)
+_QUERY_RE = re.compile(r"[0-9A-Za-z_]+(?:'[A-Za-z]+)?", re.UNICODE)
 
 # Minimal english stopword list (tantivy's default set is similar in spirit).
 ENGLISH_STOPWORDS = frozenset(
@@ -52,6 +54,28 @@ class Analyzer:
         out = []
         for m in _TOKEN_RE.finditer(text):
             tok = m.group(0)
+            if not (self.min_token_len <= len(tok) <= self.max_token_len):
+                continue
+            if tok in self.stop_words:
+                continue
+            out.append(tok)
+        return out
+
+    def tokenize_query(self, text: str) -> List[str]:
+        """Query-side tokenization: like tokenize(), but a possessive
+        suffix is consumed WITHOUT emitting its own token ("history's"
+        queries as just "history"). The reference indexes both tokens
+        (BM25 avgdl proves it — replay 00041 score back-solve) yet its
+        query parser drops the suffix: querying a full doc text matches
+        only genuinely token-sharing docs, never via a bare "s"
+        (replay 00040_mqvs_hybrid_search_with_subquery)."""
+        if not text:
+            return []
+        if self.lower_case:
+            text = text.lower()
+        out = []
+        for m in _QUERY_RE.finditer(text):
+            tok = m.group(0).split("'", 1)[0]
             if not (self.min_token_len <= len(tok) <= self.max_token_len):
                 continue
             if tok in self.stop_words:

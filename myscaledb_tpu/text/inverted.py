@@ -563,7 +563,7 @@ class InvertedIndex:
         ranges: List[List[Tuple[int, int, float]]] = []
         maxlen = 1
         for query in queries:
-            terms = self.analyzer.tokenize(query)
+            terms = self.analyzer.tokenize_query(query)
             seen: set = set()
             terms = [t for t in terms if not (t in seen or seen.add(t))]
             all_terms.append(terms)
