@@ -831,7 +831,10 @@ def sec_beyond_hbm():
     db, st_bf, K = CTX["db"], CTX["st_bf"], CTX["K"]
     elapsed = time.time() - _T0
     # time-budgeted sizing: 10M x 960 f32 = 38.4 GB (2.4x the 16 GB HBM)
-    NH = 10_000_000 if elapsed < 1800 else (6_000_000 if elapsed < 2400 else 4_000_000)
+    # time-budgeted sizing, floored BEYOND the 16 GB HBM (the section's
+    # whole point): 10M x 960 f32 = 38.4 GB (2.4x), 8M = 30.7 GB (1.9x),
+    # 6M = 23 GB (1.4x)
+    NH = 10_000_000 if elapsed < 1500 else (8_000_000 if elapsed < 2400 else 6_000_000)
     if os.environ.get("BENCH_BHBM_N"):
         NH = int(os.environ["BENCH_BHBM_N"])  # targeted-rerun override
     DH, NQH = 960, 100
