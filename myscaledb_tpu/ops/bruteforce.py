@@ -194,6 +194,7 @@ def stream_scan_topk(
         total = -(-n_valid // chunk) * chunk
         if mask.shape[0] < total:
             mask = jnp.pad(mask, (0, total - mask.shape[0]))
+    steps = 0
     for i in range(0, n_valid, chunk):
         m = min(chunk, n_valid - i)
         blk = np.zeros((chunk, d), np.float32)
@@ -202,12 +203,22 @@ def stream_scan_topk(
         if aux_np is not None:
             ab[:m] = aux_np[i : i + m]
         cm = None if mask is None else jax.lax.dynamic_slice_in_dim(mask, i, chunk)
-        v, r = scan_topk_t(
+        v, r = scan_topk(
             qn, jnp.asarray(blk), jnp.asarray(ab),
             k=k, metric=metric, n_valid=m, mask=cm,
         )
         r = jnp.where(r >= 0, r + i, -1)
         bv, br = merge_topk(bv, br, v, r, k)
+        steps += 1
+        if steps % 4 == 0:
+            # BOUND the dispatch pipeline: each in-flight chunk pins its
+            # 512 MB host staging block until the transfer lands, and
+            # over a slow tunnel dispatch runs 50+ chunks ahead — an 8M
+            # x 960 stream scan grew past 100 GB RSS and drew the kernel
+            # OOM killer. device_get of a dependent scalar is the only
+            # reliable sync on this tunnel (block_until_ready resolves
+            # at enqueue). ~34 ms per 4 chunks, noise next to the transfer.
+            float(jax.device_get(bv[0, 0]))
     return bv, br
 
 
