@@ -195,13 +195,23 @@ def stream_scan_topk(
         if mask.shape[0] < total:
             mask = jnp.pad(mask, (0, total - mask.shape[0]))
     steps = 0
+    # ONE reusable staging buffer: a fresh 512 MB np array per chunk left
+    # ~0.8 GB/chunk resident on the tunnel backend even after the sync
+    # (per-transfer pinned copies keyed by source buffer) — a 33 GB
+    # corpus climbed past 100 GB RSS. Refilling the same buffer keeps the
+    # whole stream at one staging block; the sync below makes the refill
+    # safe (the previous transfer has landed before we overwrite).
+    blk = np.zeros((chunk, d), np.float32)
+    ab = np.zeros((chunk,), np.float32)
     for i in range(0, n_valid, chunk):
         m = min(chunk, n_valid - i)
-        blk = np.zeros((chunk, d), np.float32)
         blk[:m] = data_np[i : i + m]
-        ab = np.zeros((chunk,), np.float32)
+        if m < chunk:
+            blk[m:] = 0.0
         if aux_np is not None:
             ab[:m] = aux_np[i : i + m]
+            if m < chunk:
+                ab[m:] = 0.0
         cm = None if mask is None else jax.lax.dynamic_slice_in_dim(mask, i, chunk)
         v, r = scan_topk(
             qn, jnp.asarray(blk), jnp.asarray(ab),
@@ -210,15 +220,14 @@ def stream_scan_topk(
         r = jnp.where(r >= 0, r + i, -1)
         bv, br = merge_topk(bv, br, v, r, k)
         steps += 1
-        if steps % 4 == 0:
-            # BOUND the dispatch pipeline: each in-flight chunk pins its
-            # 512 MB host staging block until the transfer lands, and
-            # over a slow tunnel dispatch runs 50+ chunks ahead — an 8M
-            # x 960 stream scan grew past 100 GB RSS and drew the kernel
-            # OOM killer. device_get of a dependent scalar is the only
-            # reliable sync on this tunnel (block_until_ready resolves
-            # at enqueue). ~34 ms per 4 chunks, noise next to the transfer.
-            float(jax.device_get(bv[0, 0]))
+        # sync EVERY chunk: (a) bounds the dispatch pipeline (unbounded
+        # dispatch pinned 50+ staging blocks and drew the kernel OOM
+        # killer), (b) makes the staging-buffer refill above safe — the
+        # chunk's transfer has landed before the next overwrite.
+        # device_get of a dependent scalar is the only reliable sync on
+        # this tunnel (block_until_ready resolves at enqueue); ~34 ms,
+        # noise next to a 512 MB transfer.
+        float(jax.device_get(bv[0, 0]))
     return bv, br
 
 
